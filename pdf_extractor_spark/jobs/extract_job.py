@@ -1,0 +1,89 @@
+"""spark-submit entrypoint for the extraction pipeline.
+
+    spark-submit --py-files dist/pdf_extractor_spark.zip \
+        -m pdf_extractor_spark.jobs.extract_job \
+        --pages <corpus.parquet | pages-icetable-root> \
+        --warehouse /path/to/warehouse [--no-salt] [--partitions N]
+
+Local runs: ``python -m pdf_extractor_spark.jobs.extract_job …`` (builds its
+own local[*] session). Re-running against the same warehouse resumes —
+completed (partition, snapshot, version) triples are skipped.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+
+from pyspark.sql import SparkSession
+
+from pdf_extractor_spark.plans.extract_plan import run_extract
+from pdf_extractor_spark.sources.pages import ingest_corpus_to_icetable
+from pdf_extractor_spark.tables.icetable import IceTable
+
+
+def build_session(master: str | None, shuffle_partitions: int) -> SparkSession:
+    from pyspark import SparkConf
+
+    b = SparkSession.builder.appName("pdf_extractor_spark.extract")
+    if master:
+        b = b.master(master)
+    elif not SparkConf().contains("spark.master"):
+        # direct `python -m` launch: default to all local cores; under
+        # spark-submit the submit-provided master wins (we don't override it)
+        b = b.master("local[*]")
+    return (
+        b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate()
+    )
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--pages", required=True,
+                    help="pages IceTable root, or a corpus .parquet to ingest")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--master", default=None,
+                    help="override master (default: whatever spark-submit set, "
+                         "or local[*] when run directly)")
+    ap.add_argument("--no-salt", action="store_true")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    args = ap.parse_args(argv)
+
+    spark = build_session(args.master, args.shuffle_partitions)
+    pages_path = pathlib.Path(args.pages)
+    if pages_path.suffix == ".parquet":
+        tbl_root = pathlib.Path(args.warehouse) / "pages"
+        pages = IceTable(tbl_root)
+        if not pages.exists():
+            pages = ingest_corpus_to_icetable(spark, pages_path, tbl_root)
+    else:
+        pages = IceTable(pages_path)
+
+    result = run_extract(
+        spark,
+        pages,
+        args.warehouse,
+        salt=not args.no_salt,
+        num_partitions=args.partitions,
+    )
+    print(
+        json.dumps(
+            {
+                "input_snapshot_id": result.input_snapshot_id,
+                "processed": result.processed,
+                "skipped": result.skipped,
+                "failed": result.failed,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,155 @@
+"""The end-to-end extraction plan (SURVEY.md §4.3), resumable per partition.
+
+Physical shape per partition-date::
+
+    IceTable scan (manifest-pruned to ONE pending date)   -- no file listing
+    → Project(url, warc_ts, html)                          -- column pruning
+    → salted repartition (byte-length buckets)             -- skew fix
+    → mapInPandas(extract)                                 -- Arrow batches
+    → overwrite_partitions(extracted, date)                -- idempotent commit
+    → lineage.append(ok | failed row)                      -- driver-side
+
+Why a driver loop over PARTITIONS (not one mega-job): each iteration is a
+full-cluster distributed job over one crawl-day (≈ hundreds of GB at design
+scale); committing per partition gives (a) honest per-partition wall_time /
+row counts in lineage, (b) atomic idempotent re-runs of exactly the failed
+partitions, (c) bounded blast radius — one poisoned day never rolls back a
+month. This is the standard Iceberg incremental-batch topology; the loop is
+O(days), never O(rows).
+
+Resume: completed (date, snapshot, extractor_version) triples come from the
+lineage log; pending dates prune at the MANIFEST level, so Spark never lists
+completed partitions' files. The equivalent relational form (left_anti join
+pages↔lineage) is tested in tests/test_resume.py for parity.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from pdf_extractor_spark.operators.extract import (
+    extract_stage,
+    with_partition_date,
+)
+from pdf_extractor_spark.operators.skew import salted_repartition
+from pdf_extractor_spark.plans.lineage import LineageLog
+from pdf_extractor_spark.tables.icetable import IceTable
+from pdf_extractor_spark.version import EXTRACTOR_VERSION
+
+
+@dataclass
+class ExtractRunResult:
+    input_snapshot_id: int
+    processed: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+    failed: list[str] = field(default_factory=list)
+
+
+def run_extract(
+    spark: SparkSession,
+    pages: IceTable,
+    warehouse: str,
+    salt: bool = True,
+    num_partitions: int | None = None,
+    fail_dates: set[str] | None = None,
+    max_dates: int | None = None,
+) -> ExtractRunResult:
+    """Run (or resume) extraction of every pending partition of ``pages``.
+
+    ``fail_dates`` injects a failure after processing those dates' data but
+    before their lineage commit — the kill-and-resume test hook (SURVEY.md
+    §5.2 property 3). ``max_dates`` bounds work per invocation (also used by
+    the kill test)."""
+    extracted_tbl = IceTable(f"{warehouse}/extracted")
+    lineage = LineageLog(f"{warehouse}/lineage")
+
+    snap_id = pages.snapshot_id()
+    all_dates = pages.partitions()
+    done = lineage.completed_partitions(EXTRACTOR_VERSION, snap_id)
+    pending = [d for d in all_dates if d not in done]
+    result = ExtractRunResult(
+        input_snapshot_id=snap_id, skipped=[d for d in all_dates if d in done]
+    )
+
+    if max_dates is not None:
+        pending = pending[:max_dates]
+
+    for date in pending:
+        t0 = time.monotonic()
+        attempt = lineage.attempts(date) + 1
+        try:
+            src = pages.read(spark, partitions=[date])
+            src = salted_repartition(src, num_partitions, enabled=salt)
+            out = with_partition_date(extract_stage(src))
+            extracted_tbl.overwrite_partitions(out)
+            if fail_dates and date in fail_dates:
+                raise RuntimeError(f"injected failure for {date}")
+            # counts from the committed output (cheap: one partition's files)
+            out_df = extracted_tbl.read(spark, partitions=[date])
+            rows_out = out_df.count()
+            rows_in = rows_out  # extraction is 1:1 row-preserving by design
+            lineage.append(
+                [
+                    {
+                        "partition_date": date,
+                        "input_snapshot_id": snap_id,
+                        "rows_in": rows_in,
+                        "rows_out": rows_out,
+                        "extractor_version": EXTRACTOR_VERSION,
+                        "wall_time_s": time.monotonic() - t0,
+                        "attempt": attempt,
+                        "status": "ok",
+                    }
+                ]
+            )
+            result.processed.append(date)
+        except Exception:
+            lineage.append(
+                [
+                    {
+                        "partition_date": date,
+                        "input_snapshot_id": snap_id,
+                        "rows_in": 0,
+                        "rows_out": 0,
+                        "extractor_version": EXTRACTOR_VERSION,
+                        "wall_time_s": time.monotonic() - t0,
+                        "attempt": attempt,
+                        "status": "failed",
+                    }
+                ]
+            )
+            result.failed.append(date)
+            if fail_dates and date in fail_dates:
+                raise
+    return result
+
+
+def pending_via_anti_join(spark, pages: IceTable, warehouse: str) -> list[str]:
+    """The relational form of the resume set — pages partitions LEFT ANTI
+    lineage(ok, version, snapshot). The driver loop uses the manifest-set
+    form (zero cluster work); this exists for parity testing and as the
+    pattern a pure-SQL deployment would use (broadcast anti-join: lineage is
+    O(partitions) rows, always broadcastable)."""
+    from pyspark.sql import functions as F
+
+    lineage = LineageLog(f"{warehouse}/lineage")
+    snap_id = pages.snapshot_id()
+    parts_df = spark.createDataFrame(
+        [(d,) for d in pages.partitions()], "partition_date string"
+    )
+    done_df = (
+        lineage.read(spark)
+        .filter(
+            (F.col("status") == "ok")
+            & (F.col("extractor_version") == EXTRACTOR_VERSION)
+            & (F.col("input_snapshot_id") == F.lit(snap_id))
+        )
+        .select(F.col("partition_date").cast("string").alias("partition_date"))
+    )
+    pending = parts_df.join(
+        F.broadcast(done_df), on="partition_date", how="left_anti"
+    )
+    return sorted(r[0] for r in pending.collect())

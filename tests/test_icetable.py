@@ -1,0 +1,74 @@
+"""Iceberg-style table layer: snapshots, appends, partition overwrite,
+manifest-level pruning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.tables.icetable import IceTable
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return IceTable(tmp_path / "t")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id int, v string, partition_date string"
+    )
+
+
+def test_append_and_read(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2025-06-14"), (2, "b", "2025-06-15")]))
+    assert tbl.snapshot_id() == 0
+    got = tbl.read(spark)
+    assert got.count() == 2
+    assert set(got.columns) == {"id", "v", "partition_date"}
+
+
+def test_second_append_new_snapshot(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2025-06-14")]))
+    tbl.append(_df(spark, [(2, "b", "2025-06-14")]))
+    assert tbl.snapshot_id() == 1
+    assert tbl.read(spark).count() == 2
+    # old snapshot still lists only the first file
+    assert len(tbl.files()) == 2
+
+
+def test_overwrite_partition_atomic_idempotent(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2025-06-14"), (2, "b", "2025-06-15")]))
+    tbl.overwrite_partitions(_df(spark, [(9, "z", "2025-06-14")]))
+    got = {(r.id, r.v) for r in tbl.read(spark).collect()}
+    assert got == {(9, "z"), (2, "b")}
+    # re-running the same overwrite changes nothing observable
+    tbl.overwrite_partitions(_df(spark, [(9, "z", "2025-06-14")]))
+    got2 = {(r.id, r.v) for r in tbl.read(spark).collect()}
+    assert got2 == got
+
+
+def test_manifest_pruning(spark, tbl):
+    tbl.append(
+        _df(spark, [(i, "x", f"2025-06-{14 + (i % 3):02d}") for i in range(30)])
+    )
+    pruned = tbl.read(spark, partitions=["2025-06-15"])
+    assert pruned.count() == 10
+    # only that partition's files reach the scan
+    assert all("partition_date=2025-06-15" in f for f in pruned.inputFiles())
+
+
+def test_partitions_listing(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2025-06-14"), (2, "b", "2025-06-16")]))
+    assert tbl.partitions() == ["2025-06-14", "2025-06-16"]
+
+
+def test_empty_read_has_schema(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2025-06-14")]))
+    empty = tbl.read(spark, partitions=["1999-01-01"])
+    assert empty.count() == 0
+    assert "id" in empty.columns
+
+
+def test_partition_date_column_recovered(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2025-06-14")]))
+    row = tbl.read(spark).select(F.col("partition_date").cast("string")).first()
+    assert row[0] == "2025-06-14"

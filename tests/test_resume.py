@@ -1,0 +1,130 @@
+"""Checkpoint-resume + lineage (SURVEY.md §5.2 property 3; north_rule
+"resumable from checkpoint with per-partition lineage + metrics")."""
+
+import pytest
+
+from pdf_extractor_spark.corpus.build import write_pages_parquet
+from pdf_extractor_spark.plans.extract_plan import (
+    pending_via_anti_join,
+    run_extract,
+)
+from pdf_extractor_spark.plans.lineage import LineageLog
+from pdf_extractor_spark.sources.pages import ingest_corpus_to_icetable
+from pdf_extractor_spark.tables.icetable import IceTable
+from pdf_extractor_spark.version import EXTRACTOR_VERSION
+
+N_ROWS = 120
+N_DAYS = 4
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    p = tmp_path_factory.mktemp("corpus") / "pages.parquet"
+    write_pages_parquet(p, seed=7, n_rows=N_ROWS, n_days=N_DAYS)
+    return p
+
+
+@pytest.fixture()
+def pages_tbl(spark, corpus, tmp_path):
+    return ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+
+
+def _read_extracted(spark, wh):
+    return IceTable(f"{wh}/extracted").read(spark)
+
+
+def test_full_run_then_noop(spark, pages_tbl, tmp_path):
+    wh = str(tmp_path / "wh")
+    r1 = run_extract(spark, pages_tbl, wh, salt=False)
+    assert len(r1.processed) == N_DAYS and not r1.failed
+    assert _read_extracted(spark, wh).count() == N_ROWS
+
+    # second run: everything already done → no-op
+    r2 = run_extract(spark, pages_tbl, wh, salt=False)
+    assert r2.processed == [] and len(r2.skipped) == N_DAYS
+
+
+def test_kill_and_resume_identical(spark, pages_tbl, tmp_path):
+    wh_a = str(tmp_path / "wh_a")
+    wh_b = str(tmp_path / "wh_b")
+    # reference: single uninterrupted run
+    run_extract(spark, pages_tbl, wh_a, salt=False)
+
+    # interrupted run: process 2 of 4 partitions, then "crash"
+    r1 = run_extract(spark, pages_tbl, wh_b, salt=False, max_dates=2)
+    assert len(r1.processed) == 2
+    # resume completes the rest
+    r2 = run_extract(spark, pages_tbl, wh_b, salt=False)
+    assert len(r2.processed) == N_DAYS - 2
+    assert len(r2.skipped) == 2
+
+    a = {
+        (r.url, r.extracted_text, r.doc_type)
+        for r in _read_extracted(spark, wh_a).collect()
+    }
+    b = {
+        (r.url, r.extracted_text, r.doc_type)
+        for r in _read_extracted(spark, wh_b).collect()
+    }
+    assert a == b
+
+
+def test_failed_partition_retried(spark, pages_tbl, tmp_path):
+    wh = str(tmp_path / "wh")
+    dates = pages_tbl.partitions()
+    with pytest.raises(RuntimeError):
+        run_extract(spark, pages_tbl, wh, salt=False, fail_dates={dates[1]})
+    lin = LineageLog(f"{wh}/lineage")
+    recs = lin.records()
+    assert any(r["status"] == "failed" for r in recs)
+
+    r2 = run_extract(spark, pages_tbl, wh, salt=False)
+    assert dates[1] in r2.processed
+    assert _read_extracted(spark, wh).count() == N_ROWS
+    # the retried partition's lineage row carries attempt=2
+    ok_rows = [
+        r
+        for r in LineageLog(f"{wh}/lineage").records()
+        if r["status"] == "ok" and r["partition_date"].isoformat() == dates[1]
+    ]
+    assert ok_rows and ok_rows[0]["attempt"] == 2
+
+
+def test_lineage_rows_complete(spark, pages_tbl, tmp_path):
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages_tbl, wh, salt=False)
+    recs = LineageLog(f"{wh}/lineage").records()
+    assert len(recs) == N_DAYS
+    for r in recs:
+        assert r["status"] == "ok"
+        assert r["extractor_version"] == EXTRACTOR_VERSION
+        assert r["input_snapshot_id"] == pages_tbl.snapshot_id()
+        assert r["rows_out"] > 0
+        assert r["wall_time_s"] > 0
+
+
+def test_anti_join_form_matches_manifest_form(spark, pages_tbl, tmp_path):
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages_tbl, wh, salt=False, max_dates=1)
+    pending = pending_via_anti_join(spark, pages_tbl, wh)
+    assert pending == pages_tbl.partitions()[1:]
+
+
+def test_new_snapshot_invalidates(spark, pages_tbl, tmp_path, corpus):
+    """Appending new input data reopens affected partitions (snapshot id
+    changes ⇒ lineage rows no longer match)."""
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages_tbl, wh, salt=False)
+    # append more rows → new snapshot
+    from pyspark.sql import functions as F
+
+    extra = (
+        spark.read.parquet(str(corpus))
+        .limit(10)
+        .withColumn("url", F.concat(F.col("url"), F.lit("?v=2")))
+        .withColumn("partition_date", F.to_date("warc_ts"))
+    )
+    pages_tbl.append(extra)
+    r = run_extract(spark, pages_tbl, wh, salt=False)
+    assert r.skipped == []  # all partitions reprocessed
+    assert len(r.processed) > 0
