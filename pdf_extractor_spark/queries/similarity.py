@@ -1,0 +1,182 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-dim).
+
+- `embedding_topk`: brute-force cosine top-k — the exactness baseline.
+  Query side is tiny and broadcast; the big side streams through a
+  projection + per-query top-k (window row_number). At 100 TB the window
+  partitions by query_id, so state per task is one heap per query.
+- `embedding_ivf_topk`: the scale path — IVF-style bucketing: every vector
+  is assigned to its nearest of C deterministic hyperplane-sign buckets
+  (an LSH/IVF hybrid: sign bits of dot products with fixed pseudo-random
+  hyperplanes derived from md5, so both engines derive identical
+  centroids with no training step). Search probes only the query's
+  bucket: the candidate join is an equi-join on bucket id — at scale this
+  turns O(N·Q) into O(N·Q / C) with a shuffle keyed on bucket.
+
+Float discipline for oracle parity: all arithmetic is promoted to DOUBLE
+before any sum (float32 accumulation order would diverge between
+engines), ranking uses round(cos, 9) with a deterministic id tie-break,
+and reported cosines are round(·, 5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+N_PLANES = 3    # 2^3 = 8 IVF buckets
+
+_VEC_S = "transform(embedding, x -> CAST(x AS DOUBLE))"
+_VEC_D = "embedding::DOUBLE[]"
+_NORM_S = "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"
+_NORM_D = "sqrt(list_sum(list_transform(v, x -> x * x)))"
+_DOT_S = (
+    "aggregate(zip_with(qv, cv, (x, y) -> x * y), CAST(0 AS DOUBLE), "
+    "(acc, x) -> acc + x)"
+)
+_DOT_D = "list_sum(list_transform(list_zip(qv, cv), z -> z[1] * z[2]))"
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .withColumn("v", F.expr(_VEC_S))
+        .withColumn("nrm", F.expr(_NORM_S))
+    )
+
+
+def _topk(joined: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.expr("round(cos, 9)").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cos", 5).alias("cosine"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    joined = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.expr(f"{_DOT_S} / (qn * cn)"))
+    )
+    return _topk(joined)
+
+
+EMBEDDING_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, v, {_NORM_D} AS nrm
+  FROM (SELECT vec_id, {_VEC_D} AS v FROM embeddings)
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT_D.replace("qv", "q.v").replace("cv", "c.v")}
+           / (q.nrm * c.nrm) AS cos
+  FROM e q JOIN e c
+    ON q.vec_id < {N_QUERIES} AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id
+  ) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= {TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# IVF/LSH bucketing: hyperplane h_p has components derived from
+# md5(p||'|'||dim): take the first hex digit, map to {-7.5..7.5} via
+# (digit - 7.5). Deterministic, identical in both engines, no training.
+def _plane_expr(p: int, vec: str, size_fn: str, idx: str) -> str:
+    # sum over dims of v[d] * (hexdigit(md5(p|d), 1) - 7.5)
+    if size_fn == "spark":
+        return (
+            f"aggregate(zip_with({vec}, transform(sequence(1, 64), "
+            f"d -> CAST(conv(substr(md5(concat('{p}|', d)), 1, 1), 16, 10) "
+            f"AS DOUBLE) - 7.5), (x, y) -> x * y), CAST(0 AS DOUBLE), "
+            "(acc, x) -> acc + x)"
+        )
+    return (
+        f"list_sum(list_transform(range(1, 65), "
+        f"d -> {vec}[d] * (CAST(('0x' || substr(md5('{p}|' || d), 1, 1))::INT "
+        f"AS DOUBLE) - 7.5)))"
+    )
+
+
+def _bucket_exprs(side: str, vec: str) -> str:
+    bits = []
+    for p in range(N_PLANES):
+        bit = 1 << (N_PLANES - 1 - p)
+        bits.append(
+            f"(CASE WHEN {_plane_expr(p, vec, side, '')} >= 0 "
+            f"THEN {bit} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", F.expr(_bucket_exprs("spark", "v"))
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("cb"),
+    )
+    joined = (
+        c.join(F.broadcast(q), on=[F.col("qb") == F.col("cb")])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.expr(f"{_DOT_S} / (qn * cn)"))
+    )
+    return _topk(joined)
+
+
+_BUCKET_D = _bucket_exprs("duck", "v")
+EMBEDDING_IVF_TOPK_SQL = f"""
+WITH e AS (
+  SELECT vec_id, v, {_NORM_D} AS nrm, {_BUCKET_D} AS bucket
+  FROM (SELECT vec_id, {_VEC_D} AS v FROM embeddings)
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT_D.replace("qv", "q.v").replace("cv", "c.v")}
+           / (q.nrm * c.nrm) AS cos
+  FROM e q JOIN e c
+    ON q.vec_id < {N_QUERIES} AND q.bucket = c.bucket
+   AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id
+  ) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= {TOP_K}
+"""

@@ -1,0 +1,222 @@
+"""Text-analysis operators for a training-data pipeline over `documents`.
+
+All four are pure projections built from builtin string/array functions —
+zero shuffles, full WholeStageCodegen, trivially linear at 100 TB. The
+reference lineage is its regex/normalization layer (SURVEY.md O11-O14,
+O19-O22): scalar text → scalar features, vectorized.
+
+Oracle parity: expressions are generated from shared templates so the
+Spark SQL and DuckDB SQL differ only in function names (size/len,
+filter/list_filter, instr/strpos, array_contains/list_contains).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries.dedup import TOKS_D, TOKS_S
+
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "zu", "mit"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "du"],
+}
+_LANG_ORDER = ["en", "es", "de", "fr"]  # deterministic arg-max tie-break
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _hits(lang: str, size_fn: str, filter_fn: str, contains_fn: str,
+          arr_open: str, arr_close: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return (
+        f"CAST({size_fn}({filter_fn}(toks, "
+        f"t -> {contains_fn}({arr_open}{words}{arr_close}, t))) AS BIGINT)"
+    )
+
+
+def _hits_spark(lang: str) -> str:
+    return _hits(lang, "size", "filter", "array_contains", "array(", ")")
+
+
+def _hits_duck(lang: str) -> str:
+    return _hits(lang, "len", "list_filter", "list_contains", "[", "]")
+
+
+def _pred_case() -> str:
+    all_hits = ", ".join(f"hits_{lg}" for lg in _LANG_ORDER)
+    arms = " ".join(
+        f"WHEN hits_{lg} = greatest({all_hits}) THEN '{lg}'"
+        for lg in _LANG_ORDER
+    )
+    return (
+        f"CASE WHEN greatest({all_hits}) = 0 THEN 'und' {arms} "
+        "ELSE 'und' END"
+    )
+
+
+# --------------------------------------------------------------------------
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir).withColumn("toks", F.expr(TOKS_S))
+    for lg in _LANG_ORDER:
+        df = df.withColumn(f"hits_{lg}", F.expr(_hits_spark(lg)))
+    return df.select(
+        "doc_id",
+        "lang",
+        F.expr(_pred_case()).alias("lang_pred"),
+        *[f"hits_{lg}" for lg in _LANG_ORDER],
+    )
+
+
+_HITS_DUCK = ",\n       ".join(
+    f"{_hits_duck(lg)} AS hits_{lg}" for lg in _LANG_ORDER
+)
+TEXT_LANG_ID_SQL = f"""
+SELECT doc_id, lang, {_pred_case()} AS lang_pred,
+       {", ".join(f"hits_{lg}" for lg in _LANG_ORDER)}
+FROM (
+  SELECT doc_id, lang,
+       {_HITS_DUCK}
+  FROM (SELECT doc_id, lang, {TOKS_D} AS toks FROM documents)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+_PUNCT_RE = "([^A-Za-z0-9 ])"
+
+
+def _quality_exprs(size_fn: str) -> dict[str, str]:
+    nt = "CAST(n_tokens AS DOUBLE)"
+    return {
+        "avg_token_len": (
+            "round(CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+            f" / {nt}, 5)"
+        ),
+        "punct_ratio": f"round(CAST(n_punct AS DOUBLE) / {nt}, 5)",
+        "stop_ratio": f"round(CAST(hits_en AS DOUBLE) / {nt}, 5)",
+        "quality": (
+            f"round(0.4 * least({nt} / 50, 1.0)"
+            f" + 0.3 * (1.0 - least(CAST(n_punct AS DOUBLE) / {nt}, 1.0))"
+            f" + 0.3 * least(4 * CAST(hits_en AS DOUBLE) / {nt}, 1.0), 5)"
+        ),
+    }
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKS_S))
+        .withColumn("n_tokens", F.expr("CAST(size(toks) AS BIGINT)"))
+        .withColumn(
+            "n_punct",
+            F.expr(
+                f"CAST(size(regexp_extract_all(text, '{_PUNCT_RE}', 1)) AS BIGINT)"
+            ),
+        )
+        .withColumn("hits_en", F.expr(_hits_spark("en")))
+    )
+    exprs = _quality_exprs("size")
+    return df.select(
+        "doc_id",
+        F.expr("CAST(length(text) AS BIGINT)").alias("n_chars_obs"),
+        "n_tokens",
+        "n_punct",
+        *[F.expr(e).alias(name) for name, e in exprs.items()],
+    )
+
+
+_QD = _quality_exprs("len")
+TEXT_QUALITY_SQL = f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_obs,
+       n_tokens, n_punct,
+       {", ".join(f"{e} AS {name}" for name, e in _QD.items())}
+FROM (
+  SELECT doc_id, text,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(text, '{_PUNCT_RE}', 1)) AS BIGINT)
+           AS n_punct,
+         {_hits_duck("en")} AS hits_en
+  FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
+)
+"""
+
+
+# --------------------------------------------------------------------------
+_BPE_RE = "([A-Za-z]+|[0-9]+|[^A-Za-z0-9 ])"
+
+
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .withColumn(
+            "n_bpe_tokens",
+            F.expr(
+                f"CAST(size(regexp_extract_all(text, '{_BPE_RE}', 1)) AS BIGINT)"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST(size({TOKS_S}) AS BIGINT)").alias("n_ws_tokens"),
+            "n_bpe_tokens",
+            F.expr(
+                "round(CAST(length(text) AS DOUBLE)"
+                " / CAST(n_bpe_tokens AS DOUBLE), 5)"
+            ).alias("chars_per_token"),
+        )
+    )
+
+
+TEXT_TOKENS_SQL = f"""
+SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+       round(CAST(n_chars_obs AS DOUBLE) / CAST(n_bpe_tokens AS DOUBLE), 5)
+         AS chars_per_token
+FROM (
+  SELECT doc_id,
+         CAST(len({TOKS_D}) AS BIGINT) AS n_ws_tokens,
+         CAST(len(regexp_extract_all(text, '{_BPE_RE}', 1)) AS BIGINT)
+           AS n_bpe_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_obs
+  FROM documents
+)
+"""
+
+
+# --------------------------------------------------------------------------
+_FP_S = (
+    "CASE WHEN size(toks) >= 4 THEN array_min(transform("
+    "sequence(0, size(toks) - 4), i -> md5(concat_ws(' ', "
+    "element_at(toks, i + 1), element_at(toks, i + 2), "
+    "element_at(toks, i + 3), element_at(toks, i + 4))))) "
+    "ELSE md5(text) END"
+)
+_FP_D = (
+    "CASE WHEN len(toks) >= 4 THEN list_min(list_transform("
+    "range(len(toks) - 3), i -> md5("
+    "toks[i + 1] || ' ' || toks[i + 2] || ' ' || "
+    "toks[i + 3] || ' ' || toks[i + 4]))) "
+    "ELSE md5(text) END"
+)
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-wise hash over the rolling window of word
+    4-grams (winnowing-style selection with w = whole doc). Two docs share
+    a fingerprint iff they share their minimal 4-gram — a cheap first-pass
+    clustering key for near-dup detection."""
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKS_S))
+        .select("doc_id", F.expr(_FP_S).alias("fingerprint"))
+    )
+
+
+TEXT_FINGERPRINT_SQL = f"""
+SELECT doc_id, {_FP_D} AS fingerprint
+FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
+"""
