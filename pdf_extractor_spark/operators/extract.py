@@ -19,9 +19,6 @@ Design (SURVEY.md §4.3):
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -57,56 +54,96 @@ EXTRACTED_SCHEMA = T.StructType(
 )
 
 
-def _extract_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas worker fn. Imports inside so the function pickles by
-    reference to the shipped package (spark-submit --py-files)."""
+def _extract_batches_arrow(batches):
+    """mapInArrow worker fn: Arrow RecordBatch in → Arrow RecordBatch out.
+
+    Why Arrow and not pandas: the url/warc_ts columns pass through as the
+    INPUT Arrow buffers untouched (zero conversion), and the output
+    columns — including the nested blocks ARRAY<STRUCT> — are built as
+    Arrow arrays directly, skipping the pandas block-manager + object-dtype
+    round trip that dominated profile time in the mapInPandas form.
+    Imports live inside so the function pickles by reference to the
+    shipped package (spark-submit --py-files)."""
+    import pyarrow as pa
+
     # init-once-per-worker (O2 reversal): the extractor is stateless pure
     # Python, so "init" is just the import — still, do it once, here.
     from pdf_extractor_spark.ref_extractor import extract
 
-    def process(chunk: pd.DataFrame) -> pd.DataFrame:
-        out = {
-            "url": chunk["url"].to_numpy(),
-            "warc_ts": chunk["warc_ts"].to_numpy(),
-            "doc_type": [],
-            "extracted_text": [],
-            "blocks": [],
-            "n_blocks": [],
-            "n_chars": [],
-            "error": [],
-        }
-        for payload in chunk["html"]:
+    blocks_type = pa.list_(
+        pa.struct(
+            [
+                pa.field("idx", pa.int32()),
+                pa.field("tag_path", pa.string()),
+                pa.field("text", pa.string()),
+                pa.field("text_density", pa.float64()),
+                pa.field("link_density", pa.float64()),
+                pa.field("kept", pa.bool_()),
+            ]
+        )
+    )
+
+    def process(batch: pa.RecordBatch, lo: int, hi: int) -> pa.RecordBatch:
+        html = batch.column("html")
+        doc_type, texts, blocks, n_blocks, n_chars, errors = (
+            [], [], [], [], [], []
+        )
+        for i in range(lo, hi):
+            payload = html[i].as_py()
             res = extract(payload)
-            out["doc_type"].append(res.doc_type)
-            out["extracted_text"].append(res.text)
-            out["blocks"].append(
+            doc_type.append(res.doc_type)
+            texts.append(res.text)
+            blocks.append(
                 [
-                    (b.idx, b.tag_path, b.text, b.text_density,
-                     b.link_density, b.kept)
+                    {
+                        "idx": b.idx,
+                        "tag_path": b.tag_path,
+                        "text": b.text,
+                        "text_density": b.text_density,
+                        "link_density": b.link_density,
+                        "kept": b.kept,
+                    }
                     for b in res.blocks
                 ]
             )
-            out["n_blocks"].append(res.n_blocks)
-            out["n_chars"].append(res.n_chars)
-            out["error"].append(res.error)
-        return pd.DataFrame(out)
+            n_blocks.append(res.n_blocks)
+            n_chars.append(res.n_chars)
+            errors.append(res.error)
+        return pa.RecordBatch.from_arrays(
+            [
+                batch.column("url").slice(lo, hi - lo),
+                batch.column("warc_ts").slice(lo, hi - lo),
+                pa.array(doc_type, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(blocks, blocks_type),
+                pa.array(n_blocks, pa.int32()),
+                pa.array(n_chars, pa.int32()),
+                pa.array(errors, pa.string()),
+            ],
+            names=[
+                "url", "warc_ts", "doc_type", "extracted_text",
+                "blocks", "n_blocks", "n_chars", "error",
+            ],
+        )
 
-    for pdf_batch in batches:
-        if pdf_batch.empty:
+    for batch in batches:
+        n = batch.num_rows
+        if n == 0:
             continue
-        # re-chunk by cumulative payload bytes (skew/memory bound)
-        sizes = pdf_batch["html"].map(lambda b: len(b) if b is not None else 0)
+        # re-chunk by cumulative payload bytes (skew/memory bound): one
+        # Arrow batch of giant blobs must not expand into worker memory
+        # all at once
+        html = batch.column("html")
         start = 0
         acc = 0
-        for i, sz in enumerate(sizes):
-            acc += int(sz)
+        for i in range(n):
+            v = html[i]
+            acc += len(v.as_buffer()) if v.is_valid else 0
             if acc >= BATCH_TARGET_BYTES and i + 1 > start:
-                yield process(pdf_batch.iloc[start : i + 1])
+                yield process(batch, start, i + 1)
                 start, acc = i + 1, 0
-        if start < len(pdf_batch):
-            yield process(pdf_batch.iloc[start:])
+        if start < n:
+            yield process(batch, start, n)
 
 
 def extract_stage(pages: DataFrame) -> DataFrame:
@@ -115,9 +152,43 @@ def extract_stage(pages: DataFrame) -> DataFrame:
     Column pruning is explicit: only url/warc_ts/html are read — Catalyst
     pushes this projection into the Parquet scan (never reads the crawled
     `text` column, SURVEY.md §4.2)."""
-    return pages.select("url", "warc_ts", "html").mapInPandas(
-        _extract_batches, schema=EXTRACTED_SCHEMA
+    return pages.select("url", "warc_ts", "html").mapInArrow(
+        _extract_batches_arrow, schema=EXTRACTED_SCHEMA
     )
+
+
+# payloads above this route to the one-per-task giant branch; normal web
+# pages are <1 MB, so 4 MB cleanly separates the pathological tail
+GIANT_THRESHOLD_BYTES = 4 * 1024 * 1024
+
+
+def extract_stage_dispatch(
+    pages: DataFrame,
+    giant_threshold: int = GIANT_THRESHOLD_BYTES,
+    giant_partitions: int | None = None,
+) -> DataFrame:
+    """Two-branch extraction plan — the shuffle-minimal alternative to
+    salting the whole corpus (operators/skew.py):
+
+    - small rows (the mass) keep the Parquet reader's natural byte-balanced
+      splits (``spark.sql.files.maxPartitionBytes``) — ZERO shuffle;
+    - giant rows (< 1% of bytes) round-robin-repartition so each giant
+      payload lands alone on a task.
+
+    Cost model at 100 TB: the corpus is scanned twice (the length predicate
+    cannot prune at the scan), but scan read is ~GB/s/node while a full
+    salted shuffle writes + reads + transfers ALL payload bytes. Shuffling
+    only the giant tail turns a corpus-sized shuffle into a <1%-sized one,
+    and the giant branch is its own stage so its tasks start immediately,
+    overlapping the small branch — makespan ≈ max(small mass / cores,
+    slowest single giant). Measured in BENCH.md against the salted plan.
+    """
+    if giant_partitions is None:
+        giant_partitions = pages.sparkSession.sparkContext.defaultParallelism
+    plen = F.length(F.col("html"))
+    small = pages.filter(plen < giant_threshold)
+    giants = pages.filter(plen >= giant_threshold).repartition(giant_partitions)
+    return extract_stage(small).unionByName(extract_stage(giants))
 
 
 def with_partition_date(extracted: DataFrame) -> DataFrame:
@@ -130,5 +201,6 @@ __all__ = [
     "BLOCK_TYPE",
     "EXTRACTOR_VERSION",
     "extract_stage",
+    "extract_stage_dispatch",
     "with_partition_date",
 ]

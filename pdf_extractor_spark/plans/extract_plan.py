@@ -32,6 +32,7 @@ from pyspark.sql import SparkSession
 
 from pdf_extractor_spark.operators.extract import (
     extract_stage,
+    extract_stage_dispatch,
     with_partition_date,
 )
 from pdf_extractor_spark.operators.skew import salted_repartition
@@ -56,8 +57,16 @@ def run_extract(
     num_partitions: int | None = None,
     fail_dates: set[str] | None = None,
     max_dates: int | None = None,
+    strategy: str = "dispatch",
 ) -> ExtractRunResult:
     """Run (or resume) extraction of every pending partition of ``pages``.
+
+    ``strategy`` picks the skew plan: ``"dispatch"`` (default; two-branch —
+    small rows keep scan splits with zero shuffle, giants repartition
+    one-per-task) or ``"salt"`` (byte-bucket salted full repartition,
+    operators/skew.py; for inputs whose file layout is pathological enough
+    that even the small mass needs re-balancing). ``salt=False`` with
+    ``strategy="salt"`` disables re-balancing entirely.
 
     ``fail_dates`` injects a failure after processing those dates' data but
     before their lineage commit — the kill-and-resume test hook (SURVEY.md
@@ -82,8 +91,12 @@ def run_extract(
         attempt = lineage.attempts(date) + 1
         try:
             src = pages.read(spark, partitions=[date])
-            src = salted_repartition(src, num_partitions, enabled=salt)
-            out = with_partition_date(extract_stage(src))
+            if strategy == "dispatch":
+                extracted = extract_stage_dispatch(src)
+            else:
+                src = salted_repartition(src, num_partitions, enabled=salt)
+                extracted = extract_stage(src)
+            out = with_partition_date(extracted)
             extracted_tbl.overwrite_partitions(out)
             if fail_dates and date in fail_dates:
                 raise RuntimeError(f"injected failure for {date}")

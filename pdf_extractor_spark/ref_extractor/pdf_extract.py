@@ -80,13 +80,21 @@ def _scan_objects(data: bytes) -> dict[int, _Obj]:
         if sm:
             head = body[: sm.start()]
             raw = body[sm.end() :]
-            se = raw.rfind(b"endstream")
-            stream = raw[:se] if se != -1 else raw
-            # strip the single trailing EOL the writer adds before endstream
-            if stream.endswith(b"\r\n"):
-                stream = stream[:-2]
-            elif stream.endswith(b"\n"):
-                stream = stream[:-1]
+            # Prefer the declared direct /Length (PDF 32000-1 §7.3.8.2):
+            # the EOL-stripping heuristic below mis-trims streams whose
+            # compressed data happens to END with 0x0D (the writer's '\n'
+            # then looks like a '\r\n' EOL and two bytes get stripped).
+            lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+            if lm and int(lm.group(1)) <= len(raw):
+                stream = raw[: int(lm.group(1))]
+            else:
+                se = raw.rfind(b"endstream")
+                stream = raw[:se] if se != -1 else raw
+                # strip the single trailing EOL before endstream
+                if stream.endswith(b"\r\n"):
+                    stream = stream[:-2]
+                elif stream.endswith(b"\n"):
+                    stream = stream[:-1]
         else:
             head, stream = body, None
         objs[num] = _Obj(num, head, stream)

@@ -5,4 +5,4 @@ checkpoint-resume only skips partitions processed by the SAME extractor
 version; bumping this forces reprocessing.
 """
 
-EXTRACTOR_VERSION = "0.1.0"
+EXTRACTOR_VERSION = "0.1.1"  # 0.1.1: /Length-aware stream extraction

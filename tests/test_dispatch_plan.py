@@ -1,0 +1,34 @@
+"""The two-branch skew plan (extract_stage_dispatch) must be a pure
+physical-plan choice: identical output row set to the single-stage plan,
+for any giant_threshold (here forced low so the micro corpus actually
+exercises both branches)."""
+
+from __future__ import annotations
+
+from pdf_extractor_spark.operators.extract import (
+    extract_stage,
+    extract_stage_dispatch,
+)
+
+from tests.conftest import GOLDEN_DIR
+
+
+def test_dispatch_equals_single_stage(spark):
+    pages = spark.read.parquet(str(GOLDEN_DIR / "pages_micro.parquet"))
+    base = {
+        (r.url, r.doc_type, r.extracted_text)
+        for r in extract_stage(pages).collect()
+    }
+    dispatched = {
+        (r.url, r.doc_type, r.extracted_text)
+        for r in extract_stage_dispatch(pages, giant_threshold=4096).collect()
+    }
+    assert len(base) == pages.count()
+    assert dispatched == base
+
+
+def test_dispatch_branches_both_nonempty(spark):
+    pages = spark.read.parquet(str(GOLDEN_DIR / "pages_micro.parquet"))
+    n_small = pages.filter("length(html) < 4096").count()
+    n_giant = pages.filter("length(html) >= 4096").count()
+    assert n_small > 0 and n_giant > 0, "threshold must split the corpus"
