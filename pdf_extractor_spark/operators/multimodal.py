@@ -1,0 +1,313 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+Data model (the `media` table):
+
+    media_id  BIGINT, url STRING, kind STRING ('image'|'audio'|'video'),
+    payload   BINARY,
+    meta      STRUCT<declared_codec STRING>   -- as-crawled hint, untrusted
+
+All heavy work happens inside Arrow-batch UDFs (mapInArrow), exactly like
+the page-extraction stage: payload bytes never leave Arrow buffers except
+into numpy, zero per-row Python outside the UDF, batches re-chunked by
+cumulative payload bytes so giant media can't blow worker memory.
+
+Decode support in this container (no PIL/cv2/librosa offline — verified):
+- image: PPM P6 (binary RGB) — REAL from-scratch decoder (numpy).
+- audio: WAV PCM — REAL decoder via stdlib `wave` + numpy.
+- video: RAWV — a container this module defines (magic b'RAWV' + frame
+  count + concatenated PPM frames); REAL frame demux.
+- Anything else (JPEG/PNG/MP4/MP3…): the plumbing dispatches on magic
+  bytes and records doc-level errors (O23 semantics,
+  /root/reference/pdf_processor.py:184-186); when PIL/cv2 exist
+  (import-gated below) they slot into `_EXTRA_IMAGE_DECODERS` without
+  touching the Spark plan.
+
+Feature extraction / resize / frame-sample are numpy-vectorized per
+element; per-batch work is a tight C loop, the Spark side sees only
+columnar Arrow.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+BATCH_TARGET_BYTES = 32 * 1024 * 1024
+
+RAWV_MAGIC = b"RAWV"
+
+# --- pure decoders (importable without Spark; unit-testable) ---------------
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM P6 → uint8 array (h, w, 3). Raises ValueError on malformed."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header: P6 <ws> width <ws> height <ws> maxval <single ws> raster
+    parts = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if i < len(payload) and payload[i : i + 1] == b"#":  # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = parts
+    if maxval != 255:
+        raise ValueError(f"unsupported maxval {maxval}")
+    raster = payload[i : i + w * h * 3]
+    if len(raster) != w * h * 3:
+        raise ValueError("truncated raster")
+    return np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbour resample — pure numpy fancy indexing."""
+    h, w, _ = img.shape
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return img[rows[:, None], cols[None, :], :]
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV PCM → (float32 samples in [-1,1] shaped (n, channels), rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate = wf.getframerate()
+        n = wf.getnframes()
+        ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        raw = wf.readframes(n)
+    if width == 2:
+        arr = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        arr = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    return arr.reshape(-1, ch), rate
+
+
+def encode_rawv(frames: list[np.ndarray]) -> bytes:
+    """RAWV container: magic + u32 frame count + per frame (u32 len + PPM)."""
+    out = [RAWV_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        ppm = encode_ppm(f)
+        out.append(struct.pack("<I", len(ppm)))
+        out.append(ppm)
+    return b"".join(out)
+
+
+def decode_rawv(payload: bytes) -> list[bytes]:
+    """RAWV → list of PPM frame payloads (not decoded — demux only)."""
+    if not payload.startswith(RAWV_MAGIC):
+        raise ValueError("not a RAWV container")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    frames = []
+    off = 8
+    for _ in range(n):
+        (ln,) = struct.unpack_from("<I", payload, off)
+        off += 4
+        frames.append(payload[off : off + ln])
+        off += ln
+    return frames
+
+
+# import-gated rich decoders: absent offline, slot in transparently
+_EXTRA_IMAGE_DECODERS = []
+try:  # pragma: no cover - not installed in this container
+    from PIL import Image as _PILImage
+
+    def _pil_decode(payload: bytes) -> np.ndarray:
+        return np.asarray(_PILImage.open(io.BytesIO(payload)).convert("RGB"))
+
+    _EXTRA_IMAGE_DECODERS.append(_pil_decode)
+except ImportError:
+    pass
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    for dec in _EXTRA_IMAGE_DECODERS:
+        try:
+            return dec(payload)
+        except Exception:
+            continue
+    raise ValueError("no decoder for image payload")
+
+
+# --- Spark operators --------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("sampled", T.ArrayType(T.BinaryType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def _chunk_indices(payload_col, n: int):
+    """Yield (lo, hi) index ranges bounded by cumulative payload bytes."""
+    start = 0
+    acc = 0
+    for i in range(n):
+        v = payload_col[i]
+        acc += len(v.as_buffer()) if v.is_valid else 0
+        if acc >= BATCH_TARGET_BYTES and i + 1 > start:
+            yield start, i + 1
+            start, acc = i + 1, 0
+    if start < n:
+        yield start, n
+
+
+def _media_map(per_row, out_schema_names, out_types):
+    """Build a mapInArrow fn applying ``per_row(payload) -> tuple`` with
+    per-row error containment (O23): a failing element yields nulls + the
+    error string, never a failed task."""
+
+    def fn(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            payload = batch.column("payload")
+            ids = batch.column("media_id")
+            for lo, hi in _chunk_indices(payload, batch.num_rows):
+                cols = [[] for _ in out_types]
+                errs = []
+                for i in range(lo, hi):
+                    try:
+                        vals = per_row(payload[i].as_py())
+                        errs.append(None)
+                    except Exception as e:  # noqa: BLE001 — per-row contain
+                        vals = (None,) * len(out_types)
+                        errs.append(f"{type(e).__name__}: {e}")
+                    for c, v in zip(cols, vals):
+                        c.append(v)
+                yield pa.RecordBatch.from_arrays(
+                    [ids.slice(lo, hi - lo)]
+                    + [pa.array(c, t) for c, t in zip(cols, out_types)]
+                    + [pa.array(errs, pa.string())],
+                    names=["media_id"] + out_schema_names + ["error"],
+                )
+
+    return fn
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decode + feature-extract images: dimensions and mean luminance
+    (Rec.601 luma over the full raster, numpy-vectorized)."""
+    import pyarrow as pa
+
+    def per_row(payload: bytes):
+        img = decode_image(payload)
+        h, w, c = img.shape
+        f = img.astype(np.float64)
+        luma = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        return w, h, c, round(float(luma.mean()), 6)
+
+    fn = _media_map(
+        per_row,
+        ["width", "height", "channels", "mean_luma"],
+        [pa.int32(), pa.int32(), pa.int32(), pa.float64()],
+    )
+    return media.select("media_id", "payload").mapInArrow(
+        fn, schema=IMAGE_FEATURES_SCHEMA
+    )
+
+
+def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Thumbnail every image to (out_w, out_h), re-encoded as PPM."""
+    import pyarrow as pa
+
+    def per_row(payload: bytes):
+        img = decode_image(payload)
+        return (encode_ppm(resize_nearest(img, out_w, out_h)),)
+
+    fn = _media_map(per_row, ["thumb"], [pa.binary()])
+    return media.select("media_id", "payload").mapInArrow(
+        fn, schema=RESIZED_SCHEMA
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV PCM: rate, sample/channel counts, duration, RMS level."""
+    import pyarrow as pa
+
+    def per_row(payload: bytes):
+        samples, rate = decode_wav(payload)
+        n, ch = samples.shape
+        rms = float(np.sqrt(np.mean(np.square(samples)))) if n else 0.0
+        return rate, n, ch, int(n * 1000 / rate), round(rms, 6)
+
+    fn = _media_map(
+        per_row,
+        ["sample_rate", "n_samples", "channels", "duration_ms", "rms"],
+        [pa.int32(), pa.int64(), pa.int32(), pa.int64(), pa.float64()],
+    )
+    return media.select("media_id", "payload").mapInArrow(
+        fn, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+def sample_frames(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Demux RAWV video and keep every k-th frame (as PPM payloads)."""
+    import pyarrow as pa
+
+    def per_row(payload: bytes):
+        frames = decode_rawv(payload)
+        return len(frames), frames[::every_k]
+
+    fn = _media_map(
+        per_row, ["n_frames", "sampled"], [pa.int32(), pa.list_(pa.binary())]
+    )
+    return media.select("media_id", "payload").mapInArrow(
+        fn, schema=FRAMES_SCHEMA
+    )

@@ -51,6 +51,39 @@ def extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(
+        str(REPO_ROOT / "fixtures" / "golden" / "media_micro.parquet")
+    )
+
+
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: decode PPM images + luma feature extraction inside an
+    Arrow-batch UDF; per-row error column for undecodable payloads (O23).
+    Binary decode is not DuckDB-expressible — plumbing verified by
+    tests/test_multimodal.py against direct numpy computation."""
+    from pdf_extractor_spark.operators.multimodal import image_features
+
+    return image_features(_media(spark).filter(F.col("kind") == "image"))
+
+
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: WAV PCM decode → rate/duration/RMS features."""
+    from pdf_extractor_spark.operators.multimodal import audio_features
+
+    return audio_features(_media(spark).filter(F.col("kind") == "audio"))
+
+
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: RAWV video demux + every-4th-frame sampling."""
+    from pdf_extractor_spark.operators.multimodal import sample_frames
+
+    return sample_frames(
+        _media(spark).filter(F.col("kind") == "video"), every_k=4
+    ).select("media_id", "n_frames", F.size("sampled").alias("n_sampled"),
+             "error")
+
+
 CATALOG: dict[str, QuerySpec] = {
     # --- reference operators, relationally mapped (SURVEY.md §2) ---
     "o7_conf_filter": QuerySpec(
@@ -116,6 +149,16 @@ CATALOG: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(
         textstats.text_fingerprint, textstats.TEXT_FINGERPRINT_SQL,
         "document fingerprint: min-wise rolling 4-gram hash"),
+    # --- multimodal columns (decode verified vs numpy in tests) ---
+    "media_image_features": QuerySpec(
+        media_image_features, None,
+        "image decode + feature extraction (Arrow-batch UDF)"),
+    "media_audio_features": QuerySpec(
+        media_audio_features, None,
+        "audio decode + RMS/duration features (Arrow-batch UDF)"),
+    "media_frame_sample": QuerySpec(
+        media_frame_sample, None,
+        "video container demux + frame sampling (Arrow-batch UDF)"),
     # --- the extraction engine itself (golden-fixture verified) ---
     "extract_pages": QuerySpec(
         extract_pages, None,
