@@ -1,0 +1,118 @@
+"""Structured Streaming ingest: continuous extraction as crawl files land.
+
+The batch plan (plans/extract_plan.py) is the north_rule's primary
+topology; this module is the SAME extraction stage mounted on a
+`readStream` file source for deployments where pages arrive continuously
+(e.g. a crawler drops parquet files into a landing directory):
+
+    readStream.parquet(landing_dir)
+      → extract_stage_dispatch            (identical stage, identical plan)
+      → foreachBatch: IceTable.append + lineage row per micro-batch
+      trigger: availableNow (catch-up-and-stop) or processingTime
+
+Semantics: the streaming file source + checkpoint gives exactly-once
+*source* tracking (each input file is processed in exactly one
+micro-batch, recorded in the checkpoint's file log). The sink side is an
+IceTable append per micro-batch; a crash between append and checkpoint
+commit can duplicate one micro-batch on restart, so each batch's rows
+carry `batch_id` and the lineage log records (batch_id, attempt) —
+downstream dedup is `row_number() over (url, batch_id)` = 1, and the
+batch path remains the recommended topology when strict exactly-once
+matters (its partition-overwrite commit is idempotent).
+
+No watermarks/stateful ops are needed: extraction is stateless per row
+(the reference is a stateless request handler — SURVEY.md §2.1
+"Streaming: none"); this is pure source→map→sink streaming.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdf_extractor_spark.operators.extract import (
+    extract_stage_dispatch,
+    with_partition_date,
+)
+from pdf_extractor_spark.plans.lineage import LineageLog
+from pdf_extractor_spark.tables.icetable import IceTable
+from pdf_extractor_spark.version import EXTRACTOR_VERSION
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+
+def stream_extract(
+    spark: SparkSession,
+    landing_dir: str,
+    warehouse: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_time: str = "30 seconds",
+    max_files_per_trigger: int | None = None,
+):
+    """Start the streaming extraction; returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently in ``landing_dir``
+    and stops — the streaming analog of one batch catch-up run, and what
+    the tests use. ``max_files_per_trigger`` bounds micro-batch size (the
+    streaming analog of partition-sized work units)."""
+    extracted_tbl = IceTable(f"{warehouse}/extracted_stream")
+    lineage = LineageLog(f"{warehouse}/lineage_stream")
+
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    pages = reader.parquet(landing_dir)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t0 = time.monotonic()
+        out = with_partition_date(extract_stage_dispatch(batch_df)).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        extracted_tbl.append(out)
+        done = extracted_tbl.read(
+            batch_df.sparkSession
+        ).filter(F.col("batch_id") == batch_id)
+        counts = {
+            r["partition_date"]: r["n"]
+            for r in done.groupBy("partition_date")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        lineage.append(
+            [
+                {
+                    "partition_date": str(p),
+                    "input_snapshot_id": batch_id,
+                    "rows_in": n,
+                    "rows_out": n,
+                    "extractor_version": EXTRACTOR_VERSION,
+                    "wall_time_s": time.monotonic() - t0,
+                    "attempt": 1,
+                    "status": "ok",
+                }
+                for p, n in sorted(counts.items())
+            ]
+        )
+
+    writer = (
+        pages.writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .queryName("extract_pages_stream")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()

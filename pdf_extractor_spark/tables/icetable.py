@@ -150,6 +150,48 @@ class IceTable:
             parts[p] = fs
         return self._commit(parts, "overwrite_partitions", df.schema.json())
 
+    # -- time travel -------------------------------------------------------------
+    def history(self) -> list[dict]:
+        """All snapshots, oldest first (Iceberg `table.history()` analog)."""
+        out = []
+        for p in sorted(self.meta_dir.glob("snap-*.json")):
+            with open(p, encoding="utf-8") as f:
+                s = json.load(f)
+            out.append(
+                {
+                    "snapshot_id": s["snapshot_id"],
+                    "parent_id": s["parent_id"],
+                    "operation": s["operation"],
+                    "n_partitions": len(s["partitions"]),
+                    "n_files": sum(len(v) for v in s["partitions"].values()),
+                }
+            )
+        return out
+
+    def read_snapshot(
+        self,
+        spark: SparkSession,
+        snapshot_id: int,
+        partitions: list[str] | None = None,
+    ) -> DataFrame:
+        """Time travel: read the table AS OF a past snapshot (Iceberg
+        `VERSION AS OF`). Works because data files are immutable and
+        manifests are never rewritten — the old manifest IS the old table."""
+        path = self.meta_dir / f"snap-{snapshot_id:08d}.json"
+        with open(path, encoding="utf-8") as f:
+            snap = json.load(f)
+        files: list[str] = []
+        for part, rels in sorted(snap["partitions"].items()):
+            if partitions is not None and part not in set(partitions):
+                continue
+            files.extend(str(self.root / r) for r in rels)
+        if not files:
+            from pyspark.sql import types as T
+
+            schema = T.StructType.fromJson(json.loads(snap["schema_json"]))
+            return spark.createDataFrame([], schema)
+        return spark.read.option("basePath", str(self.data_dir)).parquet(*files)
+
     # -- reads -------------------------------------------------------------------
     def read(self, spark: SparkSession, partitions: list[str] | None = None) -> DataFrame:
         files = self.files(partitions)

@@ -1,0 +1,62 @@
+"""Physical-plan regression tests: the properties that make this engine
+scale are asserted on the EXECUTED plan string, so a refactor that
+silently introduces a shuffle, loses a broadcast, or un-pushes a filter
+fails CI — not a 100 TB run."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_extractor_spark.operators.extract import extract_stage
+from pdf_extractor_spark.queries import CATALOG
+
+from tests.conftest import GOLDEN_DIR
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return spark.read.parquet(str(GOLDEN_DIR / "pages_micro.parquet"))
+
+
+def test_extract_small_branch_has_no_shuffle(spark, pages):
+    plan = plan_of(extract_stage(pages.filter("length(html) < 4194304")))
+    assert "Exchange" not in plan
+
+
+def test_extract_prunes_to_three_columns(spark, pages):
+    plan = plan_of(extract_stage(pages))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "url" in scan and "html" in scan
+    # the crawled text/lang columns must never reach the scan
+    assert "text#" not in scan and "lang#" not in scan
+
+
+def test_fuzzy_match_broadcasts_dictionary(spark):
+    plan = plan_of(CATALOG["o17_fuzzy_match"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_conf_filter_pushes_predicate_to_scan(spark):
+    plan = plan_of(CATALOG["o7_conf_filter"].fn(spark, SF))
+    scan = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert ">= 0.5" in scan  # DataFilters reached the parquet reader
+
+
+def test_embedding_topk_broadcasts_queries(spark):
+    plan = plan_of(CATALOG["embedding_topk"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_projection_queries_have_no_shuffle(spark):
+    for name in ("text_quality", "text_fingerprint", "dedup_simhash",
+                 "o9_fallback_chain", "o21_locale_normalize"):
+        plan = plan_of(CATALOG[name].fn(spark, SF))
+        assert "Exchange" not in plan, f"{name} grew a shuffle"

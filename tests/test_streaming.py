@@ -1,0 +1,74 @@
+"""Streaming ingest: availableNow drain produces byte-identical text,
+the checkpoint makes file processing incremental (new files only), and
+time travel sees the pre-append snapshot."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from pdf_extractor_spark.corpus.build import rows_to_pages_table
+from pdf_extractor_spark.corpus.generator import generate_rows
+from pdf_extractor_spark.streaming import stream_extract
+from pdf_extractor_spark.tables.icetable import IceTable
+
+from tests.conftest import GOLDEN_DIR
+
+
+def _drain(q):
+    q.awaitTermination(300)
+
+
+def test_stream_extract_incremental(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = list(generate_rows(42, 60, 4))
+    pq.write_table(rows_to_pages_table(rows[:40]), landing / "f1.parquet")
+
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    _drain(stream_extract(spark, str(landing), wh, ckpt))
+    tbl = IceTable(f"{wh}/extracted_stream")
+    first = tbl.read(spark)
+    assert first.count() == 40
+    snap_after_first = tbl.snapshot_id()
+
+    # byte-identity vs the committed goldens (same seed ⇒ same urls)
+    goldens = spark.read.parquet(str(GOLDEN_DIR / "goldens.parquet"))
+    matched = (
+        first.alias("e")
+        .join(goldens.alias("g"), "url")
+        .filter("e.extracted_text = g.extracted_text")
+        .count()
+    )
+    assert matched == 40
+
+    # second file lands; checkpoint must process ONLY the new file
+    pq.write_table(rows_to_pages_table(rows[40:]), landing / "f2.parquet")
+    _drain(stream_extract(spark, str(landing), wh, ckpt))
+    assert tbl.read(spark).count() == 60
+    batch_ids = {
+        r[0] for r in tbl.read(spark).select("batch_id").distinct().collect()
+    }
+    assert batch_ids == {0, 1}
+
+    # time travel: the pre-second-batch snapshot still reads 40 rows
+    assert tbl.read_snapshot(spark, snap_after_first).count() == 40
+    ops = [h["operation"] for h in tbl.history()]
+    assert ops == ["append", "append"]
+
+
+def test_stream_lineage_rows(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = list(generate_rows(7, 20, 2))
+    pq.write_table(rows_to_pages_table(rows), landing / "f.parquet")
+    wh = str(tmp_path / "wh")
+    _drain(stream_extract(spark, str(landing), wh, str(tmp_path / "ck")))
+
+    from pdf_extractor_spark.plans.lineage import LineageLog
+
+    lin = LineageLog(f"{wh}/lineage_stream").read(spark)
+    rows_ = lin.collect()
+    assert rows_ and all(r.status == "ok" for r in rows_)
+    assert sum(r.rows_out for r in rows_) == 20
