@@ -104,6 +104,9 @@ CATALOG: dict[str, QuerySpec] = {
     "o18_dedup_keep_best": QuerySpec(
         relational.o18_dedup_keep_best, relational.O18_SQL,
         "O18: dedup keep-most-complete via deterministic window row_number"),
+    "o19_total_extract": QuerySpec(
+        relational.o19_total_extract, relational.O19_SQL,
+        "O19: grand-total regex extraction + pt-BR normalize chain"),
     "o21_locale_normalize": QuerySpec(
         relational.o21_locale_normalize, relational.O21_SQL,
         "O21: pt-BR locale numeric round-trip (R$ 1.234,56 → 1234.56)"),

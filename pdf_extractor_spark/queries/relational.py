@@ -258,6 +258,59 @@ SELECT l_orderkey, l_linenumber, brl, {_O21_NORM_DUCK} AS value_norm FROM (
 
 
 # --------------------------------------------------------------------------
+# O19 — grand-total extraction (pdf_processor.py:655-667: regex
+# `TOTAL DE VANTAGENS...([\d.,]+)` + pt-BR normalize, 0.0 on failure).
+# The document line is synthesized from orders.o_totalprice (cents-exact),
+# then extracted back by the regex and normalized — exercising the full
+# O13-pattern-table → O12-extract → O21-normalize chain with an oracle.
+_O19_CENTS = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+def _o19_exprs(div: str, st: str) -> tuple[str, str]:
+    ip = f"({_O19_CENTS} {div} 100)"
+    fr = f"({_O19_CENTS} % 100)"
+    line = (
+        f"concat('FOLHA 01 TOTAL DE VANTAGENS: R$ ', "
+        f"CAST({ip} AS {st}), ',', lpad(CAST({fr} AS {st}), 2, '0'), "
+        f"' FIM')"
+    )
+    extract = (
+        f"regexp_extract(doc_line, 'TOTAL DE VANTAGENS[:] R[$] ([0-9,.]+)', 1)"
+    )
+    return line, extract
+
+
+_O19_NORM = (
+    "CAST(replace(replace(raw_total, '.', ''), ',', '.') AS DOUBLE)"
+)
+
+
+def o19_total_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    line, extract = _o19_exprs("DIV", "STRING")
+    return (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.col("o_orderkey").cast("long").alias("o_orderkey"),
+            F.expr(line).alias("doc_line"),
+        )
+        .withColumn("raw_total", F.expr(extract))
+        .withColumn("total_value", F.expr(_O19_NORM))
+        .select("o_orderkey", "doc_line", "raw_total", "total_value")
+    )
+
+
+_O19_LINE_D, _O19_EXTRACT_D = _o19_exprs("//", "VARCHAR")
+O19_SQL = f"""
+SELECT o_orderkey, doc_line, raw_total, {_O19_NORM} AS total_value FROM (
+  SELECT o_orderkey, doc_line, {_O19_EXTRACT_D} AS raw_total FROM (
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, {_O19_LINE_D} AS doc_line
+    FROM orders
+  )
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # O22 — canonical byte-stable output formatting (pdf_processor.py:165-182:
 # fixed field order, fixed separators, fixed-width numerics). Money is
 # rendered from exact integer cents — never %.2f on a double, whose
