@@ -1,9 +1,11 @@
 """spark-submit entrypoint for the extraction pipeline.
 
+    python scripts/package.py           # → dist/pdf_extractor_spark.zip
     spark-submit --py-files dist/pdf_extractor_spark.zip \
-        -m pdf_extractor_spark.jobs.extract_job \
+        pdf_extractor_spark/jobs/extract_job.py \
         --pages <corpus.parquet | pages-icetable-root> \
-        --warehouse /path/to/warehouse [--no-salt] [--partitions N]
+        --warehouse /path/to/warehouse \
+        [--strategy dispatch|salt|none] [--partitions N]
 
 Local runs: ``python -m pdf_extractor_spark.jobs.extract_job …`` (builds its
 own local[*] session). Re-running against the same warehouse resumes —
@@ -15,10 +17,16 @@ from __future__ import annotations
 import argparse
 import json
 import pathlib
+import sys
+
+# under `spark-submit path/to/extract_job.py` the package root is not on
+# sys.path for the DRIVER process (--py-files covers executors); make the
+# direct-script launch work from a source checkout too
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent.parent))
 
 from pyspark.sql import SparkSession
 
-from pdf_extractor_spark.plans.extract_plan import run_extract
+from pdf_extractor_spark.plans.extract_plan import preflight, run_extract
 from pdf_extractor_spark.sources.pages import ingest_corpus_to_icetable
 from pdf_extractor_spark.tables.icetable import IceTable
 
@@ -51,6 +59,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="override master (default: whatever spark-submit set, "
                          "or local[*] when run directly)")
     ap.add_argument("--no-salt", action="store_true")
+    ap.add_argument(
+        "--strategy", choices=["dispatch", "salt", "none"], default="dispatch",
+        help="skew plan: dispatch (two-branch, default), salt (byte-bucket "
+             "full repartition), none (trust input file layout)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     args = ap.parse_args(argv)
@@ -65,12 +77,17 @@ def main(argv: list[str] | None = None) -> None:
     else:
         pages = IceTable(pages_path)
 
+    preflight(spark, pages, args.warehouse)
+    strategy = args.strategy
+    if args.no_salt:
+        strategy = "none"
     result = run_extract(
         spark,
         pages,
         args.warehouse,
-        salt=not args.no_salt,
+        salt=strategy == "salt",
         num_partitions=args.partitions,
+        strategy=strategy,
     )
     print(
         json.dumps(

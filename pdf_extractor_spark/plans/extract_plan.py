@@ -41,6 +41,37 @@ from pdf_extractor_spark.tables.icetable import IceTable
 from pdf_extractor_spark.version import EXTRACTOR_VERSION
 
 
+class PreflightError(RuntimeError):
+    pass
+
+
+REQUIRED_PAGES_COLUMNS = {"url", "warc_ts", "html"}
+
+
+def preflight(spark: SparkSession, pages: IceTable, warehouse: str) -> None:
+    """Driver-side preflight before launching any stage — the graft of the
+    reference's model preflight (O24, /root/reference/pdf_processor.py:
+    106-137), turned from per-request network probes into one-time checks
+    of the things THIS pipeline depends on: source table exists, required
+    columns present, warehouse writable. Fails fast with a precise error
+    instead of burning cluster time."""
+    import os
+    import tempfile
+
+    if not pages.exists():
+        raise PreflightError(f"pages table missing at {pages.root}")
+    schema = {f.name for f in pages.read(spark).schema}
+    missing = REQUIRED_PAGES_COLUMNS - schema
+    if missing:
+        raise PreflightError(f"pages table lacks columns: {sorted(missing)}")
+    os.makedirs(warehouse, exist_ok=True)
+    try:
+        with tempfile.NamedTemporaryFile(dir=warehouse):
+            pass
+    except OSError as e:
+        raise PreflightError(f"warehouse {warehouse} not writable: {e}") from e
+
+
 @dataclass
 class ExtractRunResult:
     input_snapshot_id: int

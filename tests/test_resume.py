@@ -128,3 +128,24 @@ def test_new_snapshot_invalidates(spark, pages_tbl, tmp_path, corpus):
     r = run_extract(spark, pages_tbl, wh, salt=False)
     assert r.skipped == []  # all partitions reprocessed
     assert len(r.processed) > 0
+
+
+def test_preflight_rejects_bad_inputs(spark, tmp_path):
+    from pdf_extractor_spark.plans.extract_plan import (
+        PreflightError,
+        preflight,
+    )
+    from pdf_extractor_spark.tables.icetable import IceTable
+
+    import pytest as _pytest
+
+    missing = IceTable(tmp_path / "nope")
+    with _pytest.raises(PreflightError, match="missing"):
+        preflight(spark, missing, str(tmp_path / "wh"))
+
+    bad = IceTable(tmp_path / "bad")
+    df = spark.range(3).selectExpr("cast(id as string) as url")
+    df = df.withColumn("partition_date", df.url)
+    bad.append(df)
+    with _pytest.raises(PreflightError, match="lacks columns"):
+        preflight(spark, bad, str(tmp_path / "wh"))
