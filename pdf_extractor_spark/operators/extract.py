@@ -70,52 +70,53 @@ def _extract_batches_arrow(batches):
     # Python, so "init" is just the import — still, do it once, here.
     from pdf_extractor_spark.ref_extractor import extract
 
-    blocks_type = pa.list_(
-        pa.struct(
-            [
-                pa.field("idx", pa.int32()),
-                pa.field("tag_path", pa.string()),
-                pa.field("text", pa.string()),
-                pa.field("text_density", pa.float64()),
-                pa.field("link_density", pa.float64()),
-                pa.field("kept", pa.bool_()),
-            ]
-        )
-    )
-
     def process(batch: pa.RecordBatch, lo: int, hi: int) -> pa.RecordBatch:
         html = batch.column("html")
-        doc_type, texts, blocks, n_blocks, n_chars, errors = (
-            [], [], [], [], [], []
-        )
+        doc_type, texts, n_blocks, n_chars, errors = [], [], [], [], []
+        # blocks build flat + offsets → ListArray.from_arrays: one Arrow
+        # conversion for the whole chunk instead of per-row dict lists
+        b_idx, b_path, b_text, b_td, b_ld, b_kept = [], [], [], [], [], []
+        offsets = [0]
         for i in range(lo, hi):
             payload = html[i].as_py()
             res = extract(payload)
             doc_type.append(res.doc_type)
             texts.append(res.text)
-            blocks.append(
-                [
-                    {
-                        "idx": b.idx,
-                        "tag_path": b.tag_path,
-                        "text": b.text,
-                        "text_density": b.text_density,
-                        "link_density": b.link_density,
-                        "kept": b.kept,
-                    }
-                    for b in res.blocks
-                ]
-            )
+            for b in res.blocks:
+                b_idx.append(b.idx)
+                b_path.append(b.tag_path)
+                b_text.append(b.text)
+                b_td.append(b.text_density)
+                b_ld.append(b.link_density)
+                b_kept.append(b.kept)
+            offsets.append(len(b_idx))
             n_blocks.append(res.n_blocks)
             n_chars.append(res.n_chars)
             errors.append(res.error)
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(b_idx, pa.int32()),
+                pa.array(b_path, pa.string()),
+                pa.array(b_text, pa.string()),
+                pa.array(b_td, pa.float64()),
+                pa.array(b_ld, pa.float64()),
+                pa.array(b_kept, pa.bool_()),
+            ],
+            names=[
+                "idx", "tag_path", "text", "text_density",
+                "link_density", "kept",
+            ],
+        )
+        blocks_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), struct
+        )
         return pa.RecordBatch.from_arrays(
             [
                 batch.column("url").slice(lo, hi - lo),
                 batch.column("warc_ts").slice(lo, hi - lo),
                 pa.array(doc_type, pa.string()),
                 pa.array(texts, pa.string()),
-                pa.array(blocks, blocks_type),
+                blocks_arr,
                 pa.array(n_blocks, pa.int32()),
                 pa.array(n_chars, pa.int32()),
                 pa.array(errors, pa.string()),

@@ -131,9 +131,20 @@ def run_extract(
             extracted_tbl.overwrite_partitions(out)
             if fail_dates and date in fail_dates:
                 raise RuntimeError(f"injected failure for {date}")
-            # counts from the committed output (cheap: one partition's files)
+            # counts from the committed output (cheap: one partition's
+            # files; single agg job computes rows + error count together)
+            from pyspark.sql import functions as F
+
             out_df = extracted_tbl.read(spark, partitions=[date])
-            rows_out = out_df.count()
+            stats = out_df.agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.when(
+                        F.col("error").isNotNull() & (F.col("error") != ""), 1
+                    ).otherwise(0)
+                ).alias("ne"),
+            ).collect()[0]
+            rows_out = stats["n"]
             rows_in = rows_out  # extraction is 1:1 row-preserving by design
             lineage.append(
                 [
@@ -142,6 +153,7 @@ def run_extract(
                         "input_snapshot_id": snap_id,
                         "rows_in": rows_in,
                         "rows_out": rows_out,
+                        "n_errors": int(stats["ne"] or 0),
                         "extractor_version": EXTRACTOR_VERSION,
                         "wall_time_s": time.monotonic() - t0,
                         "attempt": attempt,

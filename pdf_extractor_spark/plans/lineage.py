@@ -3,8 +3,8 @@
 Schema (FIXTURES.md §4)::
 
     partition_date DATE, input_snapshot_id BIGINT, rows_in BIGINT,
-    rows_out BIGINT, extractor_version STRING, wall_time_s DOUBLE,
-    attempt INT, status STRING
+    rows_out BIGINT, n_errors BIGINT, extractor_version STRING,
+    wall_time_s DOUBLE, attempt INT, status STRING
 
 Storage: append-only parquet files under ``<root>/lineage/`` written
 driver-side with pyarrow — lineage rows are O(partitions), tiny by design,
@@ -32,6 +32,7 @@ LINEAGE_SCHEMA = pa.schema(
         pa.field("input_snapshot_id", pa.int64()),
         pa.field("rows_in", pa.int64()),
         pa.field("rows_out", pa.int64()),
+        pa.field("n_errors", pa.int64()),
         pa.field("extractor_version", pa.string()),
         pa.field("wall_time_s", pa.float64()),
         pa.field("attempt", pa.int32()),
@@ -62,6 +63,7 @@ class LineageLog:
             r = dict(r)
             if isinstance(r["partition_date"], str):
                 r["partition_date"] = dt.date.fromisoformat(r["partition_date"])
+            r.setdefault("n_errors", 0)
             norm.append(r)
         table = pa.Table.from_pylist(norm, schema=LINEAGE_SCHEMA)
         tmp = self.root / f".tmp-{uuid.uuid4().hex}.parquet"
@@ -100,6 +102,7 @@ class LineageLog:
                     T.StructField("input_snapshot_id", T.LongType()),
                     T.StructField("rows_in", T.LongType()),
                     T.StructField("rows_out", T.LongType()),
+                    T.StructField("n_errors", T.LongType()),
                     T.StructField("extractor_version", T.StringType()),
                     T.StructField("wall_time_s", T.DoubleType()),
                     T.StructField("attempt", T.IntegerType()),
