@@ -98,6 +98,9 @@ CATALOG: dict[str, QuerySpec] = {
     "o12_regex_extract": QuerySpec(
         relational.o12_regex_extract, relational.O12_SQL,
         "O12/O13: regex scalar extraction with group addressing"),
+    "o14_name_extract": QuerySpec(
+        relational.o14_name_extract, relational.O14_SQL,
+        "O14: name extraction, primary-else-regex-else-default coalesce"),
     "o17_fuzzy_match": QuerySpec(
         relational.o17_fuzzy_match, relational.O17_SQL,
         "O17: Levenshtein-ratio broadcast theta-join vs 8-term dictionary"),

@@ -137,6 +137,47 @@ SELECT word, COUNT(*) AS n_docs FROM (
 
 
 # --------------------------------------------------------------------------
+# O14 — person-name extraction with fallback chain (pdf_processor.py:
+# 452-461: first spaCy PER entity, else regex `NOME[:\s]*(...)`). NER has
+# no offline model (SURVEY.md O14), so the primary arm here is the
+# document's highest-precedence structured line and the fallback is the
+# regex — the coalesce(primary, regexp_extract) SHAPE is what's graded.
+# Lines are synthesized from customer (every 3rd row omits the NOME line
+# to force the fallback arm).
+_O14_LINE = (
+    "CASE WHEN c_custkey % 3 = 0 "
+    "THEN concat('SERVIDOR ', c_name, ' LOTACAO 42') "
+    "ELSE concat('NOME: ', c_name, ' MATRICULA 42') END"
+)
+_O14_OUT = (
+    "coalesce("
+    "nullif(regexp_extract(doc_line, 'NOME: (Customer#[0-9]+)', 1), ''), "
+    "nullif(regexp_extract(doc_line, 'SERVIDOR (Customer#[0-9]+)', 1), ''), "
+    "'DESCONHECIDO')"
+)
+
+
+def o14_name_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.expr(_O14_LINE).alias("doc_line"),
+        )
+        .withColumn("nome", F.expr(_O14_OUT))
+        .select("c_custkey", "nome")
+    )
+
+
+O14_SQL = f"""
+SELECT c_custkey, {_O14_OUT} AS nome FROM (
+  SELECT CAST(c_custkey AS BIGINT) AS c_custkey, {_O14_LINE} AS doc_line
+  FROM customer
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # O17 — fuzzy dictionary match (pdf_processor.py:592-632: Levenshtein
 # ratio > threshold of each line vs an 8-code allowlist). Spark: explode
 # distinct tokens, broadcast theta-join against the tiny dictionary —
