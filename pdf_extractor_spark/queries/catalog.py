@@ -142,6 +142,10 @@ CATALOG: dict[str, QuerySpec] = {
     "embedding_ivf_topk": QuerySpec(
         similarity.embedding_ivf_topk, similarity.EMBEDDING_IVF_TOPK_SQL,
         "IVF/LSH-bucketed cosine top-k (the scale path)"),
+    "embedding_ivf_multiprobe": QuerySpec(
+        similarity.embedding_ivf_multiprobe,
+        similarity.EMBEDDING_IVF_MULTIPROBE_SQL,
+        "multiprobe IVF: Hamming-1 bucket probing (recall/cost knob)"),
     # --- training-data pipeline: text analysis ---
     "text_lang_id": QuerySpec(
         textstats.text_lang_id, textstats.TEXT_LANG_ID_SQL,

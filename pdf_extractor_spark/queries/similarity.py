@@ -159,7 +159,70 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(joined)
 
 
+# --------------------------------------------------------------------------
+# Multiprobe IVF: also probe every bucket at Hamming distance 1 from the
+# query's bucket (flip each hyperplane sign bit). The standard
+# recall-vs-cost knob: candidates scanned grow from N/C to N·(P+1)/C while
+# recall approaches exact for points near a hyperplane boundary. The join
+# is still a bucket-key equi-join: the probe list (P+1 small ints per
+# query) explodes on the tiny broadcast side, never the candidate side.
+def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir).withColumn(
+        "bucket", F.expr(_bucket_exprs("spark", "v"))
+    )
+    probes = ", ".join(
+        ["qb0"] + [f"qb0 ^ {1 << p}" for p in range(N_PLANES)]
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("bucket").alias("qb0"),
+        )
+        .withColumn("qb", F.explode(F.expr(f"array({probes})")))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("cb"),
+    )
+    joined = (
+        c.join(F.broadcast(q), on=[F.col("qb") == F.col("cb")])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.expr(f"{_DOT_S} / (qn * cn)"))
+    )
+    return _topk(joined)
+
+
 _BUCKET_D = _bucket_exprs("duck", "v")
+_PROBES_D = ", ".join(
+    ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(N_PLANES)]
+)
+EMBEDDING_IVF_MULTIPROBE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, v, {_NORM_D} AS nrm, {_BUCKET_D} AS bucket
+  FROM (SELECT vec_id, {_VEC_D} AS v FROM embeddings)
+),
+q AS (
+  SELECT vec_id, v, nrm, unnest([{_PROBES_D}]) AS qb
+  FROM e WHERE vec_id < {N_QUERIES}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT_D.replace("qv", "q.v").replace("cv", "c.v")}
+           / (q.nrm * c.nrm) AS cos
+  FROM q JOIN e c ON q.qb = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id
+  ) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= {TOP_K}
+"""
 EMBEDDING_IVF_TOPK_SQL = f"""
 WITH e AS (
   SELECT vec_id, v, {_NORM_D} AS nrm, {_BUCKET_D} AS bucket
