@@ -129,6 +129,10 @@ CATALOG: dict[str, QuerySpec] = {
     "dedup_minhash_lsh_pairs": QuerySpec(
         dedup.dedup_minhash_lsh_pairs, dedup.DEDUP_LSH_PAIRS_SQL,
         "LSH banding: candidate near-dup pairs via band-hash equi-join"),
+    "dedup_clusters": QuerySpec(
+        dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL,
+        "duplicate clusters: iterative min-label propagation over LSH "
+        "pairs (connected components); oracle via recursive CTE"),
     "dedup_simhash": QuerySpec(
         dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL,
         "SimHash: 16-bit majority-vote fingerprint, pure projection"),

@@ -212,6 +212,93 @@ FROM (SELECT doc_id, {TOKS_D} AS toks FROM documents)
 
 
 # --------------------------------------------------------------------------
+MAX_LP_ITERATIONS = 64  # min-label propagation needs up to graph-diameter
+# rounds; LSH near-dup graphs are unions of small cliques plus short
+# chains, so convergence (checked every round) lands far earlier
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the LSH
+    candidate-pair graph via min-label propagation — the iterative
+    DataFrame pattern (driver loop over joins, each iteration a
+    broadcast-friendly equi-join, AQE sizing the shuffles).
+
+    Converges in graph-diameter iterations; near-dup graphs are unions of
+    small cliques, so diameter is tiny. The loop is O(diameter) Spark
+    jobs, never O(rows) driver work; each iteration's label table is
+    checkpoint-able at scale (write/read the labels to cut lineage).
+    Output: (doc_id, cluster_id = min doc_id reachable)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    # materialize the edge list ONCE (localCheckpoint truncates lineage so
+    # each iteration's plan is shallow — without this the DAG re-grows the
+    # whole LSH pipeline per iteration and stage count explodes)
+    edges = (
+        pairs.union(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    docs = _docs(spark, sf_dir).select("doc_id")
+    labels = docs.withColumn(
+        "cluster_id", F.col("doc_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(MAX_LP_ITERATIONS):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "doc_b"), on="doc_b"
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nmin", "cluster_id")
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc_id")
+            .filter("n.cluster_id <> o.cluster_id")
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", "cluster_id")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS ({DEDUP_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT d.doc_id,
+       CAST(least(d.doc_id,
+                  coalesce(min(r.dst), d.doc_id)) AS BIGINT) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 JACCARD_THRESHOLD = 0.05
 
 
