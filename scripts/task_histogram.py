@@ -1,0 +1,126 @@
+"""Per-task time distribution for the extraction stage, salted vs
+dispatch (SURVEY.md §7 hard-part 3: "skew salting that provably helps —
+needs the giant-blob fixtures and a per-task time histogram").
+
+Runs each strategy once on the giant-blob corpus with the Spark UI
+enabled, pulls task-duration quantiles from the REST API
+(/api/v1/.../taskSummary), and appends the table to BENCH.md.
+
+Usage: python scripts/task_histogram.py [--corpus PATH]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+import urllib.request
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+UI = "http://localhost:4040"
+QUANTILES = "0.0,0.5,0.75,0.95,1.0"
+
+
+def api(path: str):
+    with urllib.request.urlopen(f"{UI}/api/v1{path}", timeout=10) as r:
+        return json.load(r)
+
+
+def stage_quantiles(app_id: str, after_stage: int) -> dict:
+    """Task-duration quantiles (seconds) of the biggest completed
+    extraction stage with id > after_stage."""
+    stages = [
+        s
+        for s in api(f"/applications/{app_id}/stages?status=complete")
+        if s["stageId"] > after_stage and s["numCompleteTasks"] > 0
+    ]
+    # the extraction stage is the one that burned the most executor time
+    stage = max(stages, key=lambda s: s["executorRunTime"])
+    q = api(
+        f"/applications/{app_id}/stages/{stage['stageId']}/"
+        f"{stage['attemptId']}/taskSummary?quantiles={QUANTILES}"
+    )
+    return {
+        "stage_id": stage["stageId"],
+        "n_tasks": stage["numCompleteTasks"],
+        "duration_s": [round(v / 1000, 2) for v in q["duration"]],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--corpus",
+        default="/tmp/spark_graft_bench/scaling_s42_n200000_d8_g2x1.parquet",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from pdf_extractor_spark.operators.extract import (
+        extract_stage,
+        extract_stage_dispatch,
+    )
+    from pdf_extractor_spark.operators.skew import salted_repartition
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("task-histogram")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.files.maxPartitionBytes", str(2 * 1024 * 1024))
+        .config("spark.ui.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+    pages = spark.read.parquet(args.corpus)
+
+    results = {}
+    last_stage = -1
+    for label, df_fn in [
+        ("no-rebalance", lambda: extract_stage(pages)),
+        ("salted", lambda: extract_stage(salted_repartition(pages, 64))),
+        ("dispatch", lambda: extract_stage_dispatch(pages)),
+    ]:
+        t0 = time.monotonic()
+        df_fn().write.format("noop").mode("overwrite").save()
+        wall = round(time.monotonic() - t0, 1)
+        info = stage_quantiles(app_id, last_stage)
+        last_stage = info["stage_id"]
+        info["wall_s"] = wall
+        results[label] = info
+        print(label, json.dumps(info))
+
+    md = [
+        "",
+        "## Per-task time distribution (giant-blob corpus, local[32])",
+        "",
+        "Task-duration quantiles of the extraction stage per skew strategy",
+        f"(seconds; quantiles {QUANTILES}); `no-rebalance` shows the raw",
+        "skew, `salted` spreads it via byte-bucket salting, `dispatch`",
+        "isolates giants one-per-task with zero shuffle of the mass:",
+        "",
+        "| strategy | wall (s) | tasks | p0 | p50 | p75 | p95 | max |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for label, r in results.items():
+        d = r["duration_s"]
+        md.append(
+            f"| {label} | {r['wall_s']} | {r['n_tasks']} | "
+            + " | ".join(str(x) for x in d)
+            + " |"
+        )
+    md.append("")
+    with open(REPO / "BENCH.md", "a", encoding="utf-8") as f:
+        f.write("\n".join(md))
+    print("appended to BENCH.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
