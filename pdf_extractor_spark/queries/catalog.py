@@ -101,6 +101,10 @@ CATALOG: dict[str, QuerySpec] = {
     "o14_name_extract": QuerySpec(
         relational.o14_name_extract, relational.O14_SQL,
         "O14: name extraction, primary-else-regex-else-default coalesce"),
+    "o15_item_validate": QuerySpec(
+        relational.o15_item_validate, relational.O15_SQL,
+        "O15: nested array-of-struct item validation "
+        "(filter/transform/aggregate on arrays, no explode)"),
     "o17_fuzzy_match": QuerySpec(
         relational.o17_fuzzy_match, relational.O17_SQL,
         "O17: Levenshtein-ratio broadcast theta-join vs 8-term dictionary"),
@@ -160,6 +164,9 @@ CATALOG: dict[str, QuerySpec] = {
     "text_tokens": QuerySpec(
         textstats.text_tokens, textstats.TEXT_TOKENS_SQL,
         "token counting: whitespace + BPE-ish regex tokenization"),
+    "text_ngram_freq": QuerySpec(
+        textstats.text_ngram_freq, textstats.TEXT_NGRAM_FREQ_SQL,
+        "corpus top-K bigram frequency (hash agg + global top-k window)"),
     "text_fingerprint": QuerySpec(
         textstats.text_fingerprint, textstats.TEXT_FINGERPRINT_SQL,
         "document fingerprint: min-wise rolling 4-gram hash"),

@@ -178,6 +178,53 @@ SELECT c_custkey, {_O14_OUT} AS nome FROM (
 
 
 # --------------------------------------------------------------------------
+# O15 — line-item validation (pdf_processor.py:472-490: require fields,
+# normalize value, drop invalid items). The per-document item list is a
+# nested ARRAY<STRUCT>; validation is filter/transform/aggregate ON the
+# array — no explode, no extra shuffle beyond the one groupBy that builds
+# the list. Items come from lineitem grouped per order.
+_O15_CENTS = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+
+
+def o15_item_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("long").alias("l_orderkey"),
+        F.col("l_quantity").alias("qty"),
+        F.expr(_O15_CENTS).alias("cents"),
+    )
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.expr("collect_list(struct(qty, cents))").alias("items"))
+        .select(
+            "l_orderkey",
+            F.expr("CAST(size(items) AS BIGINT)").alias("n_items"),
+            F.expr(
+                "CAST(size(filter(items, x -> x.qty >= 25)) AS BIGINT)"
+            ).alias("n_valid"),
+            F.expr(
+                "aggregate(filter(items, x -> x.qty >= 25), "
+                "CAST(0 AS BIGINT), (acc, x) -> acc + x.cents)"
+            ).alias("valid_cents"),
+        )
+    )
+
+
+O15_SQL = f"""
+SELECT l_orderkey,
+       CAST(len(items) AS BIGINT) AS n_items,
+       CAST(len(list_filter(items, x -> x.qty >= 25)) AS BIGINT) AS n_valid,
+       CAST(coalesce(list_sum(list_transform(
+            list_filter(items, x -> x.qty >= 25), x -> x.cents)), 0)
+         AS BIGINT) AS valid_cents
+FROM (
+  SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+         list(struct_pack(qty := l_quantity, cents := {_O15_CENTS})) AS items
+  FROM lineitem GROUP BY 1
+)
+"""
+
+
+# --------------------------------------------------------------------------
 # O17 — fuzzy dictionary match (pdf_processor.py:592-632: Levenshtein
 # ratio > threshold of each line vs an 8-code allowlist). Spark: explode
 # distinct tokens, broadcast theta-join against the tiny dictionary —

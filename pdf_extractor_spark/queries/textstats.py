@@ -15,7 +15,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_extractor_spark.queries.dedup import TOKS_D, TOKS_S
+from pdf_extractor_spark.queries.dedup import (
+    SHINGLES_D,
+    SHINGLES_S,
+    TOKS_D,
+    TOKS_S,
+)
 
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
@@ -188,6 +193,48 @@ FROM (
 
 
 # --------------------------------------------------------------------------
+TOP_NGRAMS = 50
+
+
+def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram frequency: top-K word bigrams. The count is a
+    map-side-combined hash agg on the bigram key; the final top-K is a
+    single-partition window over the (tiny) aggregated result — the
+    standard global-top-k shape."""
+    from pyspark.sql import Window
+
+    grams = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKS_S))
+        .select(F.explode(F.expr(SHINGLES_S)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("bigram").asc())
+    return (
+        grams.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TOP_NGRAMS)
+        .select("rank", "bigram", "n_docs")
+    )
+
+
+TEXT_NGRAM_FREQ_SQL = f"""
+WITH grams AS (
+  SELECT unnest(shingles) AS bigram FROM (
+    SELECT {SHINGLES_D} AS shingles FROM (
+      SELECT text, {TOKS_D} AS toks FROM documents
+    )
+  )
+),
+counts AS (SELECT bigram, COUNT(*) AS n_docs FROM grams GROUP BY bigram)
+SELECT rank, bigram, n_docs FROM (
+  SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, bigram ASC) AS BIGINT)
+           AS rank, bigram, n_docs
+  FROM counts
+) WHERE rank <= {TOP_NGRAMS}
+"""
+
+
 _FP_S = (
     "CASE WHEN size(toks) >= 4 THEN array_min(transform("
     "sequence(0, size(toks) - 4), i -> md5(concat_ws(' ', "
