@@ -69,6 +69,7 @@ HEADLINE = [
     "o8_reading_order",
     "o17_fuzzy_match",
     "o18_dedup_keep_best",
+    "o15_item_validate",
     "o21_locale_normalize",
     "lineage_agg",
     "dedup_exact",
@@ -78,6 +79,7 @@ HEADLINE = [
     "ngram_jaccard",
     "embedding_topk",
     "embedding_ivf_topk",
+    "embedding_ivf_multiprobe",
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
