@@ -108,9 +108,11 @@ def main() -> None:
     # warm the JVM/Arrow paths so q1 doesn't pay one-time init
     run_to_completion(spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000))
 
+    # min-of-3: this sandbox VM sees heavy shared-host CPU steal (identical
+    # runs swing 2-4x); the least-interfered run is the measurement
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # min-of-2: shields against JVM GC / warmup noise
+        for _ in range(3):
             t0 = time.monotonic()
             run_to_completion(CATALOG[name].fn(spark, sf_dir))
             best = min(best, time.monotonic() - t0)
@@ -120,12 +122,16 @@ def main() -> None:
     # (two-branch: zero-shuffle small mass + one-giant-per-task tail)
     pages = spark.read.parquet(corpus_path)
     n_docs = pages.count()
-    t0 = time.monotonic()
-    run_to_completion(extract_stage(salted_repartition(pages, cpus * 2)))
-    timings["extract_pages_salted"] = round(time.monotonic() - t0, 3)
-    t0 = time.monotonic()
-    run_to_completion(extract_stage_dispatch(pages))
-    extract_s = time.monotonic() - t0
+    salted_best = float("inf")
+    extract_s = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        run_to_completion(extract_stage(salted_repartition(pages, cpus * 2)))
+        salted_best = min(salted_best, time.monotonic() - t0)
+        t0 = time.monotonic()
+        run_to_completion(extract_stage_dispatch(pages))
+        extract_s = min(extract_s, time.monotonic() - t0)
+    timings["extract_pages_salted"] = round(salted_best, 3)
     timings["extract_pages"] = round(extract_s, 3)
 
     total = round(sum(timings.values()), 3)
