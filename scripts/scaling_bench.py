@@ -260,7 +260,14 @@ HTML parse is one task).
 Headline per-query timings live in the driver-run BENCH_r{{N}}.json
 (bench.py at sf0.1, local[32]).
 """
-    (REPO / "BENCH.md").write_text(md)
+    # preserve the task-histogram section (scripts/task_histogram.py)
+    out = REPO / "BENCH.md"
+    if out.exists():
+        prev = out.read_text()
+        i = prev.find("\n## Per-task time distribution")
+        if i != -1:
+            md = md + prev[i:]
+    out.write_text(md)
 
 
 if __name__ == "__main__":
