@@ -224,13 +224,13 @@ schema (incl. the blocks ARRAY<STRUCT> diagnostics), noop sink.
 
 Methodology: per size, fresh JVM → one untimed warm pass (spawns the
 python-worker pool, faults the corpus into page cache — the regime a real
-cluster's long-lived executors run in) → 3 timed passes, min taken. The
+cluster's long-lived executors run in) → 5 timed passes, min taken. The
 min is the right statistic here because this sandbox is a VM on a shared
 host with heavy CPU steal: identical back-to-back runs swing 2× in wall
 clock (raw timings below), and the least-interfered run is the closest
 observation of the job's true cost.
 
-| parallelism | wall (s), min of 3 | all timings | docs/sec | docs/sec/core |
+| parallelism | wall (s), min of 5 | all timings | docs/sec | docs/sec/core |
 |---|---|---|---|---|
 | local[8]  | {s["wall_s_local8"]}  | {s["wall_s_all_local8"]}  | {s["docs_per_sec_local8"]}  | {round(s["docs_per_sec_local8"] / 8, 1)} |
 | local[32] | {s["wall_s_local32"]} | {s["wall_s_all_local32"]} | {s["docs_per_sec_local32"]} | {round(s["docs_per_sec_local32"] / 32, 1)} |
@@ -239,7 +239,7 @@ observation of the job's true cost.
 
 **Hardware-ceiling control:** the identical per-document extraction run
 through plain `multiprocessing` (no Spark/JVM/Arrow, embarrassingly
-parallel, min of 3) achieves an 8→32-process efficiency of
+parallel, min of 3 pool runs) achieves an 8→32-process efficiency of
 **{s["hw_ceiling_efficiency"]}** on this box — the intrinsic ceiling any
 framework can reach here (memory bandwidth + shared-host CPU steal at 32
 busy cores). The Spark job's efficiency normalized to that ceiling is
