@@ -147,6 +147,10 @@ class _BlockParser(HTMLParser):
         )
 
     def _flush(self) -> None:
+        if not self._parts:
+            self._link_chars = 0
+            self._inline_tags = 0
+            return
         raw = "".join(self._parts)
         text = canon_ws(raw)
         if text:
@@ -155,7 +159,7 @@ class _BlockParser(HTMLParser):
                     "tag_path": self._path() or "(root)",
                     "text": text,
                     "link_chars": min(self._link_chars, len(raw)),
-                    "raw_chars": len(canon_ws(raw)),
+                    "raw_chars": len(text),
                     "inline_tags": self._inline_tags,
                     "dropped_subtree": any(f.drop for f in self.stack),
                     "neg": any(f.neg for f in self.stack),
