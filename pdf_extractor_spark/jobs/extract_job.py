@@ -63,6 +63,9 @@ def main(argv: list[str] | None = None) -> None:
         "--strategy", choices=["dispatch", "salt", "none"], default="dispatch",
         help="skew plan: dispatch (two-branch, default), salt (byte-bucket "
              "full repartition), none (trust input file layout)")
+    ap.add_argument(
+        "--no-blocks", action="store_true",
+        help="omit the per-block diagnostics column (~25%% faster)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
     args = ap.parse_args(argv)
@@ -88,6 +91,7 @@ def main(argv: list[str] | None = None) -> None:
         salt=strategy == "salt",
         num_partitions=args.partitions,
         strategy=strategy,
+        with_blocks=not args.no_blocks,
     )
     print(
         json.dumps(

@@ -89,6 +89,7 @@ def run_extract(
     fail_dates: set[str] | None = None,
     max_dates: int | None = None,
     strategy: str = "dispatch",
+    with_blocks: bool = True,
 ) -> ExtractRunResult:
     """Run (or resume) extraction of every pending partition of ``pages``.
 
@@ -123,10 +124,10 @@ def run_extract(
         try:
             src = pages.read(spark, partitions=[date])
             if strategy == "dispatch":
-                extracted = extract_stage_dispatch(src)
+                extracted = extract_stage_dispatch(src, with_blocks=with_blocks)
             else:
                 src = salted_repartition(src, num_partitions, enabled=salt)
-                extracted = extract_stage(src)
+                extracted = extract_stage(src, with_blocks=with_blocks)
             out = with_partition_date(extracted)
             extracted_tbl.overwrite_partitions(out)
             if fail_dates and date in fail_dates:

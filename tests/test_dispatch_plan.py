@@ -32,3 +32,18 @@ def test_dispatch_branches_both_nonempty(spark):
     n_small = pages.filter("length(html) < 4096").count()
     n_giant = pages.filter("length(html) >= 4096").count()
     assert n_small > 0 and n_giant > 0, "threshold must split the corpus"
+
+
+def test_slim_schema_matches_full_modulo_blocks(spark):
+    pages = spark.read.parquet(str(GOLDEN_DIR / "pages_micro.parquet"))
+    full = {
+        (r.url, r.doc_type, r.extracted_text, r.n_blocks, r.n_chars, r.error)
+        for r in extract_stage(pages).collect()
+    }
+    slim_df = extract_stage(pages, with_blocks=False)
+    assert "blocks" not in [f.name for f in slim_df.schema]
+    slim = {
+        (r.url, r.doc_type, r.extracted_text, r.n_blocks, r.n_chars, r.error)
+        for r in slim_df.collect()
+    }
+    assert slim == full
