@@ -108,9 +108,9 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
 # IVF/LSH bucketing: hyperplane h_p has components derived from
 # md5(p||'|'||dim): take the first hex digit, map to {-7.5..7.5} via
 # (digit - 7.5). Deterministic, identical in both engines, no training.
-def _plane_expr(p: int, vec: str, size_fn: str, idx: str) -> str:
+def _plane_expr(p: int, vec: str, side: str) -> str:
     # sum over dims of v[d] * (hexdigit(md5(p|d), 1) - 7.5)
-    if size_fn == "spark":
+    if side == "spark":
         return (
             f"aggregate(zip_with({vec}, transform(sequence(1, 64), "
             f"d -> CAST(conv(substr(md5(concat('{p}|', d)), 1, 1), 16, 10) "
@@ -129,7 +129,7 @@ def _bucket_exprs(side: str, vec: str) -> str:
     for p in range(N_PLANES):
         bit = 1 << (N_PLANES - 1 - p)
         bits.append(
-            f"(CASE WHEN {_plane_expr(p, vec, side, '')} >= 0 "
+            f"(CASE WHEN {_plane_expr(p, vec, side)} >= 0 "
             f"THEN {bit} ELSE 0 END)"
         )
     return "CAST(" + " + ".join(bits) + " AS BIGINT)"

@@ -95,7 +95,7 @@ FROM (
 _PUNCT_RE = "([^A-Za-z0-9 ])"
 
 
-def _quality_exprs(size_fn: str) -> dict[str, str]:
+def _quality_exprs() -> dict[str, str]:
     nt = "CAST(n_tokens AS DOUBLE)"
     return {
         "avg_token_len": (
@@ -125,7 +125,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("hits_en", F.expr(_hits_spark("en")))
     )
-    exprs = _quality_exprs("size")
+    exprs = _quality_exprs()
     return df.select(
         "doc_id",
         F.expr("CAST(length(text) AS BIGINT)").alias("n_chars_obs"),
@@ -135,7 +135,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_QD = _quality_exprs("len")
+_QD = _quality_exprs()
 TEXT_QUALITY_SQL = f"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars_obs,
