@@ -80,15 +80,13 @@ def stream_extract(
         out = with_partition_date(extract_stage_dispatch(batch_df)).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )
-        extracted_tbl.append(out)
-        done = extracted_tbl.read(
-            batch_df.sparkSession
-        ).filter(F.col("batch_id") == batch_id)
+        _, added = extracted_tbl.append_tracked(out)
+        # count ONLY this batch's files — never re-scan the table (which
+        # grows without bound over the stream's lifetime)
+        ss = batch_df.sparkSession
         counts = {
-            r["partition_date"]: r["n"]
-            for r in done.groupBy("partition_date")
-            .agg(F.count("*").alias("n"))
-            .collect()
+            p: ss.read.parquet(*files).count()
+            for p, files in sorted(added.items())
         }
         lineage.append(
             [

@@ -127,6 +127,14 @@ class IceTable:
         return added
 
     def append(self, df: DataFrame) -> int:
+        snap_id, _ = self.append_tracked(df)
+        return snap_id
+
+    def append_tracked(self, df: DataFrame) -> tuple[int, dict[str, list[str]]]:
+        """Append and return (snapshot_id, {partition: [abs file path…]})
+        of exactly the files this commit added — lets callers account for
+        an append (counts, lineage) by reading only its own files instead
+        of re-scanning the table."""
         added = self._stage_write(df)
         prev = self.current_snapshot()
         parts: dict[str, list[str]] = (
@@ -134,7 +142,11 @@ class IceTable:
         )
         for p, fs in added.items():
             parts.setdefault(p, []).extend(fs)
-        return self._commit(parts, "append", df.schema.json())
+        snap_id = self._commit(parts, "append", df.schema.json())
+        abs_added = {
+            p: [str(self.root / r) for r in fs] for p, fs in added.items()
+        }
+        return snap_id, abs_added
 
     def overwrite_partitions(self, df: DataFrame) -> int:
         """Atomically replace every partition present in df — the idempotent
