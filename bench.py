@@ -89,7 +89,7 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    corpus_rows = int(os.environ.get("BENCH_CORPUS_ROWS", "20000"))
+    corpus_rows = int(os.environ.get("BENCH_CORPUS_ROWS", "50000"))
     sf = float(pathlib.Path(sf_dir).name.removeprefix("sf") or "0.1")
 
     corpus_path = bench_corpus(corpus_rows)
