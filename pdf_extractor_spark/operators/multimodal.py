@@ -1,5 +1,14 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
+Reference lineage: the reference's visual arm rasterizes PDFs to images
+(/root/reference/pdf_processor.py:334, 511) and runs per-image
+preprocessing — grayscale, resize, normalize (pdf_processor.py:386-416) —
+one file at a time through temp paths. This module is that capability
+class re-expressed for a table of binary media: decode / feature-extract
+/ resize / frame-sample as Arrow-batch operators with per-row error
+containment (O23, pdf_processor.py:184-186), no temp files, no per-row
+Python outside the UDF.
+
 Data model (the `media` table):
 
     media_id  BIGINT, url STRING, kind STRING ('image'|'audio'|'video'),
