@@ -27,7 +27,10 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent.parent))
 from pyspark.sql import SparkSession
 
 from pdf_extractor_spark.plans.extract_plan import preflight, run_extract
-from pdf_extractor_spark.sources.pages import ingest_corpus_to_icetable
+from pdf_extractor_spark.sources.pages import (
+    ingest_corpus_to_icetable,
+    ingest_warc_to_icetable,
+)
 from pdf_extractor_spark.tables.icetable import IceTable
 
 
@@ -77,6 +80,11 @@ def main(argv: list[str] | None = None) -> None:
         pages = IceTable(tbl_root)
         if not pages.exists():
             pages = ingest_corpus_to_icetable(spark, pages_path, tbl_root)
+    elif args.pages.endswith((".warc.gz", ".warc")):
+        tbl_root = pathlib.Path(args.warehouse) / "pages"
+        pages = IceTable(tbl_root)
+        if not pages.exists():
+            pages = ingest_warc_to_icetable(spark, pages_path, tbl_root)
     else:
         pages = IceTable(pages_path)
 

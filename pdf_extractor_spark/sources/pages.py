@@ -38,3 +38,19 @@ def ingest_corpus_to_icetable(
     )
     tbl.append(df)
     return tbl
+
+
+def ingest_warc_to_icetable(
+    spark: SparkSession,
+    warc_path: str | pathlib.Path,
+    table_root: str | pathlib.Path,
+) -> IceTable:
+    """.warc.gz file/dir/glob → partitioned pages IceTable."""
+    from pdf_extractor_spark.sources.warc import read_warc
+
+    tbl = IceTable(table_root)
+    df = read_warc(spark, str(warc_path)).withColumn(
+        "partition_date", F.to_date("warc_ts")
+    )
+    tbl.append(df)
+    return tbl

@@ -1,0 +1,175 @@
+"""WARC source: read Common-Crawl-style WARC/1.0 archives into the
+`pages` table shape.
+
+Format (ISO 28500, the subset Common Crawl emits): a .warc.gz file is a
+concatenation of per-record gzip members; each record is
+
+    WARC/1.0\\r\\n
+    <warc headers>\\r\\n
+    \\r\\n
+    <Content-Length bytes of block>\\r\\n\\r\\n
+
+For ``WARC-Type: response`` records the block is an HTTP/1.1 response;
+the page payload follows the first blank line of the HTTP message.
+
+Distribution model: .warc.gz members are not block-splittable, so the
+parallel unit is the FILE (Common Crawl ships ~1 GB files in listings of
+tens of thousands — ample parallelism at 100 TB). The reader is
+``binaryFile`` scan → ``mapInArrow`` over whole files: each task
+stream-decompresses its files record by record; nothing is ever fully
+materialized except one record's payload at a time.
+
+The reference ingested one uploaded document per HTTP request
+(/root/reference/main.py:24-31); this is that source boundary re-expressed
+as the crawl-archive connector the input_hint's table would be loaded
+from. The writer exists so the format is closed under test (same policy
+as the PDF writer, SURVEY.md §7 M0 scope control).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import hashlib
+import io
+import pathlib
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+    ]
+)
+
+_CRLF = b"\r\n"
+
+
+# --- record-level codec (pure python, unit-testable) -----------------------
+
+
+def _warc_record(url: str, ts: dt.datetime, payload: bytes,
+                 content_type: str) -> bytes:
+    http = (
+        b"HTTP/1.1 200 OK\r\n"
+        + f"Content-Type: {content_type}\r\n".encode()
+        + f"Content-Length: {len(payload)}\r\n".encode()
+        + b"\r\n"
+        + payload
+    )
+    rec_id = hashlib.sha1(url.encode("utf-8")).hexdigest()
+    headers = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + f"WARC-Target-URI: {url}\r\n".encode()
+        + f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n".encode()
+        + f"WARC-Record-ID: <urn:uuid:{rec_id}>\r\n".encode()
+        + b"Content-Type: application/http; msgtype=response\r\n"
+        + f"Content-Length: {len(http)}\r\n".encode()
+        + b"\r\n"
+    )
+    return headers + http + b"\r\n\r\n"
+
+
+def write_warc(
+    out_path: str | pathlib.Path,
+    rows: list,  # objects with .url, .warc_ts, .html
+) -> int:
+    """Write rows as a .warc.gz of per-record gzip members (the Common
+    Crawl layout — members concatenate into one valid gzip stream)."""
+    out_path = pathlib.Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    n = 0
+    with open(out_path, "wb") as f:
+        for r in rows:
+            ctype = (
+                "application/pdf"
+                if (r.html or b"").startswith(b"%PDF-")
+                else "text/html"
+            )
+            rec = _warc_record(r.url, r.warc_ts, r.html or b"", ctype)
+            f.write(gzip.compress(rec))
+            n += 1
+    return n
+
+
+def iter_warc_records(
+    raw: bytes,
+) -> Iterator[tuple[str, dt.datetime, bytes]]:
+    """Yield (url, ts, payload) for each response record of a .warc.gz
+    byte string. Streams one decompressed record at a time."""
+    stream = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    while True:
+        version = stream.readline()
+        if not version:
+            return
+        if not version.startswith(b"WARC/"):
+            continue  # skip padding between members
+        headers: dict[bytes, bytes] = {}
+        while True:
+            line = stream.readline()
+            if line in (_CRLF, b"", b"\n"):
+                break
+            k, _, v = line.rstrip(b"\r\n").partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers.get(b"content-length", b"0"))
+        block = stream.read(length)
+        stream.readline()  # record-trailing CRLF
+        stream.readline()  # blank line
+        if headers.get(b"warc-type") != b"response":
+            continue
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        ts = dt.datetime.strptime(
+            headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode(),
+            "%Y-%m-%dT%H:%M:%SZ",
+        )
+        # payload = HTTP body after the first blank line of the message
+        sep = block.find(b"\r\n\r\n")
+        payload = block[sep + 4 :] if sep != -1 else b""
+        yield url, ts, payload
+
+
+# --- Spark reader -----------------------------------------------------------
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """`path` (a file, directory, or glob of .warc.gz) → pages DataFrame.
+
+    binaryFile scan gives (path, …, content) rows — one file per row; the
+    mapInArrow stage fans each file out into its records. text/lang are
+    null (as-crawled columns the archive does not carry)."""
+
+    def parse_files(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            contents = batch.column("content")
+            urls: list[str] = []
+            tss: list[dt.datetime] = []
+            payloads: list[bytes] = []
+            for i in range(batch.num_rows):
+                for url, ts, payload in iter_warc_records(
+                    contents[i].as_py()
+                ):
+                    urls.append(url)
+                    tss.append(ts)
+                    payloads.append(payload)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(urls, pa.string()),
+                    pa.array(tss, pa.timestamp("us")),
+                    pa.array(payloads, pa.binary()),
+                    pa.array([None] * len(urls), pa.string()),
+                    pa.array([None] * len(urls), pa.string()),
+                ],
+                names=["url", "warc_ts", "html", "text", "lang"],
+            )
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("content").mapInArrow(parse_files, schema=PAGES_SCHEMA)

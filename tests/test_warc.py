@@ -1,0 +1,50 @@
+"""WARC connector: round-trip (writer → reader) payload fidelity, and the
+full pipeline (WARC → extract) against goldens."""
+
+from __future__ import annotations
+
+from pdf_extractor_spark.corpus.generator import generate_rows
+from pdf_extractor_spark.operators.extract import extract_stage_dispatch
+from pdf_extractor_spark.sources.warc import (
+    iter_warc_records,
+    read_warc,
+    write_warc,
+)
+
+from tests.conftest import GOLDEN_DIR
+
+
+def test_warc_roundtrip_pure_python(tmp_path):
+    rows = list(generate_rows(42, 30, 4))
+    path = tmp_path / "part-0.warc.gz"
+    assert write_warc(path, rows) == 30
+    got = list(iter_warc_records(path.read_bytes()))
+    assert len(got) == 30
+    by_url = {u: (ts, payload) for u, ts, payload in got}
+    for r in rows:
+        ts, payload = by_url[r.url]
+        assert payload == r.html
+        assert ts == r.warc_ts.replace(microsecond=0)
+
+
+def test_warc_spark_read_and_extract(spark, tmp_path):
+    rows = list(generate_rows(42, 40, 4))
+    # two files → two parallel units
+    write_warc(tmp_path / "part-0.warc.gz", rows[:20])
+    write_warc(tmp_path / "part-1.warc.gz", rows[20:])
+
+    pages = read_warc(spark, str(tmp_path))
+    assert pages.count() == 40
+    assert {f.name for f in pages.schema} == {
+        "url", "warc_ts", "html", "text", "lang",
+    }
+
+    # end-to-end: WARC → dispatch extract → byte-identity vs goldens
+    goldens = spark.read.parquet(str(GOLDEN_DIR / "goldens.parquet"))
+    matched = (
+        extract_stage_dispatch(pages).alias("e")
+        .join(goldens.alias("g"), "url")
+        .filter("e.extracted_text = g.extracted_text")
+        .count()
+    )
+    assert matched == 40
