@@ -19,7 +19,13 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pdf_extractor_spark.queries import dedup, relational, similarity, textstats
+from pdf_extractor_spark.queries import (
+    corpus_select as cs,
+    dedup,
+    relational,
+    similarity,
+    textstats,
+)
 
 REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 
@@ -170,6 +176,10 @@ CATALOG: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(
         textstats.text_fingerprint, textstats.TEXT_FINGERPRINT_SQL,
         "document fingerprint: min-wise rolling 4-gram hash"),
+    "corpus_select": QuerySpec(
+        cs.corpus_select, cs.CORPUS_SELECT_SQL,
+        "training-set selection: quality gate + lang gate + fingerprint "
+        "dedup in one pass (the capstone composite)"),
     # --- multimodal columns (decode verified vs numpy in tests) ---
     "media_image_features": QuerySpec(
         media_image_features, None,

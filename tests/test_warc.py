@@ -48,3 +48,33 @@ def test_warc_spark_read_and_extract(spark, tmp_path):
         .count()
     )
     assert matched == 40
+
+
+def test_export_jsonl_sink(spark, tmp_path):
+    """Full chain: pages → extract job plan → JSONL export shards."""
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.corpus.build import rows_to_pages_table
+    from pdf_extractor_spark.jobs.export_jsonl import export_jsonl
+    from pdf_extractor_spark.plans.extract_plan import run_extract
+    from pdf_extractor_spark.sources.pages import ingest_corpus_to_icetable
+
+    corpus = tmp_path / "pages.parquet"
+    pq.write_table(rows_to_pages_table(list(generate_rows(42, 30, 3))), corpus)
+    wh = str(tmp_path / "wh")
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "wh" / "pages")
+    run_extract(spark, pages, wh)
+
+    out = str(tmp_path / "jsonl")
+    n = export_jsonl(spark, wh, out, min_chars=1, shards=2)
+    assert n > 0
+    back = spark.read.json(out)
+    assert {"url", "ts", "text", "n_chars"} <= {f.name for f in back.schema}
+    # spot-check byte fidelity through the JSON round trip
+    goldens = spark.read.parquet(str(GOLDEN_DIR / "goldens.parquet"))
+    matched = (
+        back.alias("e").join(goldens.alias("g"), "url")
+        .filter("e.text = g.extracted_text")
+        .count()
+    )
+    assert matched == n
