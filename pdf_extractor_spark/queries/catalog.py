@@ -37,6 +37,28 @@ class QuerySpec:
     doc: str
 
 
+def extract_first_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16's 'first page only' semantic (/root/reference/
+    pdf_processor.py:517 analyzes page 1 only): select the first kept
+    block of each document via element_at over the blocks ARRAY<STRUCT>.
+    Rows-only (operates on the extraction output's nested column)."""
+    from pdf_extractor_spark.operators.extract import extract_stage
+
+    pages = spark.read.parquet(
+        str(REPO_ROOT / "fixtures" / "golden" / "pages_micro.parquet")
+    )
+    kept = "filter(blocks, b -> b.kept)"
+    return (
+        extract_stage(pages)
+        .filter(F.expr(f"size({kept}) > 0"))
+        .select(
+            "url",
+            F.expr(f"element_at({kept}, 1).text").alias("first_block_text"),
+            F.expr(f"element_at({kept}, 1).tag_path").alias("first_block_path"),
+        )
+    )
+
+
 def extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction pipeline (SURVEY.md §4.3) over the committed
     micro corpus: binary payload → content-type dispatch → HTML DOM /
@@ -194,4 +216,7 @@ CATALOG: dict[str, QuerySpec] = {
     "extract_pages": QuerySpec(
         extract_pages, None,
         "HTML/PDF main-content extraction over the micro corpus"),
+    "extract_first_block": QuerySpec(
+        extract_first_block, None,
+        "O16 first-page-only semantic: element_at over nested blocks"),
 }
