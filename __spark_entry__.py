@@ -22,34 +22,11 @@ from pdf_extractor_spark.queries import CATALOG
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: per-document text profile (lang-ID + quality + tokens +
-    fingerprint + simhash) in one shuffle-free projection pass, joined
-    columns aligned on doc_id."""
-    from pyspark.sql import functions as F
-
-    from pdf_extractor_spark.queries.dedup import TOKS_S, _SIMHASH_S
-    from pdf_extractor_spark.queries.textstats import (
-        _FP_S,
-        _hits_spark,
-        _pred_case,
-        _LANG_ORDER,
-    )
-
-    sf_dir = "/root/testdata/sf0.001"
-    df = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
-        "toks", F.expr(TOKS_S)
-    )
-    for lg in _LANG_ORDER:
-        df = df.withColumn(f"hits_{lg}", F.expr(_hits_spark(lg)))
-    return df.select(
-        "doc_id",
-        "lang",
-        F.expr(_pred_case()).alias("lang_pred"),
-        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
-        F.expr("CAST(length(text) AS BIGINT)").alias("n_chars_obs"),
-        F.expr(_FP_S).alias("fingerprint"),
-        F.expr(f"CAST({_SIMHASH_S} AS BIGINT)").alias("simhash"),
-    )
+    """Flagship: the O11 structured-extraction driver profile (lang-ID +
+    token/char counts + fingerprint + simhash) in one shuffle-free
+    projection pass — the same query the catalog oracle-checks as
+    ``o11_struct_extract``."""
+    return CATALOG["o11_struct_extract"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -83,6 +83,8 @@ HEADLINE = [
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
+    "o11_struct_extract",
+    "corpus_select",
 ]
 
 

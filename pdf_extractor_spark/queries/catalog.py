@@ -123,6 +123,10 @@ CATALOG: dict[str, QuerySpec] = {
     "o9_fallback_chain": QuerySpec(
         relational.o9_fallback_chain, relational.O9_SQL,
         "O9: primary-extraction-else-fallback coalesce chain"),
+    "o11_struct_extract": QuerySpec(
+        textstats.o11_struct_extract, textstats._o11_sql(),
+        "O11: the structured-extraction driver — one projection stage "
+        "assembling every per-document field (flagship profile)"),
     "o12_regex_extract": QuerySpec(
         relational.o12_regex_extract, relational.O12_SQL,
         "O12/O13: regex scalar extraction with group addressing"),

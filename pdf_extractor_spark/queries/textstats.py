@@ -267,3 +267,45 @@ TEXT_FINGERPRINT_SQL = f"""
 SELECT doc_id, {_FP_D} AS fingerprint
 FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
 """
+
+
+# --------------------------------------------------------------------------
+# O11 — the structured-extraction driver (pdf_processor.py:418-446): one
+# projection stage assembling every per-document field. This is the
+# `entry()` flagship as an oracle-checked catalog query.
+def o11_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.queries.dedup import _SIMHASH_S
+
+    df = _docs(spark, sf_dir).withColumn("toks", F.expr(TOKS_S))
+    for lg in _LANG_ORDER:
+        df = df.withColumn(f"hits_{lg}", F.expr(_hits_spark(lg)))
+    return df.select(
+        "doc_id",
+        "lang",
+        F.expr(_pred_case()).alias("lang_pred"),
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"),
+        F.expr("CAST(length(text) AS BIGINT)").alias("n_chars_obs"),
+        F.expr(_FP_S).alias("fingerprint"),
+        F.expr(f"CAST({_SIMHASH_S} AS BIGINT)").alias("simhash"),
+    )
+
+
+def _o11_sql() -> str:
+    from pdf_extractor_spark.queries.dedup import _SIMHASH_D
+
+    hits = ",\n         ".join(
+        f"{_hits_duck(lg)} AS hits_{lg}" for lg in _LANG_ORDER
+    )
+    return f"""
+SELECT doc_id, lang, {_pred_case()} AS lang_pred,
+       n_tokens, n_chars_obs, fingerprint, simhash
+FROM (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars_obs,
+         {_FP_D} AS fingerprint,
+         CAST({_SIMHASH_D} AS BIGINT) AS simhash,
+         {hits}
+  FROM (SELECT doc_id, lang, text, {TOKS_D} AS toks FROM documents)
+)
+"""
