@@ -8,8 +8,11 @@ Layout::
       metadata/CURRENT                              -- pointer, atomic os.rename swap
 
 Semantics (the subset of Iceberg the north_rule needs):
-- every commit produces a new numbered snapshot whose manifest lists ALL
-  live data files grouped by partition value;
+- every commit produces a new numbered snapshot that maps each partition
+  to a content-addressed per-partition manifest file; unchanged
+  partitions re-reference their existing manifest, so commit metadata
+  work is O(changed partitions) — at 10^12 rows a daily append touches
+  one day's manifest, never the table's full file listing;
 - readers resolve CURRENT → manifest → explicit file list; a crashed writer
   leaves orphan files but never a corrupt table (commit = one atomic rename);
 - ``append`` adds files; ``overwrite_partitions`` atomically replaces all
@@ -28,6 +31,7 @@ partition discovery), keeping the scan vectorized and prunable.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import pathlib
@@ -65,22 +69,63 @@ class IceTable:
         snap = self.current_snapshot()
         return sorted(snap["partitions"]) if snap else []
 
+    def _manifest_files(self, ref) -> list[str]:
+        """Resolve a partition entry to its relative data-file list. The
+        entry is either a manifest-file relpath (hierarchical form) or an
+        inline list (legacy form) — readers accept both."""
+        if isinstance(ref, list):
+            return ref
+        with open(self.root / ref, encoding="utf-8") as f:
+            return json.load(f)
+
+    def _write_manifest(self, files: list[str]) -> str:
+        """Write (or reuse) a content-addressed per-partition manifest and
+        return its relpath. Content addressing dedups across snapshots:
+        an unchanged partition re-references the same manifest file, so a
+        commit's metadata work is O(changed partitions), never O(table) —
+        the property that keeps commits cheap at 10^12 rows."""
+        content = json.dumps(sorted(files), sort_keys=True)
+        h = hashlib.sha256(content.encode("utf-8")).hexdigest()[:20]
+        rel = f"metadata/manifests/m-{h}.json"
+        path = self.root / rel
+        if not path.exists():
+            path.parent.mkdir(parents=True, exist_ok=True)
+            tmp = path.with_name(f".tmp-{uuid.uuid4().hex}")
+            tmp.write_text(content)
+            os.rename(tmp, path)
+        return rel
+
+    def partition_files(self, part_ref) -> list[str]:
+        return self._manifest_files(part_ref)
+
     def files(self, partitions: list[str] | None = None) -> list[str]:
-        """Absolute data-file paths, optionally pruned to given partitions."""
+        """Absolute data-file paths, optionally pruned to given partitions
+        (manifest-level pruning: unselected partitions' manifests are
+        never even opened)."""
         snap = self.current_snapshot()
         if snap is None:
             return []
         out: list[str] = []
-        for part, rels in sorted(snap["partitions"].items()):
+        for part, ref in sorted(snap["partitions"].items()):
             if partitions is not None and part not in set(partitions):
                 continue
-            out.extend(str(self.root / r) for r in rels)
+            out.extend(
+                str(self.root / r) for r in self._manifest_files(ref)
+            )
         return out
 
-    def _commit(self, partitions: dict[str, list[str]], operation: str,
+    def _commit(self, partitions: dict, operation: str,
                 schema_json: str | None) -> int:
+        """``partitions`` maps partition value → either a reusable manifest
+        relpath (unchanged partition) or a list of relative data files
+        (changed — a new manifest is written). Only changed partitions cost
+        metadata I/O."""
         prev = self.current_snapshot()
         new_id = (prev["snapshot_id"] + 1) if prev else 0
+        refs = {
+            p: (ref if isinstance(ref, str) else self._write_manifest(ref))
+            for p, ref in sorted(partitions.items())
+        }
         snap = {
             "snapshot_id": new_id,
             "parent_id": prev["snapshot_id"] if prev else None,
@@ -88,7 +133,7 @@ class IceTable:
             "partition_col": self.partition_col,
             "committed_at_unix": time.time(),  # informational only
             "schema_json": schema_json or (prev or {}).get("schema_json"),
-            "partitions": {p: sorted(fs) for p, fs in sorted(partitions.items())},
+            "partitions": refs,
         }
         self.meta_dir.mkdir(parents=True, exist_ok=True)
         snap_name = f"snap-{new_id:08d}.json"
@@ -137,11 +182,12 @@ class IceTable:
         of re-scanning the table."""
         added = self._stage_write(df)
         prev = self.current_snapshot()
-        parts: dict[str, list[str]] = (
-            {p: list(fs) for p, fs in prev["partitions"].items()} if prev else {}
-        )
+        parts: dict = dict(prev["partitions"]) if prev else {}
         for p, fs in added.items():
-            parts.setdefault(p, []).extend(fs)
+            if p in parts:
+                parts[p] = self._manifest_files(parts[p]) + fs
+            else:
+                parts[p] = fs
         snap_id = self._commit(parts, "append", df.schema.json())
         abs_added = {
             p: [str(self.root / r) for r in fs] for p, fs in added.items()
@@ -153,13 +199,9 @@ class IceTable:
         re-run primitive used by checkpoint-resume."""
         added = self._stage_write(df)
         prev = self.current_snapshot()
-        parts: dict[str, list[str]] = (
-            {p: list(fs) for p, fs in prev["partitions"].items()} if prev else {}
-        )
-        for p in added:
-            parts[p] = []  # replaced wholesale
+        parts: dict = dict(prev["partitions"]) if prev else {}
         for p, fs in added.items():
-            parts[p] = fs
+            parts[p] = fs  # replaced wholesale
         return self._commit(parts, "overwrite_partitions", df.schema.json())
 
     # -- time travel -------------------------------------------------------------
@@ -175,7 +217,10 @@ class IceTable:
                     "parent_id": s["parent_id"],
                     "operation": s["operation"],
                     "n_partitions": len(s["partitions"]),
-                    "n_files": sum(len(v) for v in s["partitions"].values()),
+                    "n_files": sum(
+                        len(self._manifest_files(v))
+                        for v in s["partitions"].values()
+                    ),
                 }
             )
         return out
@@ -193,10 +238,10 @@ class IceTable:
         with open(path, encoding="utf-8") as f:
             snap = json.load(f)
         files: list[str] = []
-        for part, rels in sorted(snap["partitions"].items()):
+        for part, ref in sorted(snap["partitions"].items()):
             if partitions is not None and part not in set(partitions):
                 continue
-            files.extend(str(self.root / r) for r in rels)
+            files.extend(str(self.root / r) for r in self._manifest_files(ref))
         if not files:
             from pyspark.sql import types as T
 

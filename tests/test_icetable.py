@@ -72,3 +72,21 @@ def test_partition_date_column_recovered(spark, tbl):
     tbl.append(_df(spark, [(1, "a", "2025-06-14")]))
     row = tbl.read(spark).select(F.col("partition_date").cast("string")).first()
     assert row[0] == "2025-06-14"
+
+
+def test_commit_metadata_is_o_changed_partitions(spark, tbl):
+    """Hierarchical manifests: an append touching one partition must reuse
+    every other partition's manifest file verbatim (content-addressed),
+    so commit metadata work is O(changed partitions), not O(table)."""
+    tbl.append(
+        _df(spark, [(1, "a", "2025-06-14"), (2, "b", "2025-06-15"),
+                    (3, "c", "2025-06-16")])
+    )
+    before = dict(tbl.current_snapshot()["partitions"])
+    tbl.append(_df(spark, [(4, "d", "2025-06-16")]))
+    after = dict(tbl.current_snapshot()["partitions"])
+    assert after["2025-06-14"] == before["2025-06-14"]
+    assert after["2025-06-15"] == before["2025-06-15"]
+    assert after["2025-06-16"] != before["2025-06-16"]
+    # and the reused refs are real manifest files, not inline lists
+    assert isinstance(after["2025-06-14"], str)
