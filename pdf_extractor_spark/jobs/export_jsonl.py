@@ -36,20 +36,31 @@ def export_jsonl(
     shards: int | None = None,
 ) -> int:
     tbl = IceTable(f"{warehouse}/extracted")
-    df = (
-        tbl.read(spark, partitions=partitions)
-        .filter(F.col("n_chars") >= min_chars)
-        .select(
-            "url",
-            F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts"),
-            F.col("extracted_text").alias("text"),
-            "n_chars",
+    # date_format renders in the SESSION timezone but the literal 'Z'
+    # claims UTC — pin the session to UTC for the export so a caller-
+    # supplied session in another timezone cannot emit mislabeled stamps
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        df = (
+            tbl.read(spark, partitions=partitions)
+            .filter(F.col("n_chars") >= min_chars)
+            .select(
+                "url",
+                F.date_format(
+                    "warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                ).alias("ts"),
+                F.col("extracted_text").alias("text"),
+                "n_chars",
+            )
         )
-    )
-    if shards:
-        df = df.repartition(shards)
-    df.write.mode("overwrite").option("compression", "gzip").json(out)
-    return spark.read.json(out).count()
+        if shards:
+            df = df.repartition(shards)
+        df.write.mode("overwrite").option("compression", "gzip").json(out)
+        return spark.read.json(out).count()
+    finally:
+        spark.conf.set(tz_key, prev_tz)
 
 
 def main(argv: list[str] | None = None) -> None:

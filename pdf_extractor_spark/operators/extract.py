@@ -203,7 +203,11 @@ def extract_stage_dispatch(
     """
     if giant_partitions is None:
         giant_partitions = pages.sparkSession.sparkContext.defaultParallelism
-    plen = F.length(F.col("html"))
+    # null-safe: a NULL html length would make BOTH branch predicates NULL
+    # and silently drop the row, breaking the 1:1 rows_in=rows_out lineage
+    # invariant that extract_stage (which maps NULL → doc_type='empty')
+    # preserves
+    plen = F.coalesce(F.length(F.col("html")), F.lit(0))
     small = pages.filter(plen < giant_threshold)
     giants = pages.filter(plen >= giant_threshold).repartition(giant_partitions)
     return extract_stage(small, with_blocks).unionByName(

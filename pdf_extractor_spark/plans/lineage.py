@@ -91,23 +91,28 @@ class LineageLog:
         )
 
     def read(self, spark):
-        """Lineage as a Spark DataFrame (for audits / the anti-join form)."""
+        """Lineage as a Spark DataFrame (for audits / the anti-join form).
+
+        The schema is passed EXPLICITLY: without it Spark samples one file,
+        so a warehouse mixing pre-0.1.1 files (no n_errors column) with new
+        ones would get a nondeterministic schema — n_errors silently
+        present or absent depending on which file was sampled."""
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("partition_date", T.DateType()),
+                T.StructField("input_snapshot_id", T.LongType()),
+                T.StructField("rows_in", T.LongType()),
+                T.StructField("rows_out", T.LongType()),
+                T.StructField("n_errors", T.LongType()),
+                T.StructField("extractor_version", T.StringType()),
+                T.StructField("wall_time_s", T.DoubleType()),
+                T.StructField("attempt", T.IntegerType()),
+                T.StructField("status", T.StringType()),
+            ]
+        )
         files = [str(f) for f in self._files()]
         if not files:
-            import pyspark.sql.types as T
-
-            schema = T.StructType(
-                [
-                    T.StructField("partition_date", T.DateType()),
-                    T.StructField("input_snapshot_id", T.LongType()),
-                    T.StructField("rows_in", T.LongType()),
-                    T.StructField("rows_out", T.LongType()),
-                    T.StructField("n_errors", T.LongType()),
-                    T.StructField("extractor_version", T.StringType()),
-                    T.StructField("wall_time_s", T.DoubleType()),
-                    T.StructField("attempt", T.IntegerType()),
-                    T.StructField("status", T.StringType()),
-                ]
-            )
             return spark.createDataFrame([], schema)
-        return spark.read.parquet(*files)
+        return spark.read.schema(schema).parquet(*files)

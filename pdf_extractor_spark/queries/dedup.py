@@ -272,9 +272,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .count()
         )
+        # release the superseded iteration's checkpointed blocks — without
+        # this up to MAX_LP_ITERATIONS label tables pile up in executor
+        # storage memory over the loop's lifetime
+        prev_labels = labels
         labels = new_labels
+        prev_labels.unpersist()
         if changed == 0:
             break
+    edges.unpersist()
     return labels.select("doc_id", "cluster_id")
 
 

@@ -99,39 +99,72 @@ def write_warc(
     return n
 
 
+def _parse_warc_date(s: str) -> dt.datetime:
+    """Lenient WARC-Date: real crawls emit fractional seconds and numeric
+    timezone offsets alongside the canonical `%Y-%m-%dT%H:%M:%SZ`. An
+    unparseable date degrades to the epoch instead of failing the record
+    (O23 containment — one bad header must never kill a whole file's
+    Spark task)."""
+    s = s.strip()
+    if s.endswith(("Z", "z")):
+        s = s[:-1] + "+00:00"
+    try:
+        d = dt.datetime.fromisoformat(s)
+    except ValueError:
+        return dt.datetime(1970, 1, 1)
+    if d.tzinfo is not None:
+        d = d.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return d
+
+
 def iter_warc_records(
     raw: bytes,
 ) -> Iterator[tuple[str, dt.datetime, bytes]]:
     """Yield (url, ts, payload) for each response record of a .warc.gz
-    byte string. Streams one decompressed record at a time."""
+    byte string. Streams one decompressed record at a time. Malformed
+    records are skipped (never raised): the parallel unit is the file, so
+    a per-record exception would fail the whole task — the same per-row
+    error containment (O23) the extraction stage applies."""
     stream = gzip.GzipFile(fileobj=io.BytesIO(raw))
     while True:
-        version = stream.readline()
+        try:
+            version = stream.readline()
+        except Exception:  # noqa: BLE001 — truncated/corrupt gzip stream
+            return  # keep the records already yielded, drop the tail
         if not version:
             return
         if not version.startswith(b"WARC/"):
             continue  # skip padding between members
-        headers: dict[bytes, bytes] = {}
-        while True:
-            line = stream.readline()
-            if line in (_CRLF, b"", b"\n"):
-                break
-            k, _, v = line.rstrip(b"\r\n").partition(b":")
-            headers[k.strip().lower()] = v.strip()
-        length = int(headers.get(b"content-length", b"0"))
-        block = stream.read(length)
-        stream.readline()  # record-trailing CRLF
-        stream.readline()  # blank line
-        if headers.get(b"warc-type") != b"response":
+        try:
+            headers: dict[bytes, bytes] = {}
+            while True:
+                line = stream.readline()
+                if line in (_CRLF, b"", b"\n"):
+                    break
+                k, _, v = line.rstrip(b"\r\n").partition(b":")
+                headers[k.strip().lower()] = v.strip()
+            try:
+                length = int(headers.get(b"content-length", b"0"))
+            except ValueError:
+                length = 0
+            block = stream.read(max(length, 0))
+            stream.readline()  # record-trailing CRLF
+            stream.readline()  # blank line
+            if headers.get(b"warc-type") != b"response":
+                continue
+            url = headers.get(b"warc-target-uri", b"").decode(
+                "utf-8", "replace"
+            )
+            ts = _parse_warc_date(
+                headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode(
+                    "ascii", "replace"
+                )
+            )
+            # payload = HTTP body after the first blank line of the message
+            sep = block.find(b"\r\n\r\n")
+            payload = block[sep + 4 :] if sep != -1 else b""
+        except Exception:  # noqa: BLE001 — skip the record, keep the file
             continue
-        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
-        ts = dt.datetime.strptime(
-            headers.get(b"warc-date", b"1970-01-01T00:00:00Z").decode(),
-            "%Y-%m-%dT%H:%M:%SZ",
-        )
-        # payload = HTTP body after the first blank line of the message
-        sep = block.find(b"\r\n\r\n")
-        payload = block[sep + 4 :] if sep != -1 else b""
         yield url, ts, payload
 
 
@@ -154,12 +187,18 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             tss: list[dt.datetime] = []
             payloads: list[bytes] = []
             for i in range(batch.num_rows):
-                for url, ts, payload in iter_warc_records(
-                    contents[i].as_py()
-                ):
-                    urls.append(url)
-                    tss.append(ts)
-                    payloads.append(payload)
+                # a truncated/corrupt gzip stream raises mid-iteration:
+                # keep the records already parsed, drop the rest of that
+                # file only — never the task
+                try:
+                    for url, ts, payload in iter_warc_records(
+                        contents[i].as_py()
+                    ):
+                        urls.append(url)
+                        tss.append(ts)
+                        payloads.append(payload)
+                except Exception:  # noqa: BLE001
+                    pass
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(urls, pa.string()),

@@ -27,6 +27,27 @@ def test_dispatch_equals_single_stage(spark):
     assert dispatched == base
 
 
+def test_dispatch_preserves_null_html_rows(spark):
+    """A NULL html payload must land in the small branch, not vanish: a
+    bare length() predicate is NULL on both branches and silently drops
+    the row, breaking the rows_in = rows_out lineage invariant."""
+    import datetime as dt
+
+    pages = spark.createDataFrame(
+        [
+            ("http://null.example/", dt.datetime(2025, 6, 1), None),
+            ("http://tiny.example/", dt.datetime(2025, 6, 1), b"<p>hi</p>"),
+        ],
+        "url string, warc_ts timestamp, html binary",
+    )
+    rows = {
+        r.url: r
+        for r in extract_stage_dispatch(pages, giant_threshold=4096).collect()
+    }
+    assert set(rows) == {"http://null.example/", "http://tiny.example/"}
+    assert rows["http://null.example/"].doc_type == "empty"
+
+
 def test_dispatch_branches_both_nonempty(spark):
     pages = spark.read.parquet(str(GOLDEN_DIR / "pages_micro.parquet"))
     n_small = pages.filter("length(html) < 4096").count()

@@ -27,6 +27,48 @@ def test_warc_roundtrip_pure_python(tmp_path):
         assert ts == r.warc_ts.replace(microsecond=0)
 
 
+def test_warc_malformed_records_are_contained():
+    """Per-record error containment (O23 for the connector): fractional-
+    second / offset WARC-Dates parse, garbage Content-Length and truncated
+    archives skip the bad record(s) — never raise out of the file."""
+    import datetime as dt
+    import gzip
+
+    def rec(headers: str, body: bytes = b"") -> bytes:
+        http = b"HTTP/1.1 200 OK\r\n\r\n" + body
+        head = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            + headers
+            + f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return gzip.compress(head + http + b"\r\n\r\n")
+
+    good = rec(
+        "WARC-Target-URI: http://a/\r\n"
+        "WARC-Date: 2025-06-01T12:00:00.123456+02:00\r\n",
+        b"ok-a",
+    )
+    bad_len = gzip.compress(
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://bad/\r\n"
+        b"Content-Length: banana\r\n\r\n"
+        b"HTTP/1.1 200 OK\r\n\r\nnope\r\n\r\n"
+    )
+    good2 = rec(
+        "WARC-Target-URI: http://b/\r\nWARC-Date: not-a-date\r\n", b"ok-b"
+    )
+    got = list(iter_warc_records(good + bad_len + good2))
+    by_url = {u: (ts, p) for u, ts, p in got}
+    assert by_url["http://a/"] == (
+        dt.datetime(2025, 6, 1, 10, 0, 0, 123456), b"ok-a",
+    )
+    assert by_url["http://b/"] == (dt.datetime(1970, 1, 1), b"ok-b")
+    # truncated archive (second member cut off mid-stream): records
+    # before the cut survive, the tail is dropped, nothing raises
+    blob = (good + good2)[: len(good) + 10]
+    assert [u for u, _, _ in iter_warc_records(blob)] == ["http://a/"]
+
+
 def test_warc_spark_read_and_extract(spark, tmp_path):
     rows = list(generate_rows(42, 40, 4))
     # two files → two parallel units
