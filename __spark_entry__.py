@@ -2,14 +2,14 @@
 
 ``entry(spark)`` runs the flagship text-pipeline profile over the
 sf0.001 documents table. ``queries()``/``oracle_sql()`` expose the full
-catalog from ``pdf_extractor_spark.queries`` — every SQL-expressible
-operator from SURVEY.md §2 plus the training-data-pipeline operators
-(dedup, similarity search, text analysis), each with a DuckDB oracle.
-
-The one oracle-less entry is ``extract_pages`` — the binary-payload
-HTML/PDF extraction engine itself, whose per-url byte-identity is
-verified against committed golden fixtures by
-``tests/test_golden_bytes.py`` (not expressible in DuckDB SQL).
+catalog from ``pdf_extractor_spark.queries`` — every operator from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup,
+similarity search, text analysis, multimodal), EACH with a DuckDB
+oracle. Binary-payload queries (extraction, media decode) are oracled
+against expected-output parquet computed by the pure-Python
+implementations (scripts/build_expected_oracles.py); per-url byte
+identity of the full extracted text is additionally gated by
+``tests/test_golden_bytes.py``.
 """
 
 from __future__ import annotations

@@ -4,10 +4,14 @@ This is the single source of truth consumed by `__spark_entry__.py`
 (driver correctness gate), `bench.py` (per-query timings), and
 `tests/test_queries_oracle.py` (local mirror of the driver's comparison).
 
-Oracle-less entries (oracle=None) are non-SQL-expressible in DuckDB over
-the pre-registered views — currently only the extraction pipeline itself,
-whose per-url byte-identity is instead verified against committed golden
-fixtures by tests/test_golden_bytes.py.
+Every entry carries an oracle. Queries whose computation is not
+SQL-expressible (binary payload parsing: extraction, media decode) are
+oracle-checked against EXPECTED-OUTPUT fixtures: parquet computed by the
+pure-Python implementations (ref_extractor, multimodal decoders) over the
+committed micro corpora — see scripts/build_expected_oracles.py. Their
+oracle SQL is a plain SELECT over the expected parquet, so the driver's
+hash gate still value-compares the Spark Arrow-batch path against an
+independent non-Spark execution.
 """
 
 from __future__ import annotations
@@ -35,6 +39,12 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None
     doc: str
+
+
+def _expected_sql(name: str, cols: str) -> str:
+    """Oracle over an expected-output fixture (pure-Python computed)."""
+    path = REPO_ROOT / "fixtures" / "golden" / "expected" / f"{name}.parquet"
+    return f"SELECT {cols} FROM '{path}'"
 
 
 def extract_first_block(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -206,21 +216,43 @@ CATALOG: dict[str, QuerySpec] = {
         cs.corpus_select, cs.CORPUS_SELECT_SQL,
         "training-set selection: quality gate + lang gate + fingerprint "
         "dedup in one pass (the capstone composite)"),
-    # --- multimodal columns (decode verified vs numpy in tests) ---
+    # --- multimodal columns (oracle = expected fixtures from the pure
+    #     numpy decoders, scripts/build_expected_oracles.py) ---
     "media_image_features": QuerySpec(
-        media_image_features, None,
+        media_image_features,
+        _expected_sql(
+            "media_image_features",
+            "media_id, width, height, channels, mean_luma, error",
+        ),
         "image decode + feature extraction (Arrow-batch UDF)"),
     "media_audio_features": QuerySpec(
-        media_audio_features, None,
+        media_audio_features,
+        _expected_sql(
+            "media_audio_features",
+            "media_id, sample_rate, n_samples, channels, duration_ms, "
+            "rms, error",
+        ),
         "audio decode + RMS/duration features (Arrow-batch UDF)"),
     "media_frame_sample": QuerySpec(
-        media_frame_sample, None,
+        media_frame_sample,
+        _expected_sql(
+            "media_frame_sample", "media_id, n_frames, n_sampled, error"
+        ),
         "video container demux + frame sampling (Arrow-batch UDF)"),
-    # --- the extraction engine itself (golden-fixture verified) ---
+    # --- the extraction engine itself (oracle = expected fixtures from
+    #     the pure-Python ref_extractor; byte-level goldens additionally
+    #     gate the full text in tests/test_golden_bytes.py) ---
     "extract_pages": QuerySpec(
-        extract_pages, None,
+        extract_pages,
+        _expected_sql(
+            "extract_pages", "url, doc_type, n_blocks, n_chars, text_md5"
+        ),
         "HTML/PDF main-content extraction over the micro corpus"),
     "extract_first_block": QuerySpec(
-        extract_first_block, None,
+        extract_first_block,
+        _expected_sql(
+            "extract_first_block",
+            "url, first_block_text, first_block_path",
+        ),
         "O16 first-page-only semantic: element_at over nested blocks"),
 }

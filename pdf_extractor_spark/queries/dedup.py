@@ -113,12 +113,25 @@ FROM (
 """
 
 
-# --------------------------------------------------------------------------
+# Max docs per LSH band bucket that still enter the pair self-join. A
+# degenerate bucket (boilerplate pages, empty shingle sets) of size S
+# would emit S² pairs in ONE task — the quadratic blow-up that kills the
+# plan on a real skewed crawl. Buckets above the cap carry near-zero
+# information for NEAR-dup detection (their members are typically exact
+# dups, which dedup_exact already catches at linear cost), so they are
+# dropped wholesale; the cap bounds worst-case per-bucket work at CAP².
+LSH_BUCKET_CAP = 64
+
+
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: (doc, band_idx, md5(sig_2b || sig_2b+1)) exploded, then
     an equi-self-join on the band key. At 100 TB this join shuffles only
-    the 48-byte band keys, never the documents — and a bucket-size cap
-    (drop band_hash groups with count > limit) bounds worst-case skew."""
+    the 48-byte band keys, never the documents — and the bucket-size cap
+    (drop band_hash groups with count > LSH_BUCKET_CAP) bounds worst-case
+    skew: the window count shuffles once on exactly the join key, so the
+    self-join reuses the same hash partitioning."""
+    from pyspark.sql import Window
+
     sig = _with_signature(spark, sf_dir)
     bands = sig.select(
         "doc_id",
@@ -136,6 +149,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+    bw = Window.partitionBy("band_idx", "band_hash")
+    bands = (
+        bands.withColumn("bucket_n", F.count("*").over(bw))
+        .filter(F.col("bucket_n") <= LSH_BUCKET_CAP)
+        .drop("bucket_n")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -159,12 +178,18 @@ _BAND_STRUCTS_DUCK = ", ".join(
 )
 DEDUP_LSH_PAIRS_SQL = f"""
 WITH sig AS ({DEDUP_MINHASH_SQL}),
-bands AS (
+bands_all AS (
   SELECT doc_id, band.* FROM (
     SELECT doc_id,
            unnest([{", ".join(f"{{'band_idx': {b}, 'band_hash': md5(sig_{2 * b} || sig_{2 * b + 1})}}" for b in range(N_BANDS))}]) AS band
     FROM sig
   )
+),
+bands AS (
+  SELECT doc_id, band_idx, band_hash FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bucket_n
+    FROM bands_all
+  ) WHERE bucket_n <= {LSH_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -307,12 +332,24 @@ GROUP BY d.doc_id
 # --------------------------------------------------------------------------
 JACCARD_THRESHOLD = 0.05
 
+# Document-frequency cap for shingles entering the intersection self-join.
+# A stop-bigram ("of the") shared by all S docs of a source contributes S²
+# intersection rows — quadratic in the hottest key. Shingles with DF > cap
+# are near-zero-information for similarity (they barely discriminate), so
+# they are pruned from the INTERSECTION only; set sizes |A|,|B| stay exact,
+# making the reported Jaccard a tight lower bound (standard DF-pruning).
+SHINGLE_DF_CAP = 24
+
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-2-gram Jaccard similarity for candidate pairs (bounded to
     same-`source` pairs here; at web scale the candidate set comes from the
     LSH band join — identical join shape). The intersection is computed by
-    a shingle-key equi-join + count, never by materializing pairs of sets."""
+    a shingle-key equi-join + count, never by materializing pairs of sets;
+    hot shingles (per-source DF > SHINGLE_DF_CAP) are pruned before the
+    join so no single shingle key can go quadratic."""
+    from pyspark.sql import Window
+
     sh = (
         _docs(spark, sf_dir)
         .withColumn("toks", F.expr(TOKS_S))
@@ -324,8 +361,14 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    dfw = Window.partitionBy("source", "shingle")
+    pruned = (
+        sh.withColumn("df", F.count("*").over(dfw))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .drop("df")
+    )
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     inter = (
         a.join(
             b,
@@ -367,9 +410,14 @@ WITH sh AS (
   )
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+pruned AS (
+  SELECT doc_id, source, shingle FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY source, shingle) AS df FROM sh
+  ) WHERE df <= {SHINGLE_DF_CAP}
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b
+  FROM pruned a JOIN pruned b
     ON a.source = b.source AND a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )

@@ -198,9 +198,12 @@ TOP_NGRAMS = 50
 
 def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level n-gram frequency: top-K word bigrams. The count is a
-    map-side-combined hash agg on the bigram key; the final top-K is a
-    single-partition window over the (tiny) aggregated result — the
-    standard global-top-k shape."""
+    map-side-combined hash agg on the bigram key; the global top-K is
+    orderBy().limit(K) — Catalyst compiles it to TakeOrderedAndProject,
+    where every task keeps a local K-heap and only K rows per task reach
+    the driver-side merge. (A row_number window with no partitionBy would
+    instead funnel ALL distinct bigrams — billions at web scale — through
+    one task.) The rank column is then assigned over exactly K rows."""
     from pyspark.sql import Window
 
     grams = (
@@ -210,10 +213,12 @@ def text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bigram")
         .agg(F.count("*").alias("n_docs"))
     )
+    topk = grams.orderBy(
+        F.col("n_docs").desc(), F.col("bigram").asc()
+    ).limit(TOP_NGRAMS)
     w = Window.orderBy(F.col("n_docs").desc(), F.col("bigram").asc())
     return (
-        grams.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_NGRAMS)
+        topk.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "bigram", "n_docs")
     )
 

@@ -10,15 +10,17 @@ topology; this module is the SAME extraction stage mounted on a
       → foreachBatch: IceTable.append + lineage row per micro-batch
       trigger: availableNow (catch-up-and-stop) or processingTime
 
-Semantics: the streaming file source + checkpoint gives exactly-once
-*source* tracking (each input file is processed in exactly one
-micro-batch, recorded in the checkpoint's file log). The sink side is an
-IceTable append per micro-batch; a crash between append and checkpoint
-commit can duplicate one micro-batch on restart, so each batch's rows
-carry `batch_id` and the lineage log records (batch_id, attempt) —
-downstream dedup is `row_number() over (url, batch_id)` = 1, and the
-batch path remains the recommended topology when strict exactly-once
-matters (its partition-overwrite commit is idempotent).
+Semantics: exactly-once end to end. The streaming file source +
+checkpoint gives exactly-once *source* tracking (each input file is
+processed in exactly one micro-batch, recorded in the checkpoint's file
+log), and the sink commit is IDEMPOTENT: every IceTable append embeds
+`stream_max_batch = batch_id` in the snapshot json — the same atomic
+rename that publishes the data — so a micro-batch replayed after a crash
+between append and checkpoint commit is detected (its batch_id is <= the
+table's committed marker, batch ids being monotonic per checkpoint) and
+skipped. This is the standard foreachBatch "transactional sink via
+batchId" pattern; `tests/test_streaming.py` replays a committed batch
+and asserts zero duplicate rows.
 
 No watermarks/stateful ops are needed: extraction is stateless per row
 (the reference is a stateless request handler — SURVEY.md §2.1
@@ -52,6 +54,53 @@ PAGES_SCHEMA = T.StructType(
 )
 
 
+def commit_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    extracted_tbl: IceTable,
+    lineage: LineageLog,
+) -> bool:
+    """Idempotent micro-batch commit: extract, append, record lineage.
+    Returns False (and writes NOTHING) when this batch_id was already
+    committed — the replay path after a crash between the table commit
+    and the streaming checkpoint commit. The progress marker rides in the
+    snapshot json itself, so marker and data are one atomic rename."""
+    snap = extracted_tbl.current_snapshot()
+    committed = (snap or {}).get("stream_max_batch", -1)
+    if batch_id <= committed:
+        return False  # exactly-once: replayed batch, already in the table
+    t0 = time.monotonic()
+    out = with_partition_date(extract_stage_dispatch(batch_df)).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    )
+    _, added = extracted_tbl.append_tracked(
+        out, extra={"stream_max_batch": max(committed, batch_id)}
+    )
+    # count ONLY this batch's files — never re-scan the table (which
+    # grows without bound over the stream's lifetime)
+    ss = batch_df.sparkSession
+    counts = {
+        p: ss.read.parquet(*files).count()
+        for p, files in sorted(added.items())
+    }
+    lineage.append(
+        [
+            {
+                "partition_date": str(p),
+                "input_snapshot_id": batch_id,
+                "rows_in": n,
+                "rows_out": n,
+                "extractor_version": EXTRACTOR_VERSION,
+                "wall_time_s": time.monotonic() - t0,
+                "attempt": 1,
+                "status": "ok",
+            }
+            for p, n in sorted(counts.items())
+        ]
+    )
+    return True
+
+
 def stream_extract(
     spark: SparkSession,
     landing_dir: str,
@@ -75,37 +124,12 @@ def stream_extract(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.parquet(landing_dir)
 
-    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
-        t0 = time.monotonic()
-        out = with_partition_date(extract_stage_dispatch(batch_df)).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        )
-        _, added = extracted_tbl.append_tracked(out)
-        # count ONLY this batch's files — never re-scan the table (which
-        # grows without bound over the stream's lifetime)
-        ss = batch_df.sparkSession
-        counts = {
-            p: ss.read.parquet(*files).count()
-            for p, files in sorted(added.items())
-        }
-        lineage.append(
-            [
-                {
-                    "partition_date": str(p),
-                    "input_snapshot_id": batch_id,
-                    "rows_in": n,
-                    "rows_out": n,
-                    "extractor_version": EXTRACTOR_VERSION,
-                    "wall_time_s": time.monotonic() - t0,
-                    "attempt": 1,
-                    "status": "ok",
-                }
-                for p, n in sorted(counts.items())
-            ]
-        )
-
     writer = (
-        pages.writeStream.foreachBatch(commit_batch)
+        pages.writeStream.foreachBatch(
+            lambda batch_df, batch_id: commit_batch(
+                batch_df, batch_id, extracted_tbl, lineage
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .queryName("extract_pages_stream")
     )

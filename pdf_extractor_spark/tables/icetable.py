@@ -115,7 +115,8 @@ class IceTable:
         return out
 
     def _commit(self, partitions: dict, operation: str,
-                schema_json: str | None) -> int:
+                schema_json: str | None,
+                extra: dict | None = None) -> int:
         """``partitions`` maps partition value → either a reusable manifest
         relpath (unchanged partition) or a list of relative data files
         (changed — a new manifest is written). Only changed partitions cost
@@ -134,6 +135,7 @@ class IceTable:
             "committed_at_unix": time.time(),  # informational only
             "schema_json": schema_json or (prev or {}).get("schema_json"),
             "partitions": refs,
+            **(extra or {}),
         }
         self.meta_dir.mkdir(parents=True, exist_ok=True)
         snap_name = f"snap-{new_id:08d}.json"
@@ -175,11 +177,16 @@ class IceTable:
         snap_id, _ = self.append_tracked(df)
         return snap_id
 
-    def append_tracked(self, df: DataFrame) -> tuple[int, dict[str, list[str]]]:
+    def append_tracked(
+        self, df: DataFrame, extra: dict | None = None
+    ) -> tuple[int, dict[str, list[str]]]:
         """Append and return (snapshot_id, {partition: [abs file path…]})
         of exactly the files this commit added — lets callers account for
         an append (counts, lineage) by reading only its own files instead
-        of re-scanning the table."""
+        of re-scanning the table. ``extra`` key/values are embedded in the
+        snapshot json ATOMICALLY with the commit — the hook idempotent
+        writers (streaming ingest) use to record their progress marker in
+        the same atomic rename as the data it describes."""
         added = self._stage_write(df)
         prev = self.current_snapshot()
         parts: dict = dict(prev["partitions"]) if prev else {}
@@ -188,7 +195,7 @@ class IceTable:
                 parts[p] = self._manifest_files(parts[p]) + fs
             else:
                 parts[p] = fs
-        snap_id = self._commit(parts, "append", df.schema.json())
+        snap_id = self._commit(parts, "append", df.schema.json(), extra)
         abs_added = {
             p: [str(self.root / r) for r in fs] for p, fs in added.items()
         }
@@ -203,6 +210,93 @@ class IceTable:
         for p, fs in added.items():
             parts[p] = fs  # replaced wholesale
         return self._commit(parts, "overwrite_partitions", df.schema.json())
+
+    # -- maintenance -------------------------------------------------------------
+    def compact(
+        self,
+        spark: SparkSession,
+        partitions: list[str] | None = None,
+        min_files: int = 2,
+    ) -> int:
+        """Rewrite each selected partition's accumulated small files into
+        ~one file per partition (Iceberg ``rewrite_data_files`` analog).
+        Repeated appends — streaming micro-batches especially — leave
+        dozens of tiny parquet files per partition; at 100× scale the
+        scan's task count and open-file overhead degrade with them.
+
+        The rewrite commits through the SAME atomic-rename snapshot path
+        as every other write: readers see either the old file set or the
+        new one, never a mix, and prior snapshots still time-travel
+        because old data files are left in place (reclaim them with
+        ``expire_snapshots``). Partitions with fewer than ``min_files``
+        files are skipped (no needless rewrite). Returns the new snapshot
+        id, or the current one if nothing needed compaction."""
+        from pyspark.sql import functions as F
+
+        snap = self.current_snapshot()
+        if snap is None:
+            return -1
+        todo = []
+        for part, ref in sorted(snap["partitions"].items()):
+            if partitions is not None and part not in set(partitions):
+                continue
+            if len(self._manifest_files(ref)) >= min_files:
+                todo.append(part)
+        if not todo:
+            return snap["snapshot_id"]
+        df = self.read(spark, partitions=todo)
+        # one shuffle keyed on the partition column → each task holds
+        # whole partitions → ~one output file per partition value
+        compacted = df.repartition(F.col(self.partition_col))
+        added = self._stage_write(compacted)
+        parts: dict = dict(snap["partitions"])
+        for p in todo:
+            parts[p] = added.get(p, [])
+        return self._commit(parts, "compact", df.schema.json())
+
+    def expire_snapshots(self, keep_last: int = 3) -> dict[str, int]:
+        """Metadata/data GC (Iceberg ``expire_snapshots`` analog): keep
+        the most recent ``keep_last`` snapshots, delete older snapshot
+        files, then delete manifests and data files referenced ONLY by
+        the expired snapshots. Time travel remains valid for every kept
+        snapshot; the atomic CURRENT pointer is never touched."""
+        snaps = sorted(self.meta_dir.glob("snap-*.json"))
+        if len(snaps) <= keep_last:
+            return {"snapshots": 0, "manifests": 0, "data_files": 0}
+        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        live_manifests: set[str] = set()
+        live_data: set[str] = set()
+        for p in keep:
+            with open(p, encoding="utf-8") as f:
+                s = json.load(f)
+            for ref in s["partitions"].values():
+                if isinstance(ref, str):
+                    live_manifests.add(ref)
+                live_data.update(self._manifest_files(ref))
+        dead_manifests: set[str] = set()
+        dead_data: set[str] = set()
+        for p in drop:
+            with open(p, encoding="utf-8") as f:
+                s = json.load(f)
+            for ref in s["partitions"].values():
+                if isinstance(ref, str) and ref not in live_manifests:
+                    dead_manifests.add(ref)
+                dead_data.update(
+                    r
+                    for r in self._manifest_files(ref)
+                    if r not in live_data
+                )
+        for p in drop:
+            p.unlink()
+        for rel in dead_manifests:
+            (self.root / rel).unlink(missing_ok=True)
+        for rel in dead_data:
+            (self.root / rel).unlink(missing_ok=True)
+        return {
+            "snapshots": len(drop),
+            "manifests": len(dead_manifests),
+            "data_files": len(dead_data),
+        }
 
     # -- time travel -------------------------------------------------------------
     def history(self) -> list[dict]:

@@ -1,0 +1,222 @@
+"""Materialize expected outputs for the five previously oracle-less
+catalog queries, so the driver's DuckDB hash gate covers 34/34.
+
+Each expected table is computed by the PURE-PYTHON implementations
+(ref_extractor.extract, operators/multimodal.py decoders) directly over
+the committed fixtures — no Spark involved — then written under
+``fixtures/golden/expected/``. The catalog's oracle SQL for these queries
+is simply ``SELECT … FROM '<expected>.parquet'``: DuckDB reads the
+fixture, the driver hash-compares it against the Spark result, and any
+divergence between the Spark Arrow-batch path and the pure spec fails
+the gate.
+
+Regenerate ONLY when extractor/decoder semantics intentionally change
+(same policy as the goldens — bump EXTRACTOR_VERSION alongside):
+
+    python scripts/build_expected_oracles.py
+
+``tests/test_expected_oracles.py`` recomputes everything in-memory and
+asserts the committed fixtures match, so silent drift is caught by CI.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import pathlib
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+GOLDEN = REPO / "fixtures" / "golden"
+EXPECTED = GOLDEN / "expected"
+
+
+def expected_extract_pages() -> pa.Table:
+    from pdf_extractor_spark.ref_extractor import extract
+
+    pages = pq.read_table(GOLDEN / "pages_micro.parquet").to_pylist()
+    rows = []
+    for p in pages:
+        res = extract(p["html"])
+        rows.append(
+            {
+                "url": p["url"],
+                "doc_type": res.doc_type,
+                "n_blocks": res.n_blocks,
+                "n_chars": res.n_chars,
+                "text_md5": hashlib.md5(
+                    res.text.encode("utf-8")
+                ).hexdigest(),
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("doc_type", pa.string()),
+                ("n_blocks", pa.int64()),
+                ("n_chars", pa.int64()),
+                ("text_md5", pa.string()),
+            ]
+        ),
+    )
+
+
+def expected_extract_first_block() -> pa.Table:
+    from pdf_extractor_spark.ref_extractor import extract
+
+    pages = pq.read_table(GOLDEN / "pages_micro.parquet").to_pylist()
+    rows = []
+    for p in pages:
+        res = extract(p["html"])
+        kept = [b for b in res.blocks if b.kept]
+        if not kept:
+            continue
+        rows.append(
+            {
+                "url": p["url"],
+                "first_block_text": kept[0].text,
+                "first_block_path": kept[0].tag_path,
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("first_block_text", pa.string()),
+                ("first_block_path", pa.string()),
+            ]
+        ),
+    )
+
+
+def _media(kind: str) -> list[dict]:
+    tbl = pq.read_table(GOLDEN / "media_micro.parquet")
+    return [r for r in tbl.to_pylist() if r["kind"] == kind]
+
+
+def expected_media_image_features() -> pa.Table:
+    from pdf_extractor_spark.operators.multimodal import decode_image
+
+    rows = []
+    for m in _media("image"):
+        row = {"media_id": m["media_id"], "width": None, "height": None,
+               "channels": None, "mean_luma": None, "error": None}
+        try:
+            img = decode_image(m["payload"])
+            h, w, c = img.shape
+            f = img.astype(np.float64)
+            luma = (
+                0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+            )
+            row.update(
+                width=w, height=h, channels=c,
+                mean_luma=round(float(luma.mean()), 6),
+            )
+        except Exception as e:  # noqa: BLE001 — mirrors O23 containment
+            row["error"] = f"{type(e).__name__}: {e}"
+        rows.append(row)
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("width", pa.int32()),
+                ("height", pa.int32()),
+                ("channels", pa.int32()),
+                ("mean_luma", pa.float64()),
+                ("error", pa.string()),
+            ]
+        ),
+    )
+
+
+def expected_media_audio_features() -> pa.Table:
+    from pdf_extractor_spark.operators.multimodal import decode_wav
+
+    rows = []
+    for m in _media("audio"):
+        row = {"media_id": m["media_id"], "sample_rate": None,
+               "n_samples": None, "channels": None, "duration_ms": None,
+               "rms": None, "error": None}
+        try:
+            samples, rate = decode_wav(m["payload"])
+            n, ch = samples.shape
+            rms = float(np.sqrt(np.mean(np.square(samples)))) if n else 0.0
+            row.update(
+                sample_rate=rate, n_samples=n, channels=ch,
+                duration_ms=int(n * 1000 / rate), rms=round(rms, 6),
+            )
+        except Exception as e:  # noqa: BLE001
+            row["error"] = f"{type(e).__name__}: {e}"
+        rows.append(row)
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("sample_rate", pa.int32()),
+                ("n_samples", pa.int64()),
+                ("channels", pa.int32()),
+                ("duration_ms", pa.int64()),
+                ("rms", pa.float64()),
+                ("error", pa.string()),
+            ]
+        ),
+    )
+
+
+def expected_media_frame_sample(every_k: int = 4) -> pa.Table:
+    from pdf_extractor_spark.operators.multimodal import decode_rawv
+
+    rows = []
+    for m in _media("video"):
+        row = {"media_id": m["media_id"], "n_frames": None,
+               "n_sampled": None, "error": None}
+        try:
+            frames = decode_rawv(m["payload"])
+            row.update(
+                n_frames=len(frames), n_sampled=len(frames[::every_k])
+            )
+        except Exception as e:  # noqa: BLE001
+            row["error"] = f"{type(e).__name__}: {e}"
+        rows.append(row)
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("n_frames", pa.int32()),
+                ("n_sampled", pa.int32()),
+                ("error", pa.string()),
+            ]
+        ),
+    )
+
+
+BUILDERS = {
+    "extract_pages": expected_extract_pages,
+    "extract_first_block": expected_extract_first_block,
+    "media_image_features": expected_media_image_features,
+    "media_audio_features": expected_media_audio_features,
+    "media_frame_sample": expected_media_frame_sample,
+}
+
+
+def main() -> None:
+    EXPECTED.mkdir(parents=True, exist_ok=True)
+    for name, fn in BUILDERS.items():
+        tbl = fn()
+        pq.write_table(tbl, EXPECTED / f"{name}.parquet")
+        print(f"wrote {name}: {tbl.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main()

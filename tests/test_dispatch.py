@@ -37,3 +37,43 @@ def test_random_binary_never_raises():
 def test_error_message_deterministic():
     p = b"%PDF-1.4\ngarbage"
     assert extract(p).error == extract(p).error
+
+
+def test_secondary_extractor_hook_for_textless_pdf():
+    """The O5/OCR plug point: a registered secondary extractor receives
+    textless PDFs; unregistered, behavior is the documented 'empty'
+    (goldens unchanged — asserted corpus-wide by test_golden_bytes)."""
+    from pdf_extractor_spark.corpus.pdf_writer import PageContent, write_pdf
+    from pdf_extractor_spark.ref_extractor.dispatch import (
+        clear_secondary_extractors,
+        register_secondary_extractor,
+    )
+    from pdf_extractor_spark.ref_extractor.types import ExtractResult
+
+    textless = write_pdf([PageContent()])
+    texty = write_pdf(
+        [PageContent().begin(12).tm(72, 700).tj("real text").end()]
+    )
+    assert extract(textless).doc_type == "empty"
+
+    calls = []
+
+    def fake_ocr(payload: bytes):
+        calls.append(payload[:8])
+        return ExtractResult(doc_type="pdf_ocr", text="ocr text")
+
+    def broken(payload: bytes):
+        raise RuntimeError("plugin blew up")
+
+    try:
+        register_secondary_extractor(broken)  # must be skipped, not fatal
+        register_secondary_extractor(fake_ocr)
+        res = extract(textless)
+        assert (res.doc_type, res.text) == ("pdf_ocr", "ocr text")
+        assert len(calls) == 1
+        # PDFs with a text layer never reach the secondary arm
+        assert extract(texty).doc_type == "pdf"
+        assert len(calls) == 1
+    finally:
+        clear_secondary_extractors()
+    assert extract(textless).doc_type == "empty"

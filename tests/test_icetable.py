@@ -74,6 +74,54 @@ def test_partition_date_column_recovered(spark, tbl):
     assert row[0] == "2025-06-14"
 
 
+def test_compact_rewrites_small_files(spark, tbl):
+    """N appends → compact → same rows, fewer live files, and the
+    pre-compaction snapshot still time-travels (old files untouched)."""
+    for i in range(5):
+        tbl.append(
+            _df(spark, [(i, "a", "2025-06-14"), (100 + i, "b", "2025-06-15")])
+        )
+    pre_snap = tbl.snapshot_id()
+    pre_files = tbl.files()
+    assert len(pre_files) == 10  # 5 appends × 2 partitions
+    rows_before = {(r.id, r.v) for r in tbl.read(spark).collect()}
+
+    snap_id = tbl.compact(spark)
+    assert snap_id == pre_snap + 1
+    assert len(tbl.files()) < len(pre_files)
+    assert len(tbl.files()) == 2  # ~one file per partition
+    rows_after = {(r.id, r.v) for r in tbl.read(spark).collect()}
+    assert rows_after == rows_before
+    # time travel to the pre-compaction snapshot still sees all rows
+    old = {(r.id, r.v) for r in tbl.read_snapshot(spark, pre_snap).collect()}
+    assert old == rows_before
+    # a second compact is a no-op (nothing above min_files)
+    assert tbl.compact(spark) == snap_id
+
+
+def test_expire_snapshots_gc(spark, tbl):
+    for i in range(5):
+        tbl.append(_df(spark, [(i, "a", "2025-06-14")]))
+    tbl.compact(spark)
+    rows = {(r.id, r.v) for r in tbl.read(spark).collect()}
+    n_data_before = sum(1 for _ in tbl.data_dir.rglob("*.parquet"))
+    stats = tbl.expire_snapshots(keep_last=1)
+    assert stats["snapshots"] == 5
+    assert stats["data_files"] > 0
+    # current table is untouched
+    assert {(r.id, r.v) for r in tbl.read(spark).collect()} == rows
+    # expired snapshots' orphan data files are physically gone
+    n_data_after = sum(1 for _ in tbl.data_dir.rglob("*.parquet"))
+    assert n_data_after < n_data_before
+    assert n_data_after == len(tbl.files())
+    # kept snapshot still time-travels; expired ones are gone
+    assert tbl.read_snapshot(spark, tbl.snapshot_id()).count() == len(rows)
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        tbl.read_snapshot(spark, 0)
+
+
 def test_commit_metadata_is_o_changed_partitions(spark, tbl):
     """Hierarchical manifests: an append touching one partition must reuse
     every other partition's manifest file verbatim (content-addressed),

@@ -55,6 +55,14 @@ def test_embedding_topk_broadcasts_queries(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_ngram_freq_topk_is_take_ordered(spark):
+    """The global top-K must compile to TakeOrderedAndProject (per-task
+    K-heaps, K rows to the driver) — never a row_number window with no
+    partitionBy, which funnels every distinct bigram through one task."""
+    plan = plan_of(CATALOG["text_ngram_freq"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_projection_queries_have_no_shuffle(spark):
     for name in ("text_quality", "text_fingerprint", "dedup_simhash",
                  "o9_fallback_chain", "o21_locale_normalize"):

@@ -1,30 +1,35 @@
-"""ANN quality regression: multiprobe IVF must strictly beat single-probe
-IVF recall against the exact brute-force top-k (the whole point of the
-Hamming-1 probe expansion). Absolute floors are loose because random
-near-orthogonal embeddings are LSH's worst case — real clustered
-embeddings sit far higher — but a regression below these floors means the
-bucketing broke."""
+"""ANN quality regression against the exact brute-force top-k.
+
+The query-directed multiprobe path must reach recall >= 0.9 even here —
+and random near-orthogonal embeddings are LSH's WORST case (recall ≈
+scan fraction, measured by scripts/ann_probe_sweep.py); real clustered
+embeddings reach the same recall with far fewer probes. The single-probe
+IVF floor is loose: it only guards that the bucketing itself still
+works."""
 
 from __future__ import annotations
 
+import pytest
+
 from pdf_extractor_spark.queries import CATALOG
 
-SF = "/root/testdata/sf0.001"
 
-
-def _pairs(spark, name):
+def _pairs(spark, name, sf):
     return {
         (r.query_id, r.neighbor_id)
-        for r in CATALOG[name].fn(spark, SF).collect()
+        for r in CATALOG[name].fn(spark, sf).collect()
     }
 
 
-def test_multiprobe_beats_single_probe(spark):
-    exact = _pairs(spark, "embedding_topk")
-    ivf = _pairs(spark, "embedding_ivf_topk")
-    multi = _pairs(spark, "embedding_ivf_multiprobe")
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_multiprobe_recall(spark, sf):
+    exact = _pairs(spark, "embedding_topk", sf)
+    ivf = _pairs(spark, "embedding_ivf_topk", sf)
+    multi = _pairs(spark, "embedding_ivf_multiprobe", sf)
     r_ivf = len(ivf & exact) / len(exact)
     r_multi = len(multi & exact) / len(exact)
     assert r_multi > r_ivf
     assert r_ivf >= 0.15
-    assert r_multi >= 0.45
+    assert r_multi >= 0.9

@@ -58,6 +58,38 @@ def test_stream_extract_incremental(spark, tmp_path):
     assert ops == ["append", "append"]
 
 
+def test_replayed_batch_is_exactly_once(spark, tmp_path):
+    """Crash-replay simulation: re-delivering an already-committed
+    micro-batch (the crash-between-append-and-checkpoint window) must
+    write nothing — no duplicate rows, no new snapshot, no lineage."""
+    from pdf_extractor_spark.plans.lineage import LineageLog
+    from pdf_extractor_spark.streaming.ingest import commit_batch
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = list(generate_rows(7, 20, 2))
+    pq.write_table(rows_to_pages_table(rows), landing / "f.parquet")
+    wh = str(tmp_path / "wh")
+    _drain(stream_extract(spark, str(landing), wh, str(tmp_path / "ck")))
+
+    tbl = IceTable(f"{wh}/extracted_stream")
+    lineage = LineageLog(f"{wh}/lineage_stream")
+    n_rows = tbl.read(spark).count()
+    n_snap = tbl.snapshot_id()
+    n_lineage = len(lineage.records())
+
+    batch_df = spark.read.parquet(str(landing / "f.parquet"))
+    assert commit_batch(batch_df, 0, tbl, lineage) is False  # replay
+    assert tbl.read(spark).count() == n_rows
+    assert tbl.snapshot_id() == n_snap
+    assert len(lineage.records()) == n_lineage
+
+    # a genuinely new batch id still commits
+    assert commit_batch(batch_df, 1, tbl, lineage) is True
+    assert tbl.read(spark).count() == 2 * n_rows
+    assert tbl.current_snapshot()["stream_max_batch"] == 1
+
+
 def test_stream_lineage_rows(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()
