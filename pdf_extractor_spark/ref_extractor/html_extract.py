@@ -73,7 +73,6 @@ POSITIVE_CLASS_RE = re.compile(
 _META_CHARSET_RE = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.IGNORECASE
 )
-_WS_RE = re.compile(r"\s+")
 
 
 def detect_and_decode(payload: bytes) -> str:
@@ -109,16 +108,18 @@ def detect_and_decode(payload: bytes) -> str:
 
 
 def canon_ws(s: str) -> str:
-    """Canonical whitespace: collapse all runs to one space, strip ends."""
-    return _WS_RE.sub(" ", s).strip()
+    """Canonical whitespace: collapse all runs to one space, strip ends.
+    ``str.split`` splits on exactly the same character set as ``\\s+``
+    (verified over every Unicode codepoint) and runs at C speed."""
+    return " ".join(s.split())
 
 
 class _Frame:
-    __slots__ = ("tag", "classid", "drop", "neg", "pos")
+    __slots__ = ("tag", "path", "drop", "neg", "pos")
 
-    def __init__(self, tag: str, classid: str, drop: bool, neg: bool, pos: bool):
+    def __init__(self, tag: str, path: str, drop: bool, neg: bool, pos: bool):
         self.tag = tag
-        self.classid = classid
+        self.path = path  # full materialized tag path down to this frame
         self.drop = drop
         self.neg = neg
         self.pos = pos
@@ -139,13 +140,13 @@ class _BlockParser(HTMLParser):
         self._link_chars = 0
         self._inline_tags = 0
         self._anchor_depth = 0
+        # running ancestor state (kept in lockstep with `stack` so _flush
+        # never rescans the stack): count of open drop/neg/pos frames
+        self._drop_depth = 0
+        self._neg_depth = 0
+        self._pos_depth = 0
 
     # -- helpers ------------------------------------------------------------
-    def _path(self) -> str:
-        return "/".join(
-            f.tag + ("." + f.classid if f.classid else "") for f in self.stack
-        )
-
     def _flush(self) -> None:
         if not self._parts:
             self._link_chars = 0
@@ -154,18 +155,19 @@ class _BlockParser(HTMLParser):
         raw = "".join(self._parts)
         text = canon_ws(raw)
         if text:
+            stack = self.stack
             self.blocks.append(
                 {
-                    "tag_path": self._path() or "(root)",
+                    "tag_path": stack[-1].path if stack else "(root)",
                     "text": text,
                     "link_chars": min(self._link_chars, len(raw)),
                     "raw_chars": len(text),
                     "inline_tags": self._inline_tags,
-                    "dropped_subtree": any(f.drop for f in self.stack),
-                    "neg": any(f.neg for f in self.stack),
-                    "pos": any(f.pos for f in self.stack),
-                    "heading": bool(self.stack)
-                    and self.stack[-1].tag in HEADING_TAGS,
+                    "dropped_subtree": self._drop_depth > 0,
+                    "neg": self._neg_depth > 0,
+                    "pos": self._pos_depth > 0,
+                    "heading": bool(stack)
+                    and stack[-1].tag in HEADING_TAGS,
                 }
             )
         self._parts = []
@@ -186,6 +188,11 @@ class _BlockParser(HTMLParser):
             if tag == "br":
                 self._parts.append(" ")
             return
+        if tag not in BLOCK_TAGS:
+            self._inline_tags += 1
+            if tag == "a":
+                self._anchor_depth += 1
+            return
         attr_map = {}
         for k, v in attrs:
             if v is not None and k in ("class", "id"):
@@ -194,21 +201,19 @@ class _BlockParser(HTMLParser):
             v for v in (attr_map.get("class", ""), attr_map.get("id", "")) if v
         )
         first_class = (attr_map.get("class", "") or attr_map.get("id", "")).split()
-        if tag in BLOCK_TAGS:
-            self._flush()
-            self.stack.append(
-                _Frame(
-                    tag,
-                    first_class[0] if first_class else "",
-                    tag in DROP_SUBTREE_TAGS,
-                    bool(classid_full) and bool(NEGATIVE_CLASS_RE.search(classid_full)),
-                    bool(classid_full) and bool(POSITIVE_CLASS_RE.search(classid_full)),
-                )
-            )
-        else:
-            self._inline_tags += 1
-            if tag == "a":
-                self._anchor_depth += 1
+        self._flush()
+        classid = first_class[0] if first_class else ""
+        seg = tag + ("." + classid if classid else "")
+        parent = self.stack[-1].path if self.stack else ""
+        drop = tag in DROP_SUBTREE_TAGS
+        neg = bool(classid_full) and bool(NEGATIVE_CLASS_RE.search(classid_full))
+        pos = bool(classid_full) and bool(POSITIVE_CLASS_RE.search(classid_full))
+        self.stack.append(
+            _Frame(tag, parent + "/" + seg if parent else seg, drop, neg, pos)
+        )
+        self._drop_depth += drop
+        self._neg_depth += neg
+        self._pos_depth += pos
 
     def handle_startendtag(self, tag, attrs):
         if tag == "br":
@@ -235,6 +240,10 @@ class _BlockParser(HTMLParser):
             # matching tag is open, ignore the stray end tag.
             for i in range(len(self.stack) - 1, -1, -1):
                 if self.stack[i].tag == tag:
+                    for f in self.stack[i:]:
+                        self._drop_depth -= f.drop
+                        self._neg_depth -= f.neg
+                        self._pos_depth -= f.pos
                     del self.stack[i:]
                     break
 
@@ -252,14 +261,263 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer: a single-pass transcription of stdlib html.parser's
+# goahead()/parse_*() for the feed-once-then-close usage, driving the SAME
+# _BlockParser callbacks with byte-identical semantics. It reuses the
+# stdlib's own compiled regexes (so tokenization boundaries are identical
+# by construction) and drops what we never use: line/offset bookkeeping
+# (updatepos was pure overhead), incremental-buffer suspend/resume (we
+# always have the whole document; "incomplete at buffer end" constructs
+# take stdlib's end-of-input path immediately), comment/decl/PI payload
+# slicing (our handlers are no-ops for them), and attribute collection for
+# tags whose attrs the handlers never read (only BLOCK_TAGS use class/id;
+# the attr REGEX loop still runs for every tag because the stdlib's
+# where-does-this-tag-end decision depends on it). Identity to the stdlib
+# path is enforced by tests/test_differential.py (millions of fuzzed
+# payloads via scripts/fuzz_tokenizer.py) and the golden corpus.
+import _markupbase as _mb
+import html.parser as _hp
+from html import unescape as _unescape
+
+_MARKED_KEYWORDS = {"temp", "cdata", "ignore", "include", "rcdata"}
+_MS_KEYWORDS = {"if", "else", "endif"}
+_LETTERS_EQ_SLASH = "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_CDATA_CLOSE_RE = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.IGNORECASE)
+    for t in ("script", "style")
+}
+
+
+def _fast_parse(text: str, p: _BlockParser) -> None:  # noqa: C901
+    n = len(text)
+    i = 0
+    handle_data = p.handle_data
+    handle_starttag = p.handle_starttag
+    handle_endtag = p.handle_endtag
+    find = text.find
+    tagfind = _hp.tagfind_tolerant.match
+    attrfind = _hp.attrfind_tolerant.match
+    locatestart = _hp.locatestarttagend_tolerant.match
+    endtagfind = _hp.endtagfind.match
+    commentclose = _hp.commentclose.search
+    declname = _mb._declname_match
+    markedclose = _mb._markedsectionclose.search
+    msclose = _mb._msmarkedsectionclose.search
+    cdata_elem: str | None = None
+
+    while i < n:
+        # ---- text run up to the next markup --------------------------------
+        if cdata_elem is None:
+            j = find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                d = text[i:j]
+                handle_data(_unescape(d) if "&" in d else d)
+            i = j
+            if i == n:
+                return
+        else:
+            m = _CDATA_CLOSE_RE[cdata_elem].search(text, i)
+            if not m:
+                return  # unterminated raw content: dropped (stdlib parity)
+            j = m.start()
+            if i < j:
+                handle_data(text[i:j])  # raw — no charref conversion
+            i = j
+
+        # ---- markup dispatch at text[i] == '<' -----------------------------
+        nc = text[i + 1 : i + 2]
+        if ("a" <= nc <= "z") or ("A" <= nc <= "Z"):
+            # start tag (stdlib parse_starttag + check_for_whole_start_tag)
+            m = locatestart(text, i)
+            j = m.end()
+            nxt = text[j : j + 1]
+            if nxt == ">":
+                endpos = j + 1
+            elif nxt == "/":
+                endpos = j + 2 if text.startswith("/>", j) else -1
+            elif nxt == "" or nxt in _LETTERS_EQ_SLASH:
+                endpos = -1  # end of input inside the tag
+            else:
+                endpos = j if j > i else i + 1
+            if endpos < 0:
+                i = _emit_to_recovery(text, i, handle_data)
+                continue
+            m = tagfind(text, i + 1)
+            k = m.end()
+            tag = m.group(1).lower()
+            attrs: list = []
+            rest_txt = text[k:endpos]
+            if rest_txt != ">" and rest_txt != "/>":
+                # only now can the tag have attributes — run the stdlib
+                # attr loop (its end-of-tag decision depends on it), but
+                # collect values only for tags whose attrs the handlers
+                # read (class/id on BLOCK_TAGS)
+                collect = tag in BLOCK_TAGS
+                while k < endpos:
+                    am = attrfind(text, k)
+                    if not am:
+                        break
+                    if collect:
+                        attrname, rest, attrvalue = am.group(1, 2, 3)
+                        if not rest:
+                            attrvalue = None
+                        elif (
+                            attrvalue[:1] == "'" == attrvalue[-1:]
+                            or attrvalue[:1] == '"' == attrvalue[-1:]
+                        ):
+                            attrvalue = attrvalue[1:-1]
+                        if attrvalue:
+                            attrvalue = _unescape(attrvalue)
+                        attrs.append((attrname.lower(), attrvalue))
+                    k = am.end()
+                rest_txt = text[k:endpos]
+            end = rest_txt.strip()
+            if end not in (">", "/>"):
+                handle_data(text[i:endpos])  # stdlib: raw, not unescaped
+            elif end == "/>":
+                p.handle_startendtag(tag, attrs)
+            else:
+                handle_starttag(tag, attrs)
+                if tag in ("script", "style"):
+                    cdata_elem = tag
+            i = endpos
+        elif nc == "/":
+            # end tag (stdlib parse_endtag)
+            gt = find(">", i + 1)
+            if gt < 0:
+                i = _emit_to_recovery(text, i, handle_data)
+                continue
+            gtpos = gt + 1
+            m = endtagfind(text, i)
+            if not m:
+                if cdata_elem is not None:
+                    handle_data(text[i:gtpos])
+                    i = gtpos
+                    continue
+                nm = tagfind(text, i + 2)
+                if not nm:
+                    # '</>' consumed silently, else bogus comment to '>'
+                    i = i + 3 if text[i : i + 3] == "</>" else gtpos
+                    continue
+                handle_endtag(nm.group(1).lower())
+                i = find(">", nm.end()) + 1
+            else:
+                elem = m.group(1).lower()
+                if cdata_elem is not None and elem != cdata_elem:
+                    handle_data(text[i:gtpos])
+                    i = gtpos
+                    continue
+                handle_endtag(elem)
+                cdata_elem = None
+                i = gtpos
+        elif text.startswith("<!--", i):
+            m = commentclose(text, i + 4)
+            if not m:
+                i = _emit_to_recovery(text, i, handle_data)
+                continue
+            i = m.end()
+        elif nc == "?":
+            pos = find(">", i + 2)
+            if pos < 0:
+                i = _emit_to_recovery(text, i, handle_data)
+                continue
+            i = pos + 1
+        elif nc == "!":
+            if text.startswith("<![", i):
+                # stdlib _markupbase.parse_marked_section (+ _scan_name)
+                j2 = -1
+                if i + 3 < n:
+                    sm = declname(text, i + 3)
+                    if sm:
+                        s = sm.group()
+                        if i + 3 + len(s) < n:
+                            name = s.strip().lower()
+                            j2 = sm.end()
+                    else:
+                        raise AssertionError(
+                            "expected name token at %r" % text[i : i + 20]
+                        )
+                if j2 < 0:
+                    i = _emit_to_recovery(text, i, handle_data)
+                    continue
+                if name in _MARKED_KEYWORDS:
+                    mm = markedclose(text, i + 3)
+                elif name in _MS_KEYWORDS:
+                    mm = msclose(text, i + 3)
+                else:
+                    raise AssertionError(
+                        "unknown status keyword %r in marked section"
+                        % text[i + 3 : j2]
+                    )
+                if not mm:
+                    i = _emit_to_recovery(text, i, handle_data)
+                    continue
+                i = mm.end()
+            elif text[i : i + 9].lower() == "<!doctype":
+                gt = find(">", i + 9)
+                if gt < 0:
+                    i = _emit_to_recovery(text, i, handle_data)
+                    continue
+                i = gt + 1
+            else:
+                # bogus comment ('<!' + anything): to the next '>'
+                pos = find(">", i + 2)
+                if pos < 0:
+                    i = _emit_to_recovery(text, i, handle_data)
+                    continue
+                i = pos + 1
+        elif i + 1 < n:
+            handle_data("<")
+            i += 1
+        else:
+            handle_data("<")  # trailing lone '<' (stdlib end-of-input emit)
+            return
+
+
+def _emit_to_recovery(text: str, i: int, handle_data) -> int:
+    """Stdlib goahead's end-of-input rule for a construct that never
+    terminates: emit everything up to (and including) the next '>' — else
+    up to the next '<', else one char — as (unescaped) data, and resume
+    parsing there."""
+    k = text.find(">", i + 1)
+    if k < 0:
+        k = text.find("<", i + 1)
+        if k < 0:
+            k = i + 1
+    else:
+        k += 1
+    d = text[i:k]
+    handle_data(_unescape(d) if "&" in d else d)
+    return k
+
+
 def extract_html(payload: bytes) -> ExtractResult:
     """Extract main content from HTML bytes. Never raises on well-typed
     input; a catastrophic parser failure is caught by the dispatcher."""
     text = detect_and_decode(payload)
     parser = _BlockParser()
+    _fast_parse(text, parser)
+    parser._flush()
+    return _score_blocks(parser)
+
+
+def extract_html_stdlib(payload: bytes) -> ExtractResult:
+    """The stdlib-html.parser-driven reference path. Semantically
+    identical to :func:`extract_html` (the fast tokenizer is a
+    transcription of this parser); kept as the differential-fuzz oracle —
+    scripts/fuzz_tokenizer.py compares the two over millions of
+    payloads."""
+    text = detect_and_decode(payload)
+    parser = _BlockParser()
     parser.feed(text)
     parser.close()
+    return _score_blocks(parser)
 
+
+def _score_blocks(parser: _BlockParser) -> ExtractResult:
     blocks: list[Block] = []
     kept_texts: list[str] = []
     all_texts: list[str] = []

@@ -45,6 +45,22 @@ def _payloads() -> list[bytes | None]:
     return out
 
 
+def test_fast_tokenizer_matches_stdlib_parser():
+    """CI slice of the million-payload tokenizer fuzz (the full sweep is
+    scripts/fuzz_tokenizer.py, run at every tokenizer change): the fast
+    single-pass tokenizer must be byte-identical to the stdlib
+    html.parser path — doc_type, text, every block field, and contained
+    error strings — on adversarial HTML."""
+    from scripts.fuzz_tokenizer import check_range, make_payload
+
+    n, bad = check_range((0, 30_000))
+    assert n == 30_000
+    assert not bad, (
+        f"tokenizer divergence at seeds {bad[:5]}: "
+        f"{[make_payload(s) for s in bad[:2]]!r}"
+    )
+
+
 def test_spark_stage_matches_pure_python(spark):
     payloads = _payloads()
     ts = dt.datetime(2024, 1, 1)
