@@ -155,6 +155,13 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket_n") <= LSH_BUCKET_CAP)
         .drop("bucket_n")
     )
+    # NOTE (measured, round 2): Spark does not share subplans, so the
+    # self-join recomputes the shingle→minhash→band pipeline on both
+    # sides. Materializing bands via localCheckpoint first was A/B'd at
+    # sf0.1/local[8]: 6.4 s vs 5.5 s WITHOUT — the pair join dominates
+    # and the eager materialization serializes the pipeline, so the
+    # double-compute stays. At petabyte scale stage the band table to
+    # storage instead (same shape as dedup_clusters' edge checkpoint).
     a = bands.alias("a")
     b = bands.alias("b")
     return (

@@ -33,10 +33,20 @@ N_PLANES = 3    # 2^3 = 8 IVF buckets (single-probe path)
 # hyperplane margins |dot_p| of the flipped planes (small margin = likely
 # flip) and take the T cheapest. On this synthetic table (random
 # near-orthogonal embeddings — LSH's worst case) T=14/16 is needed for
-# recall >= 0.9; on real clustered embeddings the same scheme reaches it
-# with far fewer probes, and T is the recall/cost knob either way.
+# recall >= 0.9; on clustered embeddings the same scheme reaches 0.94
+# at T=4/16 (~30% scanned) — `embedding_multiprobe_clustered` over the
+# committed clustered fixture demonstrates it, and T is the recall/cost
+# knob either way (sweep: scripts/ann_probe_sweep.py).
 MP_PLANES = 4
 MP_PROBES = 14
+MP_PROBES_CLUSTERED = 4
+
+from pathlib import Path as _Path
+
+CLUSTERED_PATH = (
+    _Path(__file__).resolve().parent.parent.parent
+    / "fixtures" / "golden" / "embeddings_clustered.parquet"
+)
 
 _VEC_S = "transform(embedding, x -> CAST(x AS DOUBLE))"
 _VEC_D = "embedding::DOUBLE[]"
@@ -75,7 +85,21 @@ def _topk(joined: DataFrame) -> DataFrame:
 
 # --------------------------------------------------------------------------
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb(spark, sf_dir)
+    return _brute_topk(_emb(spark, sf_dir))
+
+
+def embedding_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force baseline over the clustered fixture — the recall
+    denominator for `embedding_multiprobe_clustered`. `sf_dir` ignored."""
+    emb = (
+        spark.read.parquet(str(CLUSTERED_PATH))
+        .withColumn("v", F.expr(_VEC_S))
+        .withColumn("nrm", F.expr(_NORM_S))
+    )
+    return _brute_topk(emb)
+
+
+def _brute_topk(emb: DataFrame) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -94,10 +118,11 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(joined)
 
 
-EMBEDDING_TOPK_SQL = f"""
+def _brute_topk_sql(source: str) -> str:
+    return f"""
 WITH e AS (
   SELECT vec_id, v, {_NORM_D} AS nrm
-  FROM (SELECT vec_id, {_VEC_D} AS v FROM embeddings)
+  FROM (SELECT vec_id, {_VEC_D} AS v FROM {source})
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -113,6 +138,10 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
   FROM pairs
 ) WHERE rank <= {TOP_K}
 """
+
+
+EMBEDDING_TOPK_SQL = _brute_topk_sql("embeddings")
+EMBEDDING_TOPK_CLUSTERED_SQL = _brute_topk_sql(f"'{CLUSTERED_PATH}'")
 
 
 # --------------------------------------------------------------------------
@@ -193,9 +222,26 @@ def embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Cross-engine parity: the rank key is round(score, 9) with a mask
 # tie-break — the same float discipline as the cosine ranking.
 def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _multiprobe(_emb(spark, sf_dir), MP_PROBES)
+
+
+def embedding_multiprobe_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same query-directed multiprobe over the committed CLUSTERED
+    embedding fixture (scripts/build_clustered_embeddings.py): recall
+    0.94 vs exact at 4/16 probes (~30% of the table scanned) — the
+    regime real embedding spaces put the scale path in. `sf_dir` is
+    ignored (fixture-backed, like extract_pages)."""
+    emb = (
+        spark.read.parquet(str(CLUSTERED_PATH))
+        .withColumn("v", F.expr(_VEC_S))
+        .withColumn("nrm", F.expr(_NORM_S))
+    )
+    return _multiprobe(emb, MP_PROBES_CLUSTERED)
+
+
+def _multiprobe(emb: DataFrame, n_probes: int) -> DataFrame:
     from pyspark.sql import Window
 
-    emb = _emb(spark, sf_dir)
     for p in range(MP_PLANES):
         emb = emb.withColumn(f"d_{p}", F.expr(_plane_expr(p, "v", "spark")))
     emb = emb.withColumn(
@@ -220,7 +266,7 @@ def embedding_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("ms", F.explode(F.expr(f"array({mask_structs})")))
         .withColumn("pr", F.row_number().over(pw))
-        .filter(F.col("pr") <= MP_PROBES)
+        .filter(F.col("pr") <= n_probes)
         .withColumn("qb", F.expr("CAST(qb0 ^ ms.mask AS BIGINT)"))
         .select("query_id", "qv", "qn", "qb")
     )
@@ -247,10 +293,11 @@ _MP_MASKS_D = ", ".join(
     f"{{'mask': CAST({m} AS BIGINT), 'score': {_mask_score_expr(m, 'duck')}}}"
     for m in range(1 << MP_PLANES)
 )
-EMBEDDING_IVF_MULTIPROBE_SQL = f"""
+def _multiprobe_sql(source: str, n_probes: int) -> str:
+    return f"""
 WITH e AS (
   SELECT vec_id, v, {_NORM_D} AS nrm, {_MP_BUCKET_D} AS bucket, {_MP_DOTS_D}
-  FROM (SELECT vec_id, {_VEC_D} AS v FROM embeddings)
+  FROM (SELECT vec_id, {_VEC_D} AS v FROM {source})
 ),
 qm AS (
   SELECT vec_id, v, nrm, bucket, unnest([{_MP_MASKS_D}]) AS ms
@@ -263,7 +310,7 @@ q AS (
       PARTITION BY vec_id ORDER BY round(ms.score, 9) ASC, ms.mask ASC
     ) AS pr
     FROM qm
-  ) WHERE pr <= {MP_PROBES}
+  ) WHERE pr <= {n_probes}
 ),
 pairs AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -278,6 +325,12 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
   FROM pairs
 ) WHERE rank <= {TOP_K}
 """
+
+
+EMBEDDING_IVF_MULTIPROBE_SQL = _multiprobe_sql("embeddings", MP_PROBES)
+EMBEDDING_MULTIPROBE_CLUSTERED_SQL = _multiprobe_sql(
+    f"'{CLUSTERED_PATH}'", MP_PROBES_CLUSTERED
+)
 EMBEDDING_IVF_TOPK_SQL = f"""
 WITH e AS (
   SELECT vec_id, v, {_NORM_D} AS nrm, {_BUCKET_D} AS bucket

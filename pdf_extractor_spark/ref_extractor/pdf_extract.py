@@ -177,6 +177,14 @@ _ESCAPES = {
 
 def _parse_literal_string(data: bytes, i: int) -> tuple[str, int]:
     """Parse ``(...)`` starting at the '('; returns (decoded, index after ')')."""
+    # fast path — the overwhelmingly common case: no escape and no nested
+    # paren before the closing ')' means every byte passes through
+    # verbatim, identical to what the general loop below would build
+    end = data.find(b")", i + 1)
+    if end != -1:
+        seg = data[i + 1 : end]
+        if b"\\" not in seg and b"(" not in seg:
+            return seg.decode("cp1252", "replace"), end + 1
     out = bytearray()
     depth = 1
     i += 1
