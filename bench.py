@@ -77,7 +77,9 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "ngram_jaccard",
+    "event_sessions",
     "embedding_topk",
+    "embedding_multiprobe_clustered",
     "embedding_ivf_topk",
     "embedding_ivf_multiprobe",
     "text_lang_id",

@@ -165,6 +165,10 @@ CATALOG: dict[str, QuerySpec] = {
     "lineage_agg": QuerySpec(
         relational.lineage_agg, relational.LINEAGE_SQL,
         "north_rule: per-partition lineage metrics hash agg"),
+    "event_sessions": QuerySpec(
+        relational.event_sessions, relational.EVENT_SESSIONS_SQL,
+        "sessionization, batch gaps-and-islands form — the oracle-"
+        "checked twin of the applyInPandasWithState streaming operator"),
     # --- training-data pipeline: deduplication ---
     "dedup_exact": QuerySpec(
         dedup.dedup_exact, dedup.DEDUP_EXACT_SQL,

@@ -444,3 +444,91 @@ SELECT strftime(ts, '%Y-%m-%d') AS partition_date,
        CAST(SUM({CENTS}) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Batch sessionization (gaps-and-islands) — the ORACLE-CHECKED twin of the
+# stateful streaming operator (streaming/sessions.py applyInPandasWithState):
+# identical session semantics (close after SESSION_GAP_S of inactivity,
+# min/max/count/cents per session), so the streaming op is testable
+# against this form (tests/test_sessions.py parity test) while THIS form
+# carries the DuckDB value oracle. All outputs are integer microseconds/
+# cents — no float or timestamp comparison across engines.
+SESSION_GAP_S = 1800
+_SESSION_GAP_US = SESSION_GAP_S * 1_000_000
+
+
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_id").cast("long").alias("event_id"),
+        # events.ts is TIMESTAMP_NTZ in the parquet; the session runs UTC
+        # so the cast is value-preserving and matches DuckDB's epoch_us
+        # over the same naive values
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        F.expr(CENTS).alias("value_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return (
+        ev.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "is_new",
+            F.expr(
+                "CASE WHEN prev_us IS NULL OR "
+                f"ts_us - prev_us > {_SESSION_GAP_US} THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "session_seq",
+            F.sum("is_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long"),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+            F.count("*").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+        .withColumn(
+            "duration_us", F.expr("session_end_us - session_start_us")
+        )
+    )
+
+
+EVENT_SESSIONS_SQL = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id,
+         CAST(event_id AS BIGINT) AS event_id,
+         epoch_us(ts) AS ts_us,
+         {CENTS} AS value_cents
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                OR ts_us - lag(ts_us) OVER w > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sessions AS (
+  SELECT *,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(value_cents) AS BIGINT) AS value_cents,
+       MAX(ts_us) - MIN(ts_us) AS duration_us
+FROM sessions
+GROUP BY user_id, session_seq
+"""
