@@ -60,8 +60,44 @@ SPECIALS = [
 ]
 
 
+_BASE_DOCS: list[bytes] | None = None
+
+
+def _base_docs() -> list[bytes]:
+    """Realistic HTML from the deterministic corpus generator — mutation
+    seeds for the fuzz (grammar soup alone misses real nesting/attribute
+    shapes)."""
+    global _BASE_DOCS
+    if _BASE_DOCS is None:
+        from pdf_extractor_spark.corpus.generator import generate_rows
+
+        _BASE_DOCS = [
+            r.html
+            for r in generate_rows(13, 120, 4)
+            if r.html and not r.html.startswith(b"%PDF-")
+        ]
+    return _BASE_DOCS
+
+
 def make_payload(seed: int) -> bytes:
     rng = random.Random(seed)
+    if rng.random() < 0.25:
+        # mutate a realistic corpus document: splice two docs, inject a
+        # special construct, and/or truncate
+        docs = _base_docs()
+        doc = bytearray(rng.choice(docs))
+        if rng.random() < 0.5:
+            other = rng.choice(docs)
+            cut_a = rng.randrange(len(doc) + 1)
+            cut_b = rng.randrange(len(other) + 1)
+            doc = doc[:cut_a] + other[cut_b:]
+        if rng.random() < 0.6:
+            pos = rng.randrange(len(doc) + 1)
+            ins = rng.choice(SPECIALS).encode("utf-8", "surrogateescape")
+            doc = doc[:pos] + ins + doc[pos:]
+        if rng.random() < 0.4 and len(doc) > 4:
+            doc = doc[: rng.randrange(2, len(doc))]
+        return bytes(doc)
     mode = rng.randrange(10)
     parts: list[str] = []
     n = rng.randint(3, 40)
