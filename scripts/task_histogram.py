@@ -127,8 +127,9 @@ def main() -> None:
     i = text.find(marker)
     if i != -1:
         prev_section = text[i:]
-        m = re.search(r"\| dispatch \| ([0-9.]+) \|", prev_section)
-        if m and float(m.group(1)) <= results["dispatch"]["wall_s"]:
+        m = re.search(r"\| dispatch \| ([0-9.]+) \| ([0-9]+) \|", prev_section)
+        same_config = m and int(m.group(2)) == results["dispatch"]["n_tasks"]
+        if same_config and float(m.group(1)) <= results["dispatch"]["wall_s"]:
             print(
                 f"keeping existing histogram (prev dispatch wall "
                 f"{m.group(1)}s <= new {results['dispatch']['wall_s']}s)"
