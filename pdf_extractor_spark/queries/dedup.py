@@ -14,9 +14,11 @@ Four families, all shuffle-disciplined for 100 TB:
             pairs (at web scale the candidate generator would be the LSH
             band join above — same shape, shingle-key join + count agg).
 
-Hash parity with the DuckDB oracle: min-wise hashing uses the LEXICOGRAPHIC
-min of md5 hex strings (seeded by prefixing the seed number) — md5 hex is
-identical everywhere, whereas engine-native hash() functions differ.
+Hash parity with the DuckDB oracle: min-wise hashing derives from md5
+(identical everywhere, unlike engine-native hash() functions) via
+Kirsch-Mitzenmacher double hashing — one digest per shingle split into
+two 32-bit halves, j-th hash = (h1 + j*h2) mod 2^32, exact BIGINT
+arithmetic in both engines.
 Reference lineage: the reference consolidates duplicate line-items keeping
 the most complete record (pdf_processor.py:634-653); these operators are
 that semantic scaled to corpus-level near-dup detection.
@@ -74,14 +76,28 @@ GROUP BY text_hash
 
 
 # --------------------------------------------------------------------------
+# Min-wise hash family via Kirsch-Mitzenmacher double hashing: ONE
+# md5 per shingle, split into two 32-bit halves (h1, h2), and the j-th
+# hash is (h1 + j*h2) mod 2^32 — 8 hash functions for the price of one
+# digest, BIGINT signatures instead of hex strings (smaller shuffle
+# keys), exact integer arithmetic identical in both engines.
+_MOD32 = 1 << 32
+
+
 def _sig_expr_spark(j: int) -> str:
     return (
-        f"array_min(transform(shingles, s -> md5(concat('{j}|', s))))"
+        "array_min(transform(sh_md5, h -> "
+        "(CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) + "
+        f"{j} * CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT)) % {_MOD32}))"
     )
 
 
 def _sig_expr_duck(j: int) -> str:
-    return f"list_min(list_transform(shingles, s -> md5('{j}|' || s)))"
+    return (
+        "list_min(list_transform(sh_md5, h -> "
+        "(('0x' || substr(h, 1, 8))::BIGINT + "
+        f"{j} * ('0x' || substr(h, 9, 8))::BIGINT) % {_MOD32}))"
+    )
 
 
 def _with_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,6 +105,7 @@ def _with_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         _docs(spark, sf_dir)
         .withColumn("toks", F.expr(TOKS_S))
         .withColumn("shingles", F.expr(SHINGLES_S))
+        .withColumn("sh_md5", F.expr("transform(shingles, s -> md5(s))"))
     )
     for j in range(N_HASHES):
         df = df.withColumn(f"sig_{j}", F.expr(_sig_expr_spark(j)))
@@ -106,8 +123,10 @@ DEDUP_MINHASH_SQL = f"""
 SELECT doc_id,
        {_SIG_COLS_DUCK}
 FROM (
-  SELECT doc_id, {SHINGLES_D} AS shingles FROM (
-    SELECT doc_id, text, {TOKS_D} AS toks FROM documents
+  SELECT doc_id, list_transform(shingles, s -> md5(s)) AS sh_md5 FROM (
+    SELECT doc_id, {SHINGLES_D} AS shingles FROM (
+      SELECT doc_id, text, {TOKS_D} AS toks FROM documents
+    )
   )
 )
 """
@@ -140,8 +159,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.md5(
-                            F.concat(F.col(f"sig_{2 * b}"), F.col(f"sig_{2 * b + 1}"))
+                        # equality-only key: plain delimited concat of the
+                        # two BIGINT sigs (no hashing needed for a join key)
+                        F.expr(
+                            f"concat(CAST(sig_{2 * b} AS STRING), '|', "
+                            f"CAST(sig_{2 * b + 1} AS STRING))"
                         ).alias("band_hash"),
                     )
                     for b in range(N_BANDS)
@@ -180,15 +202,12 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BAND_STRUCTS_DUCK = ", ".join(
-    f"({b}, md5(sig_{2 * b} || sig_{2 * b + 1}))" for b in range(N_BANDS)
-)
 DEDUP_LSH_PAIRS_SQL = f"""
 WITH sig AS ({DEDUP_MINHASH_SQL}),
 bands_all AS (
   SELECT doc_id, band.* FROM (
     SELECT doc_id,
-           unnest([{", ".join(f"{{'band_idx': {b}, 'band_hash': md5(sig_{2 * b} || sig_{2 * b + 1})}}" for b in range(N_BANDS))}]) AS band
+           unnest([{", ".join(f"{{'band_idx': {b}, 'band_hash': sig_{2 * b}::VARCHAR || '|' || sig_{2 * b + 1}::VARCHAR}}" for b in range(N_BANDS))}]) AS band
     FROM sig
   )
 ),
