@@ -27,13 +27,23 @@ from pdf_extractor_spark.version import EXTRACTOR_VERSION
 NameExtractor = Callable[[str], "str | None"]
 _NAME_EXTRACTORS: list[NameExtractor] = []
 
-# the reference's regex fallback arm (pdf_processor.py:458-461), ASCII
-# uppercase labels as emitted by the pt-BR payslip layouts it parses
+# the reference's regex fallback arm (pdf_processor.py:459-461:
+# r"NOME[:\s]*([A-Za-zÀ-ÿ\s]+)" with re.IGNORECASE — accented Latin-1
+# letters and case-insensitive labels, pt-BR names being the norm),
+# plus the SERVIDOR line variant the payslip layouts emit; '#0-9' admits
+# the synthetic Customer#N fixtures. Terminated at the following field
+# label or end of line.
 _NAME_RES = [
-    re.compile(r"NOME[:\s]+([A-Z][A-Za-z#0-9 ]+?)(?:\s+MATRICULA|\s*$)",
-               re.MULTILINE),
-    re.compile(r"SERVIDOR\s+([A-Z][A-Za-z#0-9 ]+?)(?:\s+LOTACAO|\s*$)",
-               re.MULTILINE),
+    re.compile(
+        r"NOME[:\s]*([A-Za-zÀ-ÿ][A-Za-zÀ-ÿ#0-9 ]*?)"
+        r"(?:\s+MATR[IÍ]CULA|\s*$)",
+        re.IGNORECASE | re.MULTILINE,
+    ),
+    re.compile(
+        r"SERVIDOR\s+([A-Za-zÀ-ÿ][A-Za-zÀ-ÿ#0-9 ]*?)"
+        r"(?:\s+LOTA[CÇ][AÃ]O|\s*$)",
+        re.IGNORECASE | re.MULTILINE,
+    ),
 ]
 
 

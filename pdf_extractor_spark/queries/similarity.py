@@ -66,10 +66,16 @@ _DOT_D = "list_sum(list_transform(list_zip(qv, cv), z -> z[1] * z[2]))"
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .withColumn("v", F.expr(_VEC_S))
-        .withColumn("nrm", F.expr(_NORM_S))
+    return _prep(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+
+
+def _clustered_emb(spark: SparkSession) -> DataFrame:
+    return _prep(spark.read.parquet(str(CLUSTERED_PATH)))
+
+
+def _prep(raw: DataFrame) -> DataFrame:
+    return raw.withColumn("v", F.expr(_VEC_S)).withColumn(
+        "nrm", F.expr(_NORM_S)
     )
 
 
@@ -97,12 +103,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_topk_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force baseline over the clustered fixture — the recall
     denominator for `embedding_multiprobe_clustered`. `sf_dir` ignored."""
-    emb = (
-        spark.read.parquet(str(CLUSTERED_PATH))
-        .withColumn("v", F.expr(_VEC_S))
-        .withColumn("nrm", F.expr(_NORM_S))
-    )
-    return _brute_topk(emb)
+    return _brute_topk(_clustered_emb(spark))
 
 
 def _brute_topk(emb: DataFrame) -> DataFrame:
@@ -259,12 +260,7 @@ def embedding_multiprobe_clustered(spark: SparkSession, sf_dir: str) -> DataFram
     0.94 vs exact at 4/16 probes (~30% of the table scanned) — the
     regime real embedding spaces put the scale path in. `sf_dir` is
     ignored (fixture-backed, like extract_pages)."""
-    emb = (
-        spark.read.parquet(str(CLUSTERED_PATH))
-        .withColumn("v", F.expr(_VEC_S))
-        .withColumn("nrm", F.expr(_NORM_S))
-    )
-    return _multiprobe(emb, MP_PROBES_CLUSTERED)
+    return _multiprobe(_clustered_emb(spark), MP_PROBES_CLUSTERED)
 
 
 def _multiprobe(emb: DataFrame, n_probes: int) -> DataFrame:

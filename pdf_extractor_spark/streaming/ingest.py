@@ -13,14 +13,18 @@ topology; this module is the SAME extraction stage mounted on a
 Semantics: exactly-once end to end. The streaming file source +
 checkpoint gives exactly-once *source* tracking (each input file is
 processed in exactly one micro-batch, recorded in the checkpoint's file
-log), and the sink commit is IDEMPOTENT: every IceTable append embeds
-`stream_max_batch = batch_id` in the snapshot json — the same atomic
-rename that publishes the data — so a micro-batch replayed after a crash
-between append and checkpoint commit is detected (its batch_id is <= the
-table's committed marker, batch ids being monotonic per checkpoint) and
-skipped. This is the standard foreachBatch "transactional sink via
-batchId" pattern; `tests/test_streaming.py` replays a committed batch
-and asserts zero duplicate rows.
+log), and the sink commit is IDEMPOTENT: every IceTable append embeds a
+per-stream progress marker (`stream_batches[stream_id] = batch_id`,
+stream_id derived from the checkpoint location) in the snapshot json —
+the same atomic rename that publishes the data — so a micro-batch
+replayed after a crash between append and checkpoint commit is detected
+(its batch_id is <= the marker; batch ids are monotonic per checkpoint)
+and skipped, while a stream restarted with a FRESH checkpoint gets a
+fresh marker and is never misread as a replay. Maintenance commits
+(compact/GC) carry markers forward (IceTable._commit preserves non-core
+snapshot keys). This is the standard foreachBatch "transactional sink
+via batchId" pattern; `tests/test_streaming.py` replays a committed
+batch and asserts zero duplicate rows.
 
 No watermarks/stateful ops are needed: extraction is stateless per row
 (the reference is a stateless request handler — SURVEY.md §2.1
@@ -59,22 +63,31 @@ def commit_batch(
     batch_id: int,
     extracted_tbl: IceTable,
     lineage: LineageLog,
+    stream_id: str = "default",
 ) -> bool:
     """Idempotent micro-batch commit: extract, append, record lineage.
     Returns False (and writes NOTHING) when this batch_id was already
     committed — the replay path after a crash between the table commit
     and the streaming checkpoint commit. The progress marker rides in the
-    snapshot json itself, so marker and data are one atomic rename."""
+    snapshot json itself, so marker and data are one atomic rename.
+
+    Markers are scoped PER STREAM (``stream_id`` = a digest of the
+    checkpoint location): Structured Streaming batch ids are monotonic
+    only within one checkpoint, so a stream restarted against a fresh
+    checkpoint dir gets a fresh marker and its batches (re-numbered from
+    0) are never misread as replays of the old stream's."""
     snap = extracted_tbl.current_snapshot()
-    committed = (snap or {}).get("stream_max_batch", -1)
+    markers = dict((snap or {}).get("stream_batches", {}))
+    committed = markers.get(stream_id, -1)
     if batch_id <= committed:
         return False  # exactly-once: replayed batch, already in the table
     t0 = time.monotonic()
     out = with_partition_date(extract_stage_dispatch(batch_df)).withColumn(
         "batch_id", F.lit(batch_id).cast("long")
     )
+    markers[stream_id] = max(committed, batch_id)
     _, added = extracted_tbl.append_tracked(
-        out, extra={"stream_max_batch": max(committed, batch_id)}
+        out, extra={"stream_batches": markers}
     )
     # count ONLY this batch's files — never re-scan the table (which
     # grows without bound over the stream's lifetime)
@@ -124,10 +137,17 @@ def stream_extract(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     pages = reader.parquet(landing_dir)
 
+    import hashlib as _hashlib
+    import os as _os
+
+    stream_id = _hashlib.md5(
+        _os.path.abspath(checkpoint_dir).encode("utf-8")
+    ).hexdigest()[:12]
+
     writer = (
         pages.writeStream.foreachBatch(
             lambda batch_df, batch_id: commit_batch(
-                batch_df, batch_id, extracted_tbl, lineage
+                batch_df, batch_id, extracted_tbl, lineage, stream_id
             )
         )
         .option("checkpointLocation", checkpoint_dir)

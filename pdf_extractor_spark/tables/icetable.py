@@ -114,18 +114,36 @@ class IceTable:
             )
         return out
 
+    _CORE_SNAPSHOT_KEYS = frozenset(
+        {
+            "snapshot_id", "parent_id", "operation", "partition_col",
+            "committed_at_unix", "schema_json", "partitions",
+        }
+    )
+
     def _commit(self, partitions: dict, operation: str,
                 schema_json: str | None,
                 extra: dict | None = None) -> int:
         """``partitions`` maps partition value → either a reusable manifest
         relpath (unchanged partition) or a list of relative data files
         (changed — a new manifest is written). Only changed partitions cost
-        metadata I/O."""
+        metadata I/O.
+
+        Non-core keys of the parent snapshot (writer progress markers like
+        the streaming ``stream_batches``) are CARRIED FORWARD into every
+        new snapshot unless the caller's ``extra`` overrides them — a
+        maintenance commit (compact, GC) must never erase another
+        writer's exactly-once bookkeeping."""
         prev = self.current_snapshot()
         new_id = (prev["snapshot_id"] + 1) if prev else 0
         refs = {
             p: (ref if isinstance(ref, str) else self._write_manifest(ref))
             for p, ref in sorted(partitions.items())
+        }
+        carried = {
+            k: v
+            for k, v in (prev or {}).items()
+            if k not in self._CORE_SNAPSHOT_KEYS
         }
         snap = {
             "snapshot_id": new_id,
@@ -135,6 +153,7 @@ class IceTable:
             "committed_at_unix": time.time(),  # informational only
             "schema_json": schema_json or (prev or {}).get("schema_json"),
             "partitions": refs,
+            **carried,
             **(extra or {}),
         }
         self.meta_dir.mkdir(parents=True, exist_ok=True)
@@ -249,6 +268,18 @@ class IceTable:
         # whole partitions → ~one output file per partition value
         compacted = df.repartition(F.col(self.partition_col))
         added = self._stage_write(compacted)
+        # optimistic-concurrency guard: the rewrite is slow and based on
+        # the snapshot read at entry — if another writer committed in the
+        # meantime (e.g. a live streaming append), committing our stale
+        # partition map would DROP its files. Compaction is an
+        # optimization, so on conflict we abort (the staged files stay on
+        # disk unreferenced — an Iceberg-style orphan-file sweep with an
+        # age threshold would reclaim them) instead of losing data.
+        # Commits themselves are assumed single-process (atomic-rename
+        # table).
+        current = self.current_snapshot()
+        if current is None or current["snapshot_id"] != snap["snapshot_id"]:
+            return current["snapshot_id"] if current else -1
         parts: dict = dict(snap["partitions"])
         for p in todo:
             parts[p] = added.get(p, [])

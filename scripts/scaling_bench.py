@@ -288,7 +288,11 @@ Headline per-query timings live in the driver-run BENCH_r{{N}}.json
     wins_path.write_text(json.dumps(wins, indent=1))
 
     br, bt = wins["best_raw"], wins["best_throughput"]
-    if br is not s:
+    # render the best-throughput section whenever it is a DIFFERENT
+    # window than best-raw (content comparison — identity would wrongly
+    # drop an older throughput record when the current run becomes the
+    # new best-raw)
+    if bt != br:
         md += f"""
 ### Best-throughput window (separately recorded)
 

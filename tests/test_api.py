@@ -39,6 +39,13 @@ def test_name_chain_regex_arms():
     assert extract_name("NOME: Customer#42 MATRICULA 7") == "Customer#42"
     assert extract_name("SERVIDOR Customer#9 LOTACAO 1") == "Customer#9"
     assert extract_name("no names here") is None
+    # reference semantics (pdf_processor.py:459-461): accented pt-BR
+    # names and case-insensitive labels must match
+    assert extract_name("NOME: JOÃO DA SILVA MATRICULA 7") == "JOÃO DA SILVA"
+    assert extract_name("nome: Maria José") == "Maria José"
+    assert extract_name("Servidor Antônio Conceição LOTAÇÃO 3") == (
+        "Antônio Conceição"
+    )
 
 
 def test_name_chain_ner_plug_point():

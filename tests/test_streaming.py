@@ -78,16 +78,34 @@ def test_replayed_batch_is_exactly_once(spark, tmp_path):
     n_snap = tbl.snapshot_id()
     n_lineage = len(lineage.records())
 
+    import hashlib
+
+    stream_id = hashlib.md5(
+        str((tmp_path / "ck").resolve()).encode("utf-8")
+    ).hexdigest()[:12]
     batch_df = spark.read.parquet(str(landing / "f.parquet"))
-    assert commit_batch(batch_df, 0, tbl, lineage) is False  # replay
+    assert commit_batch(batch_df, 0, tbl, lineage, stream_id) is False
     assert tbl.read(spark).count() == n_rows
     assert tbl.snapshot_id() == n_snap
     assert len(lineage.records()) == n_lineage
 
     # a genuinely new batch id still commits
-    assert commit_batch(batch_df, 1, tbl, lineage) is True
+    assert commit_batch(batch_df, 1, tbl, lineage, stream_id) is True
     assert tbl.read(spark).count() == 2 * n_rows
-    assert tbl.current_snapshot()["stream_max_batch"] == 1
+    assert tbl.current_snapshot()["stream_batches"][stream_id] == 1
+
+    # a DIFFERENT stream (fresh checkpoint) restarting at batch 0 is NOT
+    # a replay — its data must land
+    assert commit_batch(batch_df, 0, tbl, lineage, "other-stream") is True
+    assert tbl.read(spark).count() == 3 * n_rows
+
+    # maintenance commits carry the markers forward: compaction must not
+    # reset exactly-once bookkeeping
+    tbl.compact(spark)
+    snap = tbl.current_snapshot()
+    assert snap["operation"] == "compact"
+    assert snap["stream_batches"][stream_id] == 1
+    assert commit_batch(batch_df, 1, tbl, lineage, stream_id) is False
 
 
 def test_stream_lineage_rows(spark, tmp_path):
