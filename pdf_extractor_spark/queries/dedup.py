@@ -387,6 +387,12 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     join so no single shingle key can go quadratic."""
     from pyspark.sql import Window
 
+    # NOTE (measured, round 2): the .distinct() looks redundant
+    # (SHINGLES_S is already array_distinct per doc) but it is the
+    # materialization point Catalyst turns into a ReusedExchange for the
+    # window, both self-join sides, and the sizes agg — removing it made
+    # the query 3× SLOWER (6.2 s vs 1.9 s at sf0.1/local[8]) because the
+    # explode pipeline recomputed per consumer. It stays.
     sh = (
         _docs(spark, sf_dir)
         .withColumn("toks", F.expr(TOKS_S))
