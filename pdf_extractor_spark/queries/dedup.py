@@ -309,6 +309,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = docs.withColumn(
         "cluster_id", F.col("doc_id")
     ).localCheckpoint(eager=True)
+    # convergence via the label-sum invariant: min-label propagation only
+    # ever DECREASES labels, so sum(cluster_id) is strictly monotone while
+    # anything changes and exactly stable at the fixed point — one cheap
+    # agg per iteration instead of a labels⋈labels comparison join
+    prev_sum = None
     for _ in range(MAX_LP_ITERATIONS):
         neighbor_min = (
             edges.join(
@@ -327,21 +332,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="doc_id")
-            .filter("n.cluster_id <> o.cluster_id")
-            .limit(1)
-            .count()
-        )
+        # DECIMAL(38,0) sum: at 10^12 docs × 10^12 max id a BIGINT sum
+        # wraps; exact decimal keeps the stability test sound
+        new_sum = new_labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
         # release the superseded iteration's checkpointed blocks — without
         # this up to MAX_LP_ITERATIONS label tables pile up in executor
         # storage memory over the loop's lifetime
         prev_labels = labels
         labels = new_labels
         prev_labels.unpersist()
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select("doc_id", "cluster_id")
 
