@@ -464,10 +464,16 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         F.col("user_id").cast("long").alias("user_id"),
         F.col("event_id").cast("long").alias("event_id"),
-        # events.ts is TIMESTAMP_NTZ in the parquet; the session runs UTC
-        # so the cast is value-preserving and matches DuckDB's epoch_us
-        # over the same naive values
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("ts_us"),
+        # events.ts is TIMESTAMP_NTZ in the parquet; diffing against an
+        # NTZ epoch literal stays entirely in naive time, so the value
+        # matches DuckDB's epoch_us over the same naive values REGARDLESS
+        # of spark.sql.session.timeZone (a CAST to TIMESTAMP would
+        # instead interpret in the session zone and break oracle parity
+        # for any non-UTC caller)
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
         F.expr(CENTS).alias("value_cents"),
     )
     w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")

@@ -289,6 +289,46 @@ _CDATA_CLOSE_RE = {
 }
 
 
+def _assert_stdlib_transcription_assumptions() -> None:
+    """The fast tokenizer transcribes CPython 3.11 html.parser internals;
+    an interpreter upgrade that changes those internals (3.12.6 changed
+    set_cdata_mode's close pattern and end-tag handling) would silently
+    desynchronize the fast path from `extract_html_stdlib` — the fuzz
+    oracle AND the golden regenerator. Fail LOUDLY at import instead."""
+    import inspect as _inspect
+
+    expected = {
+        "tagfind_tolerant": r"([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*",
+        "endtagfind": r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>",
+        "commentclose": r"--\s*>",
+    }
+    for name in ("tagfind_tolerant", "endtagfind", "commentclose"):
+        actual = getattr(_hp, name).pattern
+        if actual != expected[name]:
+            raise RuntimeError(
+                f"stdlib html.parser.{name} pattern changed "
+                f"({actual!r}); the fast tokenizer's transcription is no "
+                "longer byte-equivalent — re-verify _fast_parse against "
+                "this interpreter and re-run scripts/fuzz_tokenizer.py"
+            )
+    src = _inspect.getsource(_hp.HTMLParser.set_cdata_mode)
+    if r"'</\s*%s\s*>'" not in src:
+        raise RuntimeError(
+            "stdlib html.parser.set_cdata_mode no longer uses the "
+            r"'</\s*name\s*>' close pattern _CDATA_CLOSE_RE mirrors "
+            "(CPython >= 3.12.6 changed it) — re-verify _fast_parse and "
+            "re-run scripts/fuzz_tokenizer.py before trusting extraction"
+        )
+    if _mb._markedsectionclose.pattern != r"]\s*]\s*>":
+        raise RuntimeError(
+            "_markupbase._markedsectionclose pattern changed — re-verify "
+            "the marked-section arm of _fast_parse"
+        )
+
+
+_assert_stdlib_transcription_assumptions()
+
+
 def _fast_parse(text: str, p: _BlockParser) -> None:  # noqa: C901
     n = len(text)
     i = 0

@@ -36,10 +36,27 @@ import json
 import os
 import pathlib
 import shutil
+import threading
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Process-level commit serialization, one lock per table root: the
+# read-modify-commit window (current_snapshot → merge partition maps →
+# _commit rename) is NOT safe against two writers in the SAME process —
+# e.g. a streaming query's foreachBatch thread appending while the driver
+# thread runs compact(). Cross-process writers remain out of scope
+# (single-writer assumption, as documented on _commit), but in-process
+# concurrency is real and cheap to close.
+_COMMIT_LOCKS: dict[str, threading.RLock] = {}
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _commit_lock(root: pathlib.Path) -> threading.RLock:
+    key = str(root.resolve())
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS.setdefault(key, threading.RLock())
 
 
 class IceTable:
@@ -48,6 +65,10 @@ class IceTable:
         self.partition_col = partition_col
         self.data_dir = self.root / "data"
         self.meta_dir = self.root / "metadata"
+
+    @property
+    def commit_lock(self) -> threading.RLock:
+        return _commit_lock(self.root)
 
     # -- metadata ------------------------------------------------------------
     def exists(self) -> bool:
@@ -207,14 +228,15 @@ class IceTable:
         writers (streaming ingest) use to record their progress marker in
         the same atomic rename as the data it describes."""
         added = self._stage_write(df)
-        prev = self.current_snapshot()
-        parts: dict = dict(prev["partitions"]) if prev else {}
-        for p, fs in added.items():
-            if p in parts:
-                parts[p] = self._manifest_files(parts[p]) + fs
-            else:
-                parts[p] = fs
-        snap_id = self._commit(parts, "append", df.schema.json(), extra)
+        with self.commit_lock:
+            prev = self.current_snapshot()
+            parts: dict = dict(prev["partitions"]) if prev else {}
+            for p, fs in added.items():
+                if p in parts:
+                    parts[p] = self._manifest_files(parts[p]) + fs
+                else:
+                    parts[p] = fs
+            snap_id = self._commit(parts, "append", df.schema.json(), extra)
         abs_added = {
             p: [str(self.root / r) for r in fs] for p, fs in added.items()
         }
@@ -224,11 +246,14 @@ class IceTable:
         """Atomically replace every partition present in df — the idempotent
         re-run primitive used by checkpoint-resume."""
         added = self._stage_write(df)
-        prev = self.current_snapshot()
-        parts: dict = dict(prev["partitions"]) if prev else {}
-        for p, fs in added.items():
-            parts[p] = fs  # replaced wholesale
-        return self._commit(parts, "overwrite_partitions", df.schema.json())
+        with self.commit_lock:
+            prev = self.current_snapshot()
+            parts: dict = dict(prev["partitions"]) if prev else {}
+            for p, fs in added.items():
+                parts[p] = fs  # replaced wholesale
+            return self._commit(
+                parts, "overwrite_partitions", df.schema.json()
+            )
 
     # -- maintenance -------------------------------------------------------------
     def compact(
@@ -274,16 +299,24 @@ class IceTable:
         # partition map would DROP its files. Compaction is an
         # optimization, so on conflict we abort (the staged files stay on
         # disk unreferenced — an Iceberg-style orphan-file sweep with an
-        # age threshold would reclaim them) instead of losing data.
-        # Commits themselves are assumed single-process (atomic-rename
-        # table).
-        current = self.current_snapshot()
-        if current is None or current["snapshot_id"] != snap["snapshot_id"]:
-            return current["snapshot_id"] if current else -1
-        parts: dict = dict(snap["partitions"])
-        for p in todo:
-            parts[p] = added.get(p, [])
-        return self._commit(parts, "compact", df.schema.json())
+        # age threshold would reclaim them) instead of losing data. The
+        # re-check and the commit run under the table's process-level
+        # commit lock, so an in-process append (e.g. the streaming
+        # query's foreachBatch thread) can't land BETWEEN the check and
+        # the rename — the check-then-commit race the lock closes.
+        # Cross-process writers remain out of scope (single-writer
+        # assumption of the atomic-rename table).
+        with self.commit_lock:
+            current = self.current_snapshot()
+            if (
+                current is None
+                or current["snapshot_id"] != snap["snapshot_id"]
+            ):
+                return current["snapshot_id"] if current else -1
+            parts: dict = dict(snap["partitions"])
+            for p in todo:
+                parts[p] = added.get(p, [])
+            return self._commit(parts, "compact", df.schema.json())
 
     def expire_snapshots(self, keep_last: int = 3) -> dict[str, int]:
         """Metadata/data GC (Iceberg ``expire_snapshots`` analog): keep

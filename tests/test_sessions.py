@@ -151,3 +151,22 @@ def test_streaming_sessions_match_batch_form(spark, tmp_path):
     }
     assert streamed == batch
     assert len(batch) >= 10  # the corpus really exercises multi-sessions
+
+
+def test_event_sessions_tz_independent(spark):
+    """ADVICE r2: the naive-epoch expression must not depend on
+    spark.sql.session.timeZone — a non-UTC caller gets identical values
+    (and therefore identical oracle parity) to a UTC one."""
+    from pdf_extractor_spark.queries.relational import event_sessions
+
+    sf = "/root/testdata/sf0.001"
+    utc = event_sessions(spark, sf).orderBy("user_id", "session_seq").collect()
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = event_sessions(spark, sf).orderBy(
+            "user_id", "session_seq"
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+    assert utc == ny

@@ -108,6 +108,98 @@ def test_replayed_batch_is_exactly_once(spark, tmp_path):
     assert commit_batch(batch_df, 1, tbl, lineage, stream_id) is False
 
 
+def test_replay_backfills_lost_lineage(spark, tmp_path):
+    """The crash window BETWEEN the table commit and the lineage append:
+    the batch is in the table (marker set) but lineage rows are gone.
+    The replay must still skip the data write (exactly-once) but detect
+    the missing lineage and backfill it from the committed table."""
+    import shutil
+
+    from pdf_extractor_spark.plans.lineage import LineageLog
+    from pdf_extractor_spark.streaming.ingest import commit_batch
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    rows = list(generate_rows(7, 20, 2))
+    pq.write_table(rows_to_pages_table(rows), landing / "f.parquet")
+    wh = str(tmp_path / "wh")
+    _drain(stream_extract(spark, str(landing), wh, str(tmp_path / "ck")))
+
+    tbl = IceTable(f"{wh}/extracted_stream")
+    lineage = LineageLog(f"{wh}/lineage_stream")
+    healthy = lineage.records()
+    assert healthy
+    # simulate the crash: the lineage write never happened
+    shutil.rmtree(f"{wh}/lineage_stream")
+    assert lineage.records() == []
+
+    import hashlib
+
+    stream_id = hashlib.md5(
+        str((tmp_path / "ck").resolve()).encode("utf-8")
+    ).hexdigest()[:12]
+    batch_df = spark.read.parquet(str(landing / "f.parquet"))
+    n_rows = tbl.read(spark).count()
+    n_snap = tbl.snapshot_id()
+    # replay: no data written, but lineage healed from the committed table
+    assert commit_batch(batch_df, 0, tbl, lineage, stream_id) is False
+    assert tbl.read(spark).count() == n_rows
+    assert tbl.snapshot_id() == n_snap
+    healed = lineage.records()
+    assert {
+        (r["partition_date"], r["rows_out"]) for r in healed
+    } == {(r["partition_date"], r["rows_out"]) for r in healthy}
+    assert all(r["status"] == "ok" and r["attempt"] == 2 for r in healed)
+    # a second replay is a no-op (lineage now intact — no duplicates)
+    assert commit_batch(batch_df, 0, tbl, lineage, stream_id) is False
+    assert len(lineage.records()) == len(healed)
+
+
+def test_concurrent_appends_and_compact_lose_nothing(spark, tmp_path):
+    """In-process concurrency: appends racing compact() under the table's
+    commit lock must never drop rows — the check-then-commit window the
+    per-root lock serializes (foreachBatch thread vs maintenance)."""
+    import threading
+
+    tbl = IceTable(str(tmp_path / "tbl"))
+    base = spark.range(0, 40).selectExpr(
+        "id", "CAST(date_add('2024-01-01', CAST(id % 4 AS INT)) AS STRING)"
+        " AS partition_date"
+    )
+    tbl.append(base)
+
+    errs: list[Exception] = []
+
+    def appender(k: int) -> None:
+        try:
+            df = spark.range(1000 * k, 1000 * k + 10).selectExpr(
+                "id",
+                "CAST(date_add('2024-01-01', CAST(id % 4 AS INT)) AS "
+                "STRING) AS partition_date",
+            )
+            tbl.append(df)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    def compactor() -> None:
+        try:
+            tbl.compact(spark)
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(k,)) for k in range(4)]
+    threads.append(threading.Thread(target=compactor))
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # every appended row survives whatever interleaving happened
+    assert tbl.read(spark).count() == 40 + 4 * 10
+    ids = {r[0] for r in tbl.read(spark).select("id").collect()}
+    assert all(1000 * k + 9 in ids for k in range(4))
+
+
 def test_stream_lineage_rows(spark, tmp_path):
     landing = tmp_path / "landing"
     landing.mkdir()
