@@ -183,6 +183,10 @@ CATALOG: dict[str, QuerySpec] = {
         dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL,
         "duplicate clusters: iterative min-label propagation over LSH "
         "pairs (connected components); oracle via recursive CTE"),
+    "dedup_near_pipeline": QuerySpec(
+        dedup.dedup_near_pipeline, dedup.DEDUP_NEAR_PIPELINE_SQL,
+        "composed near-dup pipeline: LSH candidates → exact-Jaccard "
+        "verification on those pairs → clustering → keep-one survivors"),
     "dedup_simhash": QuerySpec(
         dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL,
         "SimHash: 16-bit majority-vote fingerprint, pure projection"),

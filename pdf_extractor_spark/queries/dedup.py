@@ -290,12 +290,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs, never O(rows) driver work; each iteration's label table is
     checkpoint-able at scale (write/read the labels to cut lineage).
     Output: (doc_id, cluster_id = min doc_id reachable)."""
-    from pyspark.sql import functions as F  # noqa: PLC0415
-
     pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return _min_label_propagation(pairs, docs)
+
+
+def _min_label_propagation(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair list (doc_a, doc_b):
+    every doc's label converges to the minimum doc_id reachable from it.
+    Returns (doc_id, cluster_id) for EVERY doc in ``docs`` (singletons
+    label themselves)."""
     # materialize the edge list ONCE (localCheckpoint truncates lineage so
     # each iteration's plan is shallow — without this the DAG re-grows the
-    # whole LSH pipeline per iteration and stage count explodes)
+    # whole upstream pipeline per iteration and stage count explodes)
     edges = (
         pairs.union(
             pairs.select(
@@ -305,7 +312,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    docs = _docs(spark, sf_dir).select("doc_id")
     labels = docs.withColumn(
         "cluster_id", F.col("doc_id")
     ).localCheckpoint(eager=True)
@@ -476,4 +482,127 @@ JOIN sizes na ON inter.doc_a = na.doc_id
 JOIN sizes nb ON inter.doc_b = nb.doc_id
 WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter)
       >= {JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------------
+# The composed near-dup pipeline — the query a 100 TB training-data run
+# actually executes, end to end: LSH candidate generation → exact-Jaccard
+# verification ON THOSE CANDIDATES (not a same-source proxy) → connected-
+# component clustering → keep-one survivor flag per cluster.
+NEAR_DUP_JACCARD = 0.5  # verification threshold: candidates below it are
+# LSH false positives (banding admits ~1 collision per band agreement even
+# for dissimilar docs) and must NOT merge clusters
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKS_S))
+        .select("doc_id", F.expr(SHINGLES_S).alias("shingles"))
+    )
+
+
+def dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-duplicate pipeline over `documents`:
+
+    1. candidates: the LSH band-join (`dedup_minhash_lsh_pairs`) — only
+       pairs agreeing on ≥1 MinHash band, bucket-capped, so the pair set
+       is ~linear in corpus size, never quadratic;
+    2. verify: exact word-2-gram Jaccard computed per candidate pair by
+       joining each side's (already distinct) shingle array and counting
+       membership — two doc_id equi-joins whose small side is the
+       candidate-pair table (AQE broadcasts it when it fits, the common
+       case since LSH emits few candidates relative to docs); pairs
+       below NEAR_DUP_JACCARD are discarded as LSH false positives;
+    3. cluster: min-label propagation (connected components) over the
+       VERIFIED edges only;
+    4. survivors: keep = 1 for the minimum doc_id of each cluster —
+       by construction exactly one survivor per verified-duplicate
+       cluster, so the kept set contains no verified near-dup pair
+       (tests/test_dedup_pipeline.py asserts it).
+
+    Output: (doc_id, cluster_id, keep) for EVERY document. Integer-only
+    columns — the Jaccard is a join-side predicate, never an emitted
+    float, so cross-engine hash parity is exact."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir)
+    cand = (
+        pairs.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            on="doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            on="doc_b",
+        )
+        .withColumn(
+            "n_inter",
+            F.expr("size(filter(sh_a, s -> array_contains(sh_b, s)))"),
+        )
+    )
+    verified = cand.filter(
+        F.expr(
+            "CAST(n_inter AS DOUBLE) / (size(sh_a) + size(sh_b) - n_inter)"
+            f" >= {NEAR_DUP_JACCARD}"
+        )
+    ).select("doc_a", "doc_b")
+    labels = _min_label_propagation(
+        verified, _docs(spark, sf_dir).select("doc_id")
+    )
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        F.expr(
+            "CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT)"
+        ).alias("keep"),
+    )
+
+
+DEDUP_NEAR_PIPELINE_SQL = f"""
+WITH RECURSIVE
+pairs AS ({DEDUP_LSH_PAIRS_SQL}),
+sh AS (
+  SELECT doc_id, {SHINGLES_D} AS shingles FROM (
+    SELECT doc_id, text, {TOKS_D} AS toks FROM documents
+  )
+),
+cand AS (
+  SELECT p.doc_a, p.doc_b,
+         len(list_filter(a.shingles,
+                         s -> list_contains(b.shingles, s))) AS n_inter,
+         len(a.shingles) AS na, len(b.shingles) AS nb
+  FROM pairs p
+  JOIN sh a ON p.doc_a = a.doc_id
+  JOIN sh b ON p.doc_b = b.doc_id
+),
+verified AS (
+  SELECT doc_a, doc_b FROM cand
+  WHERE CAST(n_inter AS DOUBLE) / (na + nb - n_inter)
+        >= {NEAR_DUP_JACCARD}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM verified
+  UNION SELECT doc_b, doc_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT doc_id, cluster_id,
+       CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS INT) AS keep
+FROM (
+  SELECT d.doc_id,
+         CAST(least(d.doc_id,
+                    coalesce(min(r.dst), d.doc_id)) AS BIGINT) AS cluster_id
+  FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
+  GROUP BY d.doc_id
+)
 """
