@@ -10,6 +10,20 @@ execution, no driver collect). The extraction corpus is generated
 deterministically (seed 42, heavy-tailed sizes + giant-blob outliers)
 and cached under /tmp keyed by its parameters, so repeated runs and the
 scaling harness (scripts/scaling_bench.py) see identical input.
+
+Steal resistance (this sandbox VM sees heavy shared-host CPU steal;
+identical runs swing 2-4×): every timed entry is the MINIMUM over
+N_PASSES runs, and the passes are INTERLEAVED — pass 1 runs every query
+once, then pass 2, then pass 3 — so a multi-second steal window degrades
+one attempt of many queries instead of all attempts of a few. Back-to-
+back min-of-3 (the round-2 scheme) was defeated by steal windows longer
+than 3× a single query; a full pass takes ~30 s, longer than typical
+steal bursts, making per-query minimums reproducible across windows.
+
+The extraction entry additionally reports a stage breakdown:
+`extract_scan_s` times the scan+write skeleton alone (same corpus, no
+UDF), so `extract_pages - extract_scan_s` isolates the Arrow-batch UDF
+cost — the part extractor optimizations actually move.
 """
 
 from __future__ import annotations
@@ -27,6 +41,8 @@ BENCH_SEED = 42
 BENCH_DAYS = 8
 GIANT_HTML = 6
 GIANT_PDF = 2
+N_PASSES = 3
+WARC_FILES = 32  # file = the WARC parallel unit; files ≫ is the real shape
 
 
 def bench_corpus(n_rows: int) -> str:
@@ -41,6 +57,27 @@ def bench_corpus(n_rows: int) -> str:
             path, BENCH_SEED, n_rows, BENCH_DAYS, GIANT_HTML, GIANT_PDF
         )
     return str(path)
+
+
+def bench_warc_corpus(n_rows: int) -> str:
+    """The SAME generated rows (minus the giant tail) as .warc.gz files —
+    WARC's parallel unit is the file, so the corpus is split across
+    WARC_FILES members-per-file archives. Cached like the parquet form."""
+    from pdf_extractor_spark.corpus.generator import generate_rows
+    from pdf_extractor_spark.sources.warc import write_warc
+
+    d = pathlib.Path(
+        f"/tmp/spark_graft_bench/warc_s{BENCH_SEED}_n{n_rows}"
+        f"_d{BENCH_DAYS}_f{WARC_FILES}"
+    )
+    done = d / "_DONE"
+    if not done.exists():
+        rows = list(generate_rows(BENCH_SEED, n_rows, BENCH_DAYS))
+        per = max(1, (len(rows) + WARC_FILES - 1) // WARC_FILES)
+        for i in range(0, len(rows), per):
+            write_warc(d / f"part-{i // per:05d}.warc.gz", rows[i : i + per])
+        done.touch()
+    return str(d)
 
 
 def make_spark(cpus: int):
@@ -77,6 +114,7 @@ HEADLINE = [
     "dedup_minhash_lsh_pairs",
     "dedup_simhash",
     "ngram_jaccard",
+    "dedup_near_pipeline",
     "event_sessions",
     "embedding_topk",
     "embedding_multiprobe_clustered",
@@ -97,6 +135,7 @@ def main() -> None:
     sf = float(pathlib.Path(sf_dir).name.removeprefix("sf") or "0.1")
 
     corpus_path = bench_corpus(corpus_rows)
+    warc_path = bench_warc_corpus(corpus_rows)
 
     from pdf_extractor_spark.operators.extract import (
         extract_stage,
@@ -104,41 +143,46 @@ def main() -> None:
     )
     from pdf_extractor_spark.operators.skew import salted_repartition
     from pdf_extractor_spark.queries import CATALOG
+    from pdf_extractor_spark.sources.warc import read_warc
 
     spark = make_spark(cpus)
     spark.sparkContext.setLogLevel("ERROR")
     timings: dict[str, float] = {}
 
+    def record(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        dt = time.monotonic() - t0
+        timings[name] = round(min(timings.get(name, float("inf")), dt), 3)
+
     # warm the JVM/Arrow paths so q1 doesn't pay one-time init
     run_to_completion(spark.read.parquet(f"{sf_dir}/events.parquet").limit(1000))
 
-    # min-of-3: this sandbox VM sees heavy shared-host CPU steal (identical
-    # runs swing 2-4x); the least-interfered run is the measurement
-    for name in HEADLINE:
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.monotonic()
-            run_to_completion(CATALOG[name].fn(spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+    # interleaved min-of-N (see module docstring): pass-major order
+    for _ in range(N_PASSES):
+        for name in HEADLINE:
+            record(name, lambda n=name: run_to_completion(
+                CATALOG[n].fn(spark, sf_dir)))
 
-    # extraction throughput, both skew strategies; headline = dispatch
+    # extraction family, interleaved the same way; headline = dispatch
     # (two-branch: zero-shuffle small mass + one-giant-per-task tail)
     pages = spark.read.parquet(corpus_path)
     n_docs = pages.count()
-    salted_best = float("inf")
-    extract_s = float("inf")
     for _ in range(2):
-        t0 = time.monotonic()
-        run_to_completion(extract_stage(salted_repartition(pages, cpus * 2)))
-        salted_best = min(salted_best, time.monotonic() - t0)
-        t0 = time.monotonic()
-        run_to_completion(extract_stage_dispatch(pages))
-        extract_s = min(extract_s, time.monotonic() - t0)
-    timings["extract_pages_salted"] = round(salted_best, 3)
-    timings["extract_pages"] = round(extract_s, 3)
+        record("extract_pages_salted", lambda: run_to_completion(
+            extract_stage(salted_repartition(pages, cpus * 2))))
+        record("extract_pages", lambda: run_to_completion(
+            extract_stage_dispatch(pages)))
+        # stage breakdown: the scan+write skeleton without the UDF — the
+        # extract_pages minus this is the extractor's own cost
+        record("extract_scan_only", lambda: run_to_completion(pages))
+        # WARC connector end-to-end: gzip-member parse + extraction,
+        # file-level parallelism (WARC_FILES files)
+        record("warc_extract", lambda: run_to_completion(
+            extract_stage_dispatch(read_warc(spark, warc_path))))
 
     total = round(sum(timings.values()), 3)
+    extract_s = timings["extract_pages"]
     print(
         json.dumps(
             {
@@ -150,6 +194,13 @@ def main() -> None:
                 "cpus": cpus,
                 "extract_docs": n_docs,
                 "extract_docs_per_sec": round(n_docs / extract_s, 1),
+                "extract_udf_s": round(
+                    max(extract_s - timings["extract_scan_only"], 0.0), 3
+                ),
+                "warc_docs_per_sec": round(
+                    corpus_rows / timings["warc_extract"], 1
+                ),
+                "bench_passes": N_PASSES,
             }
         )
     )
