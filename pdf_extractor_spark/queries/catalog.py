@@ -227,6 +227,10 @@ CATALOG: dict[str, QuerySpec] = {
     "text_ngram_freq": QuerySpec(
         textstats.text_ngram_freq, textstats.TEXT_NGRAM_FREQ_SQL,
         "corpus top-K bigram frequency (hash agg + global top-k window)"),
+    "text_embed_hash": QuerySpec(
+        textstats.text_embed_hash, textstats.TEXT_EMBED_HASH_SQL,
+        "deterministic text→embedding via signed feature hashing "
+        "(16 integer buckets; feeds the ANN family via text_embeddings)"),
     "text_fingerprint": QuerySpec(
         textstats.text_fingerprint, textstats.TEXT_FINGERPRINT_SQL,
         "document fingerprint: min-wise rolling 4-gram hash"),

@@ -275,6 +275,89 @@ FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
 
 
 # --------------------------------------------------------------------------
+# Deterministic text→embedding: feature hashing ("hashing trick") of the
+# token stream into EMBED_DIMS signed-count buckets. Each token's md5
+# yields its bucket (first 8 hex digits mod D) and its sign (9th digit's
+# high bit) — the standard signed feature-hashing estimator, whose dot
+# products approximate token-multiset overlap. Integer-only outputs, so
+# cross-engine hash parity is exact; the vectors feed the similarity
+# family directly (text_embeddings() below adapts to the ANN interface),
+# closing the text → embedding → ANN loop with engine-produced vectors
+# instead of fixture ones. Pure projection: zero shuffles, linear at
+# any scale.
+EMBED_DIMS = 16
+
+
+def _embed_dim_expr(d: int, side: str) -> str:
+    if side == "spark":
+        return (
+            "aggregate(md5s, CAST(0 AS BIGINT), (acc, h) -> acc + "
+            "CASE WHEN CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) "
+            f"% {EMBED_DIMS} = {d} THEN "
+            "(CASE WHEN instr('89abcdef', substr(h, 9, 1)) > 0 "
+            "THEN 1 ELSE -1 END) ELSE 0 END)"
+        )
+    return (
+        "CAST(coalesce(list_sum(list_transform(md5s, h -> "
+        f"CASE WHEN ('0x' || substr(h, 1, 8))::BIGINT % {EMBED_DIMS} = {d} "
+        "THEN (CASE WHEN strpos('89abcdef', substr(h, 9, 1)) > 0 "
+        "THEN 1 ELSE -1 END) ELSE 0 END)), 0) AS BIGINT)"
+    )
+
+
+def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram document embedding: EMBED_DIMS signed token-count
+    buckets per doc (scalar columns e_0..e_15 so the DuckDB oracle's
+    value hash compares integers, never floats/arrays)."""
+    from pdf_extractor_spark.queries.dedup import MD5S_S
+
+    df = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKS_S))
+        .withColumn("md5s", F.expr(MD5S_S))
+    )
+    return df.select(
+        "doc_id",
+        *[
+            F.expr(_embed_dim_expr(d, "spark")).alias(f"e_{d}")
+            for d in range(EMBED_DIMS)
+        ],
+    )
+
+
+def _text_embed_sql() -> str:
+    from pdf_extractor_spark.queries.dedup import MD5S_D
+
+    dims = ",\n       ".join(
+        f"{_embed_dim_expr(d, 'duck')} AS e_{d}" for d in range(EMBED_DIMS)
+    )
+    return f"""
+SELECT doc_id,
+       {dims}
+FROM (
+  SELECT doc_id, {MD5S_D} AS md5s
+  FROM (SELECT doc_id, {TOKS_D} AS toks FROM documents)
+)
+"""
+
+
+TEXT_EMBED_HASH_SQL = _text_embed_sql()
+
+
+def text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same hashed embedding in the ANN interface shape:
+    (vec_id, embedding ARRAY<DOUBLE>) — drop-in input for the
+    similarity-family machinery (tests/test_text_embed.py runs exact
+    top-k over it and recovers exact-duplicate documents at cosine 1)."""
+    arr = "array(" + ", ".join(
+        f"CAST(e_{d} AS DOUBLE)" for d in range(EMBED_DIMS)
+    ) + ")"
+    return text_embed_hash(spark, sf_dir).select(
+        F.col("doc_id").alias("vec_id"), F.expr(arr).alias("embedding")
+    )
+
+
+# --------------------------------------------------------------------------
 # O11 — the structured-extraction driver (pdf_processor.py:418-446): one
 # projection stage assembling every per-document field. This is the
 # `entry()` flagship as an oracle-checked catalog query.

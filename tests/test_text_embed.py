@@ -1,0 +1,92 @@
+"""text_embed_hash → ANN loop: the engine-produced hashed embeddings
+must behave like embeddings — exact-duplicate documents embed to
+identical vectors, and exact cosine top-k over them recovers the
+duplicate partner at cosine 1."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries import similarity as sim
+from pdf_extractor_spark.queries.dedup import dedup_exact
+from pdf_extractor_spark.queries.textstats import (
+    EMBED_DIMS,
+    text_embeddings,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_dups_recovered_at_cosine_one(spark, tmp_path):
+    # sf0.001 carries no exact duplicates — build a corpus that does:
+    # 40 real docs + copies of 5 of them under fresh doc_ids
+    docs = spark.read.parquet(f"{SF}/documents.parquet").orderBy("doc_id")
+    base = docs.limit(40)
+    copies = (
+        base.limit(5)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    dup_dir = str(tmp_path / "dup_corpus")
+    base.unionByName(copies).write.parquet(f"{dup_dir}/documents.parquet")
+
+    groups = (
+        dedup_exact(spark, dup_dir)
+        .filter("n_dups >= 2")
+        .select("canonical_doc_id")
+        .collect()
+    )
+    assert len(groups) == 5
+    dup_queries = [r[0] for r in groups]
+
+    emb = sim._prep(text_embeddings(spark, dup_dir)).filter("nrm > 0")
+    q = emb.filter(F.col("vec_id").isin(dup_queries)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    top = sim._topk(
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.expr(f"{sim._DOT_S} / (qn * cn)"))
+    )
+    best = {
+        r["query_id"]: r["cosine"]
+        for r in top.filter("rank = 1").collect()
+    }
+    # every duplicated query's nearest neighbor is its identical partner
+    assert set(best) == set(dup_queries)
+    assert all(cos >= 0.99999 for cos in best.values()), best
+
+
+def test_embedding_shape_and_determinism(spark):
+    emb = text_embeddings(spark, SF)
+    rows = emb.orderBy("vec_id").limit(3).collect()
+    assert all(len(r["embedding"]) == EMBED_DIMS for r in rows)
+    again = text_embeddings(spark, SF).orderBy("vec_id").limit(3).collect()
+    assert [tuple(r["embedding"]) for r in rows] == [
+        tuple(r["embedding"]) for r in again
+    ]
+    # signed counts: a doc's embedding L1 mass is bounded by token count
+    chk = (
+        emb.withColumn(
+            "l1", F.expr("aggregate(embedding, 0D, (a, x) -> a + abs(x))")
+        )
+        .join(
+            spark.read.parquet(f"{SF}/documents.parquet").select(
+                F.col("doc_id").alias("vec_id"),
+                F.expr(
+                    "CAST(size(filter(split(text, ' '), t -> t <> '')) "
+                    "AS DOUBLE)"
+                ).alias("n_toks"),
+            ),
+            on="vec_id",
+        )
+        .filter("l1 > n_toks")
+        .count()
+    )
+    assert chk == 0
