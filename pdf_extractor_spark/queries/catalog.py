@@ -238,6 +238,11 @@ CATALOG: dict[str, QuerySpec] = {
         cs.corpus_select, cs.CORPUS_SELECT_SQL,
         "training-set selection: quality gate + lang gate + fingerprint "
         "dedup in one pass (the capstone composite)"),
+    "corpus_sample_stratified": QuerySpec(
+        cs.corpus_sample_stratified, cs.CORPUS_SAMPLE_SQL,
+        "stratified training-mix sampling: deterministic hash-threshold "
+        "budget per (lang, quality band), two-phase (broadcast count "
+        "prefilter, then exact rank) so no stratum key ever goes hot"),
     # --- multimodal columns (oracle = expected fixtures from the pure
     #     numpy decoders, scripts/build_expected_oracles.py) ---
     "media_image_features": QuerySpec(

@@ -89,3 +89,103 @@ SELECT doc_id, lang_pred, quality, fingerprint FROM (
 )
 WHERE quality >= {QUALITY_MIN} AND lang_pred <> 'und' AND rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# Stratified corpus sampling — the training-mix construction step that
+# runs downstream of corpus_select: a deterministic per-(lang,
+# quality-band) document budget, selected by HASH order (md5 of doc_id),
+# never rand() — the same corpus and budget always yield the same
+# sample, on any cluster size, resumable for free.
+#
+# Two-phase shape so it holds at 100 TB: a naive per-stratum
+# row_number window would shuffle EVERY document onto a handful of
+# stratum keys (one task per stratum — the classic few-hot-keys skew).
+# Instead: (1) aggregate per-stratum counts (map-side-combined, tiny),
+# broadcast them back, and PRE-FILTER by hash threshold ≈ 2×budget/count
+# — a pure projection that drops all but ~2×budget rows per stratum
+# with zero document shuffle; (2) run the exact-rank window on the tiny
+# survivor set only. The hash fraction is h/2^32 with h the first 32
+# md5 bits — a power-of-two denominator, so the double compare is exact
+# and identical across engines.
+SAMPLE_BUDGET = 25  # docs per (lang_pred, quality_band) stratum
+_H32 = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+_H32_D = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+_BAND = "CAST(least(floor(quality * 4), 3) AS INT)"
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feat = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("toks", F.expr(TOKS_S))
+        .withColumn("n_tokens", F.expr("CAST(size(toks) AS BIGINT)"))
+        .withColumn(
+            "n_punct",
+            F.expr(
+                f"CAST(size(regexp_extract_all(text, '{_PUNCT_RE}', 1)) AS BIGINT)"
+            ),
+        )
+    )
+    for lg in _LANG_ORDER:
+        feat = feat.withColumn(f"hits_{lg}", F.expr(_hits_spark(lg)))
+    feat = (
+        feat.withColumn("quality", F.expr(_quality_exprs()["quality"]))
+        .withColumn("lang_pred", F.expr(_pred_case()))
+        .withColumn("quality_band", F.expr(_BAND))
+        .withColumn("h", F.expr(_H32))
+        .select("doc_id", "lang_pred", "quality_band", "h")
+    )
+    counts = feat.groupBy("lang_pred", "quality_band").agg(
+        F.count("*").alias("cnt")
+    )
+    pre = feat.join(
+        F.broadcast(counts), on=["lang_pred", "quality_band"]
+    ).filter(
+        F.expr(
+            "h / 4294967296.0 < "
+            f"least(2.0 * {SAMPLE_BUDGET} / cnt, 1.0)"
+        )
+    )
+    w = Window.partitionBy("lang_pred", "quality_band").orderBy(
+        "h", "doc_id"
+    )
+    return (
+        pre.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= SAMPLE_BUDGET)
+        .select("doc_id", "lang_pred", "quality_band", "sample_rank")
+    )
+
+
+CORPUS_SAMPLE_SQL = f"""
+WITH feat AS (
+  SELECT doc_id, lang_pred, {_BAND} AS quality_band, {_H32_D} AS h
+  FROM (
+    SELECT doc_id,
+           {_quality_exprs()["quality"]} AS quality,
+           {_pred_case()} AS lang_pred
+    FROM (
+      SELECT doc_id, text, toks,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '{_PUNCT_RE}', 1)) AS BIGINT)
+               AS n_punct,
+             {_HITS_D}
+      FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
+    )
+  )
+),
+counts AS (
+  SELECT lang_pred, quality_band, COUNT(*) AS cnt
+  FROM feat GROUP BY 1, 2
+),
+pre AS (
+  SELECT f.doc_id, f.lang_pred, f.quality_band, f.h
+  FROM feat f JOIN counts c USING (lang_pred, quality_band)
+  WHERE f.h / 4294967296.0 < least(2.0 * {SAMPLE_BUDGET} / c.cnt, 1.0)
+)
+SELECT doc_id, lang_pred, quality_band, sample_rank FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY lang_pred, quality_band ORDER BY h, doc_id
+  ) AS BIGINT) AS sample_rank
+  FROM pre
+) WHERE sample_rank <= {SAMPLE_BUDGET}
+"""
