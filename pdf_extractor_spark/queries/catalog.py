@@ -214,6 +214,16 @@ CATALOG: dict[str, QuerySpec] = {
         similarity.EMBEDDING_MULTIPROBE_CLUSTERED_SQL,
         "multiprobe over CLUSTERED embeddings: recall 0.94 at 4/16 "
         "probes (~30% scanned) — the realistic-data scale path"),
+    "embedding_centroid_topk": QuerySpec(
+        similarity.embedding_centroid_topk,
+        similarity.EMBEDDING_CENTROID_TOPK_SQL,
+        "learned-centroid IVF top-k: data-dependent buckets from a "
+        "deterministic driver-side k-means pass, fixed probe budget"),
+    "embedding_centroid_clustered": QuerySpec(
+        similarity.embedding_centroid_clustered,
+        similarity.EMBEDDING_CENTROID_CLUSTERED_SQL,
+        "learned-centroid IVF on the clustered fixture: recall >= 0.9 "
+        "at <= 25% scan with NO per-dataset knob (test-enforced)"),
     # --- training-data pipeline: text analysis ---
     "text_lang_id": QuerySpec(
         textstats.text_lang_id, textstats.TEXT_LANG_ID_SQL,

@@ -308,6 +308,266 @@ def _multiprobe(emb: DataFrame, n_probes: int) -> DataFrame:
     return _topk(joined)
 
 
+# --------------------------------------------------------------------------
+# Learned-centroid IVF — data-dependent bucketing (the round-3 default):
+# instead of fixed random hyperplanes, the bucket set is C centroids
+# LEARNED from the data by a deterministic k-means-style pass — seeds =
+# the C lowest-vec_id sample vectors, one Lloyd refinement over a
+# SAMPLE_N-vector sample — computed DRIVER-SIDE at plan-build time (one
+# tiny TakeOrdered collect, like a stats pass) and inlined as literal
+# arrays, so vector→bucket assignment stays a pure broadcast-free
+# projection. On clustered data (every real embedding space) the learned
+# cells align with the clusters, so a FIXED probe budget (CENTROID_PROBES
+# of N_CENTROIDS cells ⇒ ≤25% of the table scanned when balanced) gets
+# ≥0.9 recall with no per-dataset knob — test-enforced on the clustered
+# fixture (tests/test_similarity_recall.py).
+#
+# Cross-engine parity without shipping literals to DuckDB: the oracle
+# RE-DERIVES the identical centroids relationally (sample → seed assign
+# → per-dim means). Every floating step is pinned: distances are
+# LEFT-FOLD sums (Python accumulation loop == Spark `aggregate` fold ==
+# DuckDB `list_reduce`, and 0.0+x == x exactly), assignment ranks on
+# round(dist, 9) with a centroid-id tie-break, and centroid coordinates
+# are rounded HALF-UP to 6 decimals (Decimal in Python == round() in
+# both engines), so both engines see bit-identical centroids.
+SAMPLE_N = 256
+N_CENTROIDS = 16
+CENTROID_PROBES = 2  # measured on the clustered fixture: T=1 → recall
+# 0.88 @ 8.5% scanned, T=2 → recall 1.00 @ 19%, T=3 → 1.00 @ 28%; the
+# fixed default T=2 clears the recall ≥ 0.9 / scan ≤ 25% contract with
+# margin on both sides (tests/test_similarity_recall.py enforces it)
+
+from decimal import ROUND_HALF_UP, Decimal as _Dec
+
+
+def _roundn(x: float, n: int) -> float:
+    q = _Dec(1).scaleb(-n)
+    return float(_Dec(x).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def _sqdist_py(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += (x - y) * (x - y)
+    return acc
+
+
+def _learn_centroids(emb: DataFrame) -> list[list[float]]:
+    """Deterministic one-iteration k-means over the sample; returns
+    N_CENTROIDS lists of DIM floats (means rounded half-up to 6 dp;
+    an empty cell keeps its raw seed). ``emb`` must be _prep()-ed."""
+    rows = (
+        emb.filter(F.col("vec_id") >= N_QUERIES)
+        .orderBy("vec_id")
+        .limit(SAMPLE_N)
+        .select("vec_id", "v")
+        .collect()
+    )
+    sample = [list(r["v"]) for r in rows]  # already vec_id-ascending
+    seeds = sample[:N_CENTROIDS]
+    members: list[list[list[float]]] = [[] for _ in range(N_CENTROIDS)]
+    for v in sample:
+        best = min(
+            range(N_CENTROIDS),
+            key=lambda c: (_roundn(_sqdist_py(v, seeds[c]), 9), c),
+        )
+        members[best].append(v)  # appended in vec_id order
+    cents: list[list[float]] = []
+    for c in range(N_CENTROIDS):
+        if not members[c]:
+            cents.append(seeds[c])
+            continue
+        cent = []
+        for d in range(len(seeds[c])):
+            acc = 0.0
+            for v in members[c]:  # left fold in vec_id order
+                acc += v[d]
+            cent.append(_roundn(acc / len(members[c]), 6))
+        cents.append(cent)
+    return cents
+
+
+def _cent_lit(cent: list[float]) -> str:
+    # repr() round-trips doubles, both engines parse the decimal string
+    # to the same nearest double; the bare D-suffix literal keeps the
+    # expression tree small (a CAST node per element doubled Catalyst's
+    # node count and the 16×64-literal plan must stay compact)
+    return "array(" + ", ".join(f"{x!r}D" for x in cent) + ")"
+
+
+def _cdist_expr(c: int, cents: list[list[float]]) -> str:
+    return (
+        f"aggregate(zip_with(v, {_cent_lit(cents[c])}, "
+        "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def _centroid_search(emb: DataFrame, n_probes: int) -> DataFrame:
+    from pyspark.sql import Window
+
+    cents = _learn_centroids(emb)
+    # ONE array column holds all 16 centroid distances, so every
+    # downstream use references `dists`/`rd` instead of re-inlining the
+    # 16×64-literal folds (a least()+CASE argmin expanded each fold
+    # ~270× after projection collapse — enough to OOM the driver during
+    # optimization). argmin = array_position of the min, which returns
+    # the FIRST match — the lowest-centroid-id tie-break for free.
+    dists_expr = "array(" + ", ".join(
+        _cdist_expr(c, cents) for c in range(N_CENTROIDS)
+    ) + ")"
+    emb = (
+        emb.withColumn("dists", F.expr(dists_expr))
+        .withColumn("rd", F.expr("transform(dists, x -> round(x, 9))"))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(array_position(rd, array_min(rd)) - 1 AS BIGINT)"
+            ),
+        )
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.expr("round(pc.dist, 9)").asc(), F.col("pc.cid").asc()
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "dists",
+        )
+        .withColumn(
+            "pc",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {N_CENTROIDS - 1}), "
+                    "c -> struct(CAST(c AS BIGINT) AS cid, "
+                    "element_at(dists, c + 1) AS dist))"
+                )
+            ),
+        )
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probes)
+        .select("query_id", "qv", "qn", F.col("pc.cid").alias("qb"))
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("bucket").alias("cb"),
+    )
+    joined = (
+        c.join(F.broadcast(q), on=[F.col("qb") == F.col("cb")])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.expr(f"{_DOT_S} / (qn * cn)"))
+    )
+    return _topk(joined)
+
+
+def embedding_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned-centroid IVF top-k over the driver embeddings table."""
+    return _centroid_search(_emb(spark, sf_dir), CENTROID_PROBES)
+
+
+def embedding_centroid_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Learned-centroid IVF over the clustered fixture — the default
+    data-dependent bucketing at its intended operating point: recall
+    ≥ 0.9 scanning ≤ 25% with the FIXED probe budget (no per-dataset
+    knob). `sf_dir` ignored (fixture-backed)."""
+    return _centroid_search(_clustered_emb(spark), CENTROID_PROBES)
+
+
+# DuckDB re-derivation of the same centroids + search.
+_SQD_D = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "z -> (z[1] - z[2]) * (z[1] - z[2])), (x, y) -> x + y)"
+)
+
+
+def _centroid_sql(source: str, n_probes: int) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, v, {_NORM_D} AS nrm
+  FROM (SELECT vec_id, {_VEC_D} AS v FROM {source})
+),
+sample AS (
+  SELECT vec_id, v FROM e WHERE vec_id >= {N_QUERIES}
+  ORDER BY vec_id LIMIT {SAMPLE_N}
+),
+seeds AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+  FROM (SELECT vec_id, v FROM sample ORDER BY vec_id LIMIT {N_CENTROIDS})
+),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT s.vec_id, s.v, c.cid, row_number() OVER (
+      PARTITION BY s.vec_id
+      ORDER BY round({_SQD_D.format(a="s.v", b="c.v")}, 9), c.cid
+    ) AS rn
+    FROM sample s CROSS JOIN seeds c
+  ) WHERE rn = 1
+),
+m AS (
+  SELECT cid, d,
+         round(list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
+               / COUNT(*), 6) AS cv
+  FROM (
+    SELECT a1.cid, a1.vec_id, t.d, a1.v[t.d + 1] AS val
+    FROM a1 CROSS JOIN (SELECT unnest(range({DIM})) AS d) t
+  )
+  GROUP BY cid, d
+),
+cent AS (
+  SELECT s.cid, list(coalesce(m.cv, s.v[t.d + 1]) ORDER BY t.d) AS v
+  FROM seeds s
+  CROSS JOIN (SELECT unnest(range({DIM})) AS d) t
+  LEFT JOIN m ON m.cid = s.cid AND m.d = t.d
+  GROUP BY s.cid
+),
+assign AS (
+  SELECT vec_id, cid AS bucket FROM (
+    SELECT e.vec_id, c.cid, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY round({_SQD_D.format(a="e.v", b="c.v")}, 9), c.cid
+    ) AS rn
+    FROM e CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+qp AS (
+  SELECT vec_id, cid AS qb FROM (
+    SELECT e.vec_id, c.cid, row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY round({_SQD_D.format(a="e.v", b="c.v")}, 9), c.cid
+    ) AS rn
+    FROM e CROSS JOIN cent c WHERE e.vec_id < {N_QUERIES}
+  ) WHERE rn <= {n_probes}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT_D.replace("qv", "q.v").replace("cv", "c.v")}
+           / (q.nrm * c.nrm) AS cos
+  FROM (SELECT e.*, qp.qb FROM e JOIN qp USING (vec_id)) q
+  JOIN (SELECT e.*, assign.bucket FROM e JOIN assign USING (vec_id)) c
+    ON q.qb = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id
+  ) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= {TOP_K}
+"""
+
+
+EMBEDDING_CENTROID_TOPK_SQL = _centroid_sql("embeddings", CENTROID_PROBES)
+EMBEDDING_CENTROID_CLUSTERED_SQL = _centroid_sql(
+    f"'{CLUSTERED_PATH}'", CENTROID_PROBES
+)
+
+
 _BUCKET_D = _bucket_exprs("duck", "v")
 _MP_BUCKET_D = _bucket_exprs("duck", "v", MP_PLANES)
 _MP_DOTS_D = ", ".join(

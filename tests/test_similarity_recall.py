@@ -35,6 +35,66 @@ def test_multiprobe_recall(spark, sf):
     assert r_multi >= 0.9
 
 
+def test_learned_centroid_recall_and_scan_bound(spark):
+    """The learned-centroid IVF default: recall >= 0.9 while scanning
+    <= 25% of the table on the clustered fixture, with the FIXED probe
+    budget — no per-dataset knob (the round-2 multiprobe needed a
+    hand-picked MP_PROBES_CLUSTERED; learned centroids do not)."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.queries import similarity as sim
+
+    exact = _pairs(spark, "embedding_topk_clustered", "ignored")
+    approx = _pairs(spark, "embedding_centroid_clustered", "ignored")
+    assert len(approx & exact) / len(exact) >= 0.9
+
+    # measured scan fraction: sum over queries of probed-bucket sizes
+    emb = sim._prep(sim._clustered_emb(spark))
+    cents = sim._learn_centroids(emb)
+    dists = "array(" + ", ".join(
+        sim._cdist_expr(c, cents) for c in range(sim.N_CENTROIDS)
+    ) + ")"
+    emb = (
+        emb.withColumn("dists", F.expr(dists))
+        .withColumn("rd", F.expr("transform(dists, x -> round(x, 9))"))
+        .withColumn(
+            "bucket",
+            F.expr("CAST(array_position(rd, array_min(rd)) - 1 AS BIGINT)"),
+        )
+    )
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in emb.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(sizes.values())
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("vec_id").orderBy(
+        F.expr("round(pc.dist, 9)").asc(), F.col("pc.cid").asc()
+    )
+    probed = (
+        emb.filter(F.col("vec_id") < sim.N_QUERIES)
+        .withColumn(
+            "pc",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {sim.N_CENTROIDS - 1}), "
+                    "c -> struct(CAST(c AS BIGINT) AS cid, "
+                    "element_at(dists, c + 1) AS dist))"
+                )
+            ),
+        )
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= sim.CENTROID_PROBES)
+        .select("vec_id", F.col("pc.cid").alias("qb"))
+        .collect()
+    )
+    scanned = sum(sizes.get(r["qb"], 0) for r in probed) / (
+        sim.N_QUERIES * n_total
+    )
+    assert scanned <= 0.25, scanned
+
+
 def test_clustered_multiprobe_recall_at_low_cost(spark):
     """On clustered embeddings (the realistic regime) the SAME multiprobe
     scheme reaches recall >= 0.9 probing only MP_PROBES_CLUSTERED=4 of 16
