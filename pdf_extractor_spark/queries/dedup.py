@@ -142,13 +142,23 @@ FROM (
 LSH_BUCKET_CAP = 64
 
 
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, stage_dir: str | None = None
+) -> DataFrame:
     """LSH banding: (doc, band_idx, md5(sig_2b || sig_2b+1)) exploded, then
     an equi-self-join on the band key. At 100 TB this join shuffles only
     the 48-byte band keys, never the documents — and the bucket-size cap
     (drop band_hash groups with count > LSH_BUCKET_CAP) bounds worst-case
     skew: the window count shuffles once on exactly the join key, so the
-    self-join reuses the same hash partitioning."""
+    self-join reuses the same hash partitioning.
+
+    ``stage_dir``: when set, the band table is written to parquet there
+    and read back before the cap/self-join — the petabyte path: Spark
+    shares no subplans, so without staging the shingle→minhash→band
+    pipeline (the md5-dominated cost) runs TWICE, once per join side.
+    Staging trades one parquet round-trip for halving that compute.
+    Results are identical either way (tests/test_dedup_skew_caps.py);
+    see the A/B decision note below for when each wins."""
     from pyspark.sql import Window
 
     sig = _with_signature(spark, sf_dir)
@@ -171,6 +181,20 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+    if stage_dir is not None:
+        # A/B (round 3, sf0.1/local[8], interleaved min-of-3, two
+        # independent windows): staged 3.29/3.42 s vs unstaged
+        # 3.60/3.45 s — break-even within this host's steal noise at
+        # test scale, because the pair join dominates and the parquet
+        # round-trip roughly cancels the saved duplicate md5 pipeline.
+        # The CATALOG default stays unstaged (a catalog query should not
+        # side-effect a scratch directory); at petabyte scale signature
+        # compute ≫ join time and the staged path halves the dominant
+        # term — which is why this is a real code path now instead of
+        # the round-2 comment.
+        path = f"{stage_dir}/lsh_bands"
+        bands.write.mode("overwrite").parquet(path)
+        bands = spark.read.parquet(path)
     bw = Window.partitionBy("band_idx", "band_hash")
     bands = (
         bands.withColumn("bucket_n", F.count("*").over(bw))

@@ -98,3 +98,22 @@ def test_shingle_df_cap_keeps_pairs_linear(spark, patho_dir):
         (N_BOILER + 2 * k, N_BOILER + 2 * k + 1) for k in range(N_REAL // 2)
     }
     assert expect <= found
+
+
+def test_staged_band_path_is_equivalent(spark, tmp_path):
+    """The petabyte staging path (band table written to parquet before
+    the self-join) must produce the identical candidate-pair set — the
+    flag changes the physical plan only."""
+    from pdf_extractor_spark.queries.dedup import dedup_minhash_lsh_pairs
+
+    sf = "/root/testdata/sf0.001"
+    plain = sorted(
+        tuple(r) for r in dedup_minhash_lsh_pairs(spark, sf).collect()
+    )
+    staged = sorted(
+        tuple(r)
+        for r in dedup_minhash_lsh_pairs(
+            spark, sf, stage_dir=str(tmp_path)
+        ).collect()
+    )
+    assert plain == staged and plain
