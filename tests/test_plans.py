@@ -65,6 +65,27 @@ def test_ngram_freq_topk_is_take_ordered(spark):
 
 def test_projection_queries_have_no_shuffle(spark):
     for name in ("text_quality", "text_fingerprint", "dedup_simhash",
-                 "o9_fallback_chain", "o21_locale_normalize"):
+                 "o9_fallback_chain", "o21_locale_normalize",
+                 "text_embed_hash"):
         plan = plan_of(CATALOG[name].fn(spark, SF))
         assert "Exchange" not in plan, f"{name} grew a shuffle"
+
+
+def test_stratified_sample_broadcasts_counts(spark):
+    """The two-phase sampler's prefilter must join the per-stratum
+    counts via BROADCAST (the whole point: no document shuffle before
+    the prefilter) and the only sort-shuffle is the tiny survivor-set
+    rank window."""
+    plan = plan_of(CATALOG["corpus_sample_stratified"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_centroid_assignment_is_projection(spark):
+    """Learned-centroid IVF: the candidate side's bucket assignment is
+    literal-centroid arithmetic — a pure projection. The plan's only
+    exchanges are the broadcast of the tiny probed-query side and the
+    final per-query top-k window; no sort-merge join anywhere."""
+    plan = plan_of(CATALOG["embedding_centroid_topk"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
