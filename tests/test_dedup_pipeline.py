@@ -35,7 +35,7 @@ def _verified_pairs(spark):
         )
         .withColumn(
             "n_inter",
-            F.expr("size(filter(sh_a, s -> array_contains(sh_b, s)))"),
+            F.expr("size(array_intersect(sh_a, sh_b))"),
         )
         .filter(
             F.expr(
