@@ -120,11 +120,16 @@ HEADLINE = [
     "embedding_multiprobe_clustered",
     "embedding_ivf_topk",
     "embedding_ivf_multiprobe",
+    "embedding_centroid_topk",
+    "embedding_centroid_clustered",
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
+    "text_embed_hash",
+    "text_embed_topk",
     "o11_struct_extract",
     "corpus_select",
+    "corpus_sample_stratified",
 ]
 
 

@@ -117,7 +117,35 @@ def build_goldens(
         for rec in records:
             f.write(json.dumps(rec, ensure_ascii=False, sort_keys=True) + "\n")
     write_pages_parquet(out_dir / "pages_micro.parquet", seed, n_rows, n_days)
+    build_warc_fixture(out_dir, seed, n_rows, n_days)
     return len(records)
+
+
+WARC_FILES_MICRO = 4
+
+
+def build_warc_fixture(
+    out_dir: str | pathlib.Path,
+    seed: int = GOLDEN_SEED,
+    n_rows: int = GOLDEN_ROWS,
+    n_days: int = GOLDEN_DAYS,
+) -> int:
+    """The SAME micro corpus as .warc.gz archives (WARC_FILES_MICRO
+    files) — the catalog's `warc_extract_pages` reads these and must
+    hash-match the parquet path's expected output, proving the WARC
+    round-trip is lossless end to end."""
+    from pdf_extractor_spark.sources.warc import write_warc
+
+    warc_dir = pathlib.Path(out_dir) / "warc_micro"
+    warc_dir.mkdir(parents=True, exist_ok=True)
+    rows = list(generate_rows(seed, n_rows, n_days))
+    per = max(1, (len(rows) + WARC_FILES_MICRO - 1) // WARC_FILES_MICRO)
+    n = 0
+    for i in range(0, len(rows), per):
+        n += write_warc(
+            warc_dir / f"part-{i // per:05d}.warc.gz", rows[i : i + per]
+        )
+    return n
 
 
 def main() -> None:

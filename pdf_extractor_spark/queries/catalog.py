@@ -89,6 +89,29 @@ def extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WARC connector inside the driver's hash gate: read the
+    committed .warc.gz micro fixture (the SAME 200 documents as
+    pages_micro, written as 4 Common-Crawl-layout archives), extract,
+    and emit the extract_pages output shape. The oracle is the SAME
+    expected-output parquet as extract_pages — passing proves the WARC
+    record round-trip (gzip members, HTTP framing, payload recovery) is
+    byte-lossless end to end, not just row-countable."""
+    from pdf_extractor_spark.operators.extract import extract_stage
+    from pdf_extractor_spark.sources.warc import read_warc
+
+    pages = read_warc(
+        spark, str(REPO_ROOT / "fixtures" / "golden" / "warc_micro")
+    )
+    return extract_stage(pages).select(
+        "url",
+        "doc_type",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.md5("extracted_text").alias("text_md5"),
+    )
+
+
 def _media(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(
         str(REPO_ROOT / "fixtures" / "golden" / "media_micro.parquet")
@@ -241,6 +264,10 @@ CATALOG: dict[str, QuerySpec] = {
         textstats.text_embed_hash, textstats.TEXT_EMBED_HASH_SQL,
         "deterministic text→embedding via signed feature hashing "
         "(16 integer buckets; feeds the ANN family via text_embeddings)"),
+    "text_embed_topk": QuerySpec(
+        textstats.text_embed_topk, textstats.TEXT_EMBED_TOPK_SQL,
+        "text→embedding→ANN loop closed in-catalog: exact cosine top-k "
+        "over the engine-produced hashed embeddings"),
     "text_fingerprint": QuerySpec(
         textstats.text_fingerprint, textstats.TEXT_FINGERPRINT_SQL,
         "document fingerprint: min-wise rolling 4-gram hash"),
@@ -285,6 +312,13 @@ CATALOG: dict[str, QuerySpec] = {
             "extract_pages", "url, doc_type, n_blocks, n_chars, text_md5"
         ),
         "HTML/PDF main-content extraction over the micro corpus"),
+    "warc_extract_pages": QuerySpec(
+        warc_extract_pages,
+        _expected_sql(
+            "extract_pages", "url, doc_type, n_blocks, n_chars, text_md5"
+        ),
+        "WARC connector end-to-end: the same 200 docs via .warc.gz must "
+        "hash-match the parquet path's expected extraction output"),
     "extract_first_block": QuerySpec(
         extract_first_block,
         _expected_sql(

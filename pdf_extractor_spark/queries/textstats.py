@@ -358,6 +358,98 @@ def text_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# The text→embedding→ANN loop CLOSED inside the catalog: exact cosine
+# top-k over the ENGINE-PRODUCED hashed embeddings (not fixture
+# vectors). Query docs = the N_EMBED_QUERIES lowest doc_ids with a
+# non-zero vector; all arithmetic follows the similarity family's float
+# discipline (double promotion, round(·,9) rank keys, id tie-breaks).
+N_EMBED_QUERIES = 5
+EMBED_TOP_K = 3
+
+
+def text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = text_embeddings(spark, sf_dir).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), "
+            "(a, x) -> a + x * x))"
+        ),
+    ).filter("nrm > 0")
+    qw = Window.orderBy("vec_id")
+    q = (
+        emb.withColumn("qr", F.row_number().over(qw))
+        .filter(F.col("qr") <= N_EMBED_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    joined = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos",
+            F.expr(
+                "aggregate(zip_with(qv, cv, (x, y) -> x * y), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x) / (qn * cn)"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.expr("round(cos, 9)").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= EMBED_TOP_K)
+        .select(
+            "query_id", "neighbor_id", "rank",
+            F.round("cos", 5).alias("cosine"),
+        )
+    )
+
+
+def _text_embed_topk_sql() -> str:
+    dims = ", ".join(f"e_{d}" for d in range(EMBED_DIMS))
+    return f"""
+WITH he AS ({_text_embed_sql()}),
+emb AS (
+  SELECT doc_id AS vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM (SELECT doc_id, [{dims}]::DOUBLE[] AS v FROM he)
+),
+nz AS (SELECT * FROM emb WHERE nrm > 0),
+q AS (
+  SELECT vec_id, v, nrm FROM (
+    SELECT *, row_number() OVER (ORDER BY vec_id) AS qr FROM nz
+  ) WHERE qr <= {N_EMBED_QUERIES}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.v, c.v), z -> z[1] * z[2]))
+           / (q.nrm * c.nrm) AS cos
+  FROM q JOIN nz c ON q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id
+  ) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= {EMBED_TOP_K}
+"""
+
+
+TEXT_EMBED_TOPK_SQL = _text_embed_topk_sql()
+
+
+# --------------------------------------------------------------------------
 # O11 — the structured-extraction driver (pdf_processor.py:418-446): one
 # projection stage assembling every per-document field. This is the
 # `entry()` flagship as an oracle-checked catalog query.
