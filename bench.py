@@ -64,7 +64,7 @@ def bench_warc_corpus(n_rows: int) -> str:
     WARC's parallel unit is the file, so the corpus is split across
     WARC_FILES members-per-file archives. Cached like the parquet form."""
     from pdf_extractor_spark.corpus.generator import generate_rows
-    from pdf_extractor_spark.sources.warc import write_warc
+    from pdf_extractor_spark.sources.warc import write_warc_dir
 
     d = pathlib.Path(
         f"/tmp/spark_graft_bench/warc_s{BENCH_SEED}_n{n_rows}"
@@ -73,9 +73,7 @@ def bench_warc_corpus(n_rows: int) -> str:
     done = d / "_DONE"
     if not done.exists():
         rows = list(generate_rows(BENCH_SEED, n_rows, BENCH_DAYS))
-        per = max(1, (len(rows) + WARC_FILES - 1) // WARC_FILES)
-        for i in range(0, len(rows), per):
-            write_warc(d / f"part-{i // per:05d}.warc.gz", rows[i : i + per])
+        write_warc_dir(d, rows, WARC_FILES)
         done.touch()
     return str(d)
 
@@ -173,7 +171,7 @@ def main() -> None:
     # (two-branch: zero-shuffle small mass + one-giant-per-task tail)
     pages = spark.read.parquet(corpus_path)
     n_docs = pages.count()
-    for _ in range(2):
+    for _ in range(N_PASSES):
         record("extract_pages_salted", lambda: run_to_completion(
             extract_stage(salted_repartition(pages, cpus * 2))))
         record("extract_pages", lambda: run_to_completion(
@@ -186,7 +184,11 @@ def main() -> None:
         record("warc_extract", lambda: run_to_completion(
             extract_stage_dispatch(read_warc(spark, warc_path))))
 
-    total = round(sum(timings.values()), 3)
+    # extract_scan_only is a measurement skeleton (the breakdown
+    # baseline), not a workload — keep it out of the cross-round total
+    total = round(
+        sum(v for k, v in timings.items() if k != "extract_scan_only"), 3
+    )
     extract_s = timings["extract_pages"]
     print(
         json.dumps(

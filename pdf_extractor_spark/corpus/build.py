@@ -134,18 +134,17 @@ def build_warc_fixture(
     files) — the catalog's `warc_extract_pages` reads these and must
     hash-match the parquet path's expected output, proving the WARC
     round-trip is lossless end to end."""
-    from pdf_extractor_spark.sources.warc import write_warc
+    import shutil
+
+    from pdf_extractor_spark.sources.warc import write_warc_dir
 
     warc_dir = pathlib.Path(out_dir) / "warc_micro"
-    warc_dir.mkdir(parents=True, exist_ok=True)
+    # clear first: regeneration with fewer rows/files must not leave
+    # stale part files behind (read_warc globs the whole directory, so a
+    # survivor would silently corrupt the fixture's row set)
+    shutil.rmtree(warc_dir, ignore_errors=True)
     rows = list(generate_rows(seed, n_rows, n_days))
-    per = max(1, (len(rows) + WARC_FILES_MICRO - 1) // WARC_FILES_MICRO)
-    n = 0
-    for i in range(0, len(rows), per):
-        n += write_warc(
-            warc_dir / f"part-{i // per:05d}.warc.gz", rows[i : i + per]
-        )
-    return n
+    return write_warc_dir(warc_dir, rows, WARC_FILES_MICRO)
 
 
 def main() -> None:

@@ -33,7 +33,10 @@ from pdf_extractor_spark.queries.textstats import (
 QUALITY_MIN = 0.5
 
 
-def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared quality/lang feature prep (the SINGLE Spark-side copy —
+    corpus_select and corpus_sample_stratified both build on it, so the
+    two catalog queries cannot silently diverge)."""
     df = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .withColumn("toks", F.expr(TOKS_S))
@@ -47,11 +50,13 @@ def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for lg in _LANG_ORDER:
         df = df.withColumn(f"hits_{lg}", F.expr(_hits_spark(lg)))
-    df = (
-        df.withColumn("quality", F.expr(_quality_exprs()["quality"]))
-        .withColumn("lang_pred", F.expr(_pred_case()))
-        .withColumn("fingerprint", F.expr(_FP_S))
-    )
+    return df.withColumn(
+        "quality", F.expr(_quality_exprs()["quality"])
+    ).withColumn("lang_pred", F.expr(_pred_case()))
+
+
+def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _features(spark, sf_dir).withColumn("fingerprint", F.expr(_FP_S))
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     return (
         df.withColumn("rn", F.row_number().over(w))
@@ -102,13 +107,21 @@ WHERE quality >= {QUALITY_MIN} AND lang_pred <> 'und' AND rn = 1
 # row_number window would shuffle EVERY document onto a handful of
 # stratum keys (one task per stratum — the classic few-hot-keys skew).
 # Instead: (1) aggregate per-stratum counts (map-side-combined, tiny),
-# broadcast them back, and PRE-FILTER by hash threshold ≈ 2×budget/count
-# — a pure projection that drops all but ~2×budget rows per stratum
-# with zero document shuffle; (2) run the exact-rank window on the tiny
-# survivor set only. The hash fraction is h/2^32 with h the first 32
-# md5 bits — a power-of-two denominator, so the double compare is exact
-# and identical across engines.
+# broadcast them back, and PRE-FILTER by hash threshold ≈
+# MARGIN×budget/count — a pure projection that drops all but
+# ~MARGIN×budget rows per stratum with zero document shuffle; (2) run
+# the exact-rank window on the tiny survivor set only. The hash
+# fraction is h/2^32 with h the first 32 md5 bits — a power-of-two
+# denominator, so the double compare is exact and identical across
+# engines.
+#
+# MARGIN bounds the silent-underfill risk: survivors per large stratum
+# ~ Poisson(MARGIN×B). At MARGIN=2 (B=25), P(survivors < B) ≈ 4e-5 per
+# stratum — rare but real across many strata/corpora. At MARGIN=4,
+# P(Poisson(100) < 25) ≈ 2e-19: never, for any realistic number of
+# runs, while the survivor set stays ~100 rows per stratum.
 SAMPLE_BUDGET = 25  # docs per (lang_pred, quality_band) stratum
+SAMPLE_MARGIN = 4
 _H32 = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
 _H32_D = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
 _BAND = "CAST(least(floor(quality * 4), 3) AS INT)"
@@ -116,21 +129,7 @@ _BAND = "CAST(least(floor(quality * 4), 3) AS INT)"
 
 def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .withColumn("toks", F.expr(TOKS_S))
-        .withColumn("n_tokens", F.expr("CAST(size(toks) AS BIGINT)"))
-        .withColumn(
-            "n_punct",
-            F.expr(
-                f"CAST(size(regexp_extract_all(text, '{_PUNCT_RE}', 1)) AS BIGINT)"
-            ),
-        )
-    )
-    for lg in _LANG_ORDER:
-        feat = feat.withColumn(f"hits_{lg}", F.expr(_hits_spark(lg)))
-    feat = (
-        feat.withColumn("quality", F.expr(_quality_exprs()["quality"]))
-        .withColumn("lang_pred", F.expr(_pred_case()))
+        _features(spark, sf_dir)
         .withColumn("quality_band", F.expr(_BAND))
         .withColumn("h", F.expr(_H32))
         .select("doc_id", "lang_pred", "quality_band", "h")
@@ -143,7 +142,7 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         F.expr(
             "h / 4294967296.0 < "
-            f"least(2.0 * {SAMPLE_BUDGET} / cnt, 1.0)"
+            f"least({SAMPLE_MARGIN}.0 * {SAMPLE_BUDGET} / cnt, 1.0)"
         )
     )
     w = Window.partitionBy("lang_pred", "quality_band").orderBy(
@@ -180,7 +179,7 @@ counts AS (
 pre AS (
   SELECT f.doc_id, f.lang_pred, f.quality_band, f.h
   FROM feat f JOIN counts c USING (lang_pred, quality_band)
-  WHERE f.h / 4294967296.0 < least(2.0 * {SAMPLE_BUDGET} / c.cnt, 1.0)
+  WHERE f.h / 4294967296.0 < least({SAMPLE_MARGIN}.0 * {SAMPLE_BUDGET} / c.cnt, 1.0)
 )
 SELECT doc_id, lang_pred, quality_band, sample_rank FROM (
   SELECT *, CAST(row_number() OVER (

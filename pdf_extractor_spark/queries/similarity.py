@@ -79,7 +79,10 @@ def _prep(raw: DataFrame) -> DataFrame:
     )
 
 
-def _topk(joined: DataFrame) -> DataFrame:
+def _topk(joined: DataFrame, k: int = TOP_K) -> DataFrame:
+    """The float-discipline-critical ranking shared by every ANN query
+    (including textstats.text_embed_topk): round(cos, 9) rank key,
+    neighbor-id tie-break, round(cos, 5) output."""
     from pyspark.sql import Window
 
     w = Window.partitionBy("query_id").orderBy(
@@ -87,7 +90,7 @@ def _topk(joined: DataFrame) -> DataFrame:
     )
     return (
         joined.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= TOP_K)
+        .filter(F.col("rank") <= k)
         .select(
             "query_id", "neighbor_id", "rank",
             F.round("cos", 5).alias("cosine"),

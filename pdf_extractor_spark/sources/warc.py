@@ -99,6 +99,23 @@ def write_warc(
     return n
 
 
+def write_warc_dir(
+    out_dir: str | pathlib.Path, rows: list, n_files: int
+) -> int:
+    """Split rows across ``n_files`` .warc.gz archives (file = the WARC
+    parallel unit). The single shared chunking/naming rule for fixtures
+    and bench corpora."""
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    per = max(1, (len(rows) + n_files - 1) // n_files)
+    n = 0
+    for i in range(0, len(rows), per):
+        n += write_warc(
+            out_dir / f"part-{i // per:05d}.warc.gz", rows[i : i + per]
+        )
+    return n
+
+
 def _parse_warc_date(s: str) -> dt.datetime:
     """Lenient WARC-Date: real crawls emit fractional seconds and numeric
     timezone offsets alongside the canonical `%Y-%m-%dT%H:%M:%SZ`. An

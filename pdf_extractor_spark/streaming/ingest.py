@@ -70,6 +70,7 @@ def _backfill_lineage(
     batch_id: int,
     extracted_tbl,
     lineage,
+    stream_id: str,
 ) -> bool:
     """Heal the one non-atomic window in the micro-batch commit: the
     lineage append runs AFTER the marker-carrying table commit, so a
@@ -77,8 +78,13 @@ def _backfill_lineage(
     the replay is (correctly) skipped by the marker check and would never
     rewrite them. On the replay-skip path, check whether lineage rows for
     this batch exist; if not, recount the batch's rows straight from the
-    COMMITTED table (every output row carries its ``batch_id``, so the
-    committed data itself is the recovery record) and append them.
+    COMMITTED table (every output row carries its ``batch_id`` AND
+    ``stream_id``, so the committed data itself is the recovery record,
+    correctly scoped when several streams share one table) and append
+    them. The intact-check is scoped too: each stream writes its OWN
+    lineage log directory (see ``stream_extract``) — a shared log would
+    let another stream's batch-N rows mask this stream's loss, since
+    batch ids restart from 0 per checkpoint.
 
     This is a crash-recovery-only path (a replay happens at most once per
     crash), so the table filter-scan here is acceptable; the hot path
@@ -92,7 +98,10 @@ def _backfill_lineage(
     counts = {
         row["partition_date"]: row["n"]
         for row in extracted_tbl.read(ss)
-        .filter(F.col("batch_id") == batch_id)
+        .filter(
+            (F.col("batch_id") == batch_id)
+            & (F.col("stream_id") == stream_id)
+        )
         .groupBy("partition_date")
         .agg(F.count("*").alias("n"))
         .collect()
@@ -134,23 +143,38 @@ def commit_batch(
     checkpoint dir gets a fresh marker and its batches (re-numbered from
     0) are never misread as replays of the old stream's."""
     snap = extracted_tbl.current_snapshot()
-    markers = dict((snap or {}).get("stream_batches", {}))
-    committed = markers.get(stream_id, -1)
+    committed = (snap or {}).get("stream_batches", {}).get(stream_id, -1)
     if batch_id <= committed:
         # exactly-once: replayed batch, already in the table. The table
         # data needs nothing — but lineage.append is a separate write
         # AFTER the marker-carrying commit, so a crash in that window
         # leaves the batch committed with no lineage rows, and skipping
         # silently here would lose them forever. Detect and heal.
-        _backfill_lineage(batch_df, batch_id, extracted_tbl, lineage)
+        _backfill_lineage(
+            batch_df, batch_id, extracted_tbl, lineage, stream_id
+        )
         return False
     t0 = time.monotonic()
-    out = with_partition_date(extract_stage_dispatch(batch_df)).withColumn(
-        "batch_id", F.lit(batch_id).cast("long")
+    out = (
+        with_partition_date(extract_stage_dispatch(batch_df))
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .withColumn("stream_id", F.lit(stream_id))
     )
-    markers[stream_id] = max(committed, batch_id)
+    # the marker MERGE runs inside the table's commit lock against the
+    # then-current snapshot (merge_extra): computing the marker map here
+    # from the snapshot read above would let a concurrent stream's
+    # commit land in between and get its marker silently rolled back —
+    # breaking ITS exactly-once skip on replay. Only this stream's key
+    # is written; Structured Streaming serializes batches within one
+    # query, so the upfront replay check stays race-free for our key.
     _, added = extracted_tbl.append_tracked(
-        out, extra={"stream_batches": markers}
+        out,
+        merge_extra=lambda prev: {
+            "stream_batches": {
+                **prev.get("stream_batches", {}),
+                stream_id: batch_id,
+            }
+        },
     )
     # count ONLY this batch's files — never re-scan the table (which
     # grows without bound over the stream's lifetime)
@@ -193,7 +217,6 @@ def stream_extract(
     the tests use. ``max_files_per_trigger`` bounds micro-batch size (the
     streaming analog of partition-sized work units)."""
     extracted_tbl = IceTable(f"{warehouse}/extracted_stream")
-    lineage = LineageLog(f"{warehouse}/lineage_stream")
 
     reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger is not None:
@@ -206,6 +229,11 @@ def stream_extract(
     stream_id = _hashlib.md5(
         _os.path.abspath(checkpoint_dir).encode("utf-8")
     ).hexdigest()[:12]
+    # lineage is scoped PER STREAM: batch ids restart from 0 for every
+    # fresh checkpoint, so a shared log cannot distinguish "this
+    # stream's batch N" from another's — which would break both the
+    # backfill intact-check and resume-style audits
+    lineage = LineageLog(f"{warehouse}/lineage_stream/{stream_id}")
 
     writer = (
         pages.writeStream.foreachBatch(

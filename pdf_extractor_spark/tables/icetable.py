@@ -218,7 +218,10 @@ class IceTable:
         return snap_id
 
     def append_tracked(
-        self, df: DataFrame, extra: dict | None = None
+        self,
+        df: DataFrame,
+        extra: dict | None = None,
+        merge_extra=None,
     ) -> tuple[int, dict[str, list[str]]]:
         """Append and return (snapshot_id, {partition: [abs file path…]})
         of exactly the files this commit added — lets callers account for
@@ -226,10 +229,20 @@ class IceTable:
         of re-scanning the table. ``extra`` key/values are embedded in the
         snapshot json ATOMICALLY with the commit — the hook idempotent
         writers (streaming ingest) use to record their progress marker in
-        the same atomic rename as the data it describes."""
+        the same atomic rename as the data it describes.
+
+        ``merge_extra``: callable ``parent_snapshot_dict -> extra dict``
+        evaluated INSIDE the commit lock against the then-current parent
+        snapshot. Writers whose extra derives from the previous
+        snapshot's state (e.g. merging their stream marker into the
+        marker map) must use this instead of ``extra`` — a dict computed
+        before the lock could overwrite a concurrent writer's update
+        with stale state."""
         added = self._stage_write(df)
         with self.commit_lock:
             prev = self.current_snapshot()
+            if merge_extra is not None:
+                extra = merge_extra(prev or {})
             parts: dict = dict(prev["partitions"]) if prev else {}
             for p, fs in added.items():
                 if p in parts:

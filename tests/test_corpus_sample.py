@@ -39,8 +39,10 @@ def test_budget_bound_and_determinism(spark):
 def test_small_strata_taken_whole_large_strata_filled(spark):
     """A stratum with <= budget docs is kept entirely (threshold >= 1 ⇒
     nothing pre-filtered, rank keeps all); large strata fill the budget
-    (the 2x oversampling margin makes an underfill astronomically
-    unlikely, and deterministically absent on this fixed corpus)."""
+    — the SAMPLE_MARGIN=4 oversampling margin bounds the underfill
+    probability at P(Poisson(100) < 25) ≈ 2e-19 per stratum (margin 2
+    would be ~4e-5 — real across many corpora), and the fill is
+    deterministically exact on this fixed corpus."""
     sample = corpus_sample_stratified(spark, SF)
     got = {
         (r["lang_pred"], r["quality_band"]): r["n"]

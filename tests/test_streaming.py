@@ -14,6 +14,18 @@ from pdf_extractor_spark.tables.icetable import IceTable
 from tests.conftest import GOLDEN_DIR
 
 
+
+def _stream_lineage(wh, ckpt):
+    """Lineage is scoped per stream (round 3): same derivation as
+    stream_extract — md5 of the absolute checkpoint dir."""
+    import hashlib
+
+    from pdf_extractor_spark.plans.lineage import LineageLog
+
+    sid = hashlib.md5(str(ckpt.resolve()).encode("utf-8")).hexdigest()[:12]
+    return LineageLog(f"{wh}/lineage_stream/{sid}"), sid
+
+
 def _drain(q):
     q.awaitTermination(300)
 
@@ -73,16 +85,10 @@ def test_replayed_batch_is_exactly_once(spark, tmp_path):
     _drain(stream_extract(spark, str(landing), wh, str(tmp_path / "ck")))
 
     tbl = IceTable(f"{wh}/extracted_stream")
-    lineage = LineageLog(f"{wh}/lineage_stream")
+    lineage, stream_id = _stream_lineage(wh, tmp_path / "ck")
     n_rows = tbl.read(spark).count()
     n_snap = tbl.snapshot_id()
     n_lineage = len(lineage.records())
-
-    import hashlib
-
-    stream_id = hashlib.md5(
-        str((tmp_path / "ck").resolve()).encode("utf-8")
-    ).hexdigest()[:12]
     batch_df = spark.read.parquet(str(landing / "f.parquet"))
     assert commit_batch(batch_df, 0, tbl, lineage, stream_id) is False
     assert tbl.read(spark).count() == n_rows
@@ -126,18 +132,12 @@ def test_replay_backfills_lost_lineage(spark, tmp_path):
     _drain(stream_extract(spark, str(landing), wh, str(tmp_path / "ck")))
 
     tbl = IceTable(f"{wh}/extracted_stream")
-    lineage = LineageLog(f"{wh}/lineage_stream")
+    lineage, stream_id = _stream_lineage(wh, tmp_path / "ck")
     healthy = lineage.records()
     assert healthy
     # simulate the crash: the lineage write never happened
-    shutil.rmtree(f"{wh}/lineage_stream")
+    shutil.rmtree(lineage.root)
     assert lineage.records() == []
-
-    import hashlib
-
-    stream_id = hashlib.md5(
-        str((tmp_path / "ck").resolve()).encode("utf-8")
-    ).hexdigest()[:12]
     batch_df = spark.read.parquet(str(landing / "f.parquet"))
     n_rows = tbl.read(spark).count()
     n_snap = tbl.snapshot_id()
@@ -210,7 +210,33 @@ def test_stream_lineage_rows(spark, tmp_path):
 
     from pdf_extractor_spark.plans.lineage import LineageLog
 
-    lin = LineageLog(f"{wh}/lineage_stream").read(spark)
+    lin, _ = _stream_lineage(wh, tmp_path / "ck")
+    lin = lin.read(spark)
     rows_ = lin.collect()
     assert rows_ and all(r.status == "ok" for r in rows_)
     assert sum(r.rows_out for r in rows_) == 20
+
+
+def test_stream_markers_merge_not_replace(spark, tmp_path):
+    """Two streams sharing one table: a commit by one stream must never
+    roll back the other's marker (the round-3 merge_extra fix — a
+    marker map computed before the commit lock could overwrite a
+    concurrent stream's freshly-committed marker with stale state)."""
+    tbl = IceTable(str(tmp_path / "t"))
+    df = spark.range(4).selectExpr("id", "'2024-01-01' AS partition_date")
+
+    def commit(stream, batch):
+        tbl.append_tracked(
+            df,
+            merge_extra=lambda prev: {
+                "stream_batches": {
+                    **prev.get("stream_batches", {}),
+                    stream: batch,
+                }
+            },
+        )
+
+    commit("A", 0)
+    commit("B", 5)  # interleaved: B commits between A's batches
+    commit("A", 1)
+    assert tbl.current_snapshot()["stream_batches"] == {"A": 1, "B": 5}
