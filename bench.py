@@ -114,6 +114,9 @@ HEADLINE = [
     "ngram_jaccard",
     "dedup_near_pipeline",
     "event_sessions",
+    "events_asof_join",
+    "events_sliding_window",
+    "sketch_distinct_kmv",
     "embedding_topk",
     "embedding_multiprobe_clustered",
     "embedding_ivf_topk",

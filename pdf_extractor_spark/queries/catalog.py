@@ -28,6 +28,7 @@ from pdf_extractor_spark.queries import (
     dedup,
     relational,
     similarity,
+    temporal,
     textstats,
 )
 
@@ -192,6 +193,18 @@ CATALOG: dict[str, QuerySpec] = {
         relational.event_sessions, relational.EVENT_SESSIONS_SQL,
         "sessionization, batch gaps-and-islands form — the oracle-"
         "checked twin of the applyInPandasWithState streaming operator"),
+    "events_asof_join": QuerySpec(
+        temporal.events_asof_join, temporal.EVENTS_ASOF_SQL,
+        "as-of join (Spark lacks it): union-and-sweep plan, one shuffle "
+        "on user_id — verified against DuckDB's NATIVE ASOF LEFT JOIN"),
+    "events_sliding_window": QuerySpec(
+        temporal.events_sliding_window, temporal.EVENTS_SLIDING_SQL,
+        "range-frame sliding aggregate: trailing-10-minute per-user "
+        "activity (value-based frame, peers included identically)"),
+    "sketch_distinct_kmv": QuerySpec(
+        temporal.sketch_distinct_kmv, temporal.SKETCH_KMV_SQL,
+        "KMV distinct-count sketch: deterministic k-minimum md5 "
+        "fractions, exactly oracle-checkable unlike HLL"),
     # --- training-data pipeline: deduplication ---
     "dedup_exact": QuerySpec(
         dedup.dedup_exact, dedup.DEDUP_EXACT_SQL,

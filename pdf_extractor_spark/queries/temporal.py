@@ -1,0 +1,244 @@
+"""Temporal operators Spark has no native form for, re-expressed with
+scale-correct plans, plus a deterministic distinct-count sketch — the
+operator classes (as-of join, range-frame aggregation, sketching) a
+100 TB event/training pipeline needs beyond the reference's surface.
+
+Float/time discipline (shared with the rest of the catalog): event time
+is naive-epoch microseconds via `timestampdiff` against an NTZ literal
+(session-TZ independent, == DuckDB `epoch_us`); money is integer cents;
+every output column is BIGINT/DOUBLE-rounded so the cross-engine hash
+gate compares exactly.
+
+Reference lineage: the reference has no temporal operators at all
+(stateless per-request pipeline, SURVEY.md §2.1 "Streaming: none");
+these extend the event_sessions family (relational.py) the north_rule's
+lineage/metrics machinery introduced.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries.relational import CENTS, _events
+
+TS_US_S = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+)
+TS_US_D = "epoch_us(ts)"
+
+
+def _ev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _events(spark, sf_dir).select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.expr(TS_US_S).alias("ts_us"),
+        F.expr(CENTS).alias("cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# As-of join: for every 'click', attach the user's most recent
+# prior-or-simultaneous 'purchase'. Spark has no ASOF JOIN; the naive
+# relational form (per-click subquery / inequality join) is quadratic in
+# events-per-user. The scalable form is the UNION-AND-SWEEP plan: union
+# both sides, ONE shuffle on user_id, one ordered sweep per user with
+# `last(value, ignorenulls)` carrying the running most-recent purchase —
+# O(n log n) per user, no inequality join anywhere, the same shape a
+# 10^12-row backfill uses. The DuckDB oracle uses its NATIVE ASOF LEFT
+# JOIN, so the sweep is verified against an independent implementation
+# of the as-of semantic, not a mirror of itself.
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ev(spark, sf_dir)
+    # right side deduped to one purchase per (user, instant): latest
+    # event_id wins — makes the as-of value unique, hence deterministic
+    # in BOTH engines (DuckDB ASOF is ambiguous on duplicate right keys)
+    rw = Window.partitionBy("user_id", "ts_us").orderBy(
+        F.col("event_id").desc()
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(rw))
+        .filter("rn = 1")
+        .select(
+            "user_id",
+            "ts_us",
+            F.col("ts_us").alias("r_ts"),
+            F.col("cents").alias("r_cents"),
+            F.lit(1).alias("is_r"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_us",
+        F.lit(None).cast("long").alias("r_ts"),
+        F.lit(None).cast("long").alias("r_cents"),
+        F.lit(0).alias("is_r"),
+        "event_id",
+    )
+    # purchases sort BEFORE clicks at the same instant (is_r desc), so
+    # "prior-or-equal" includes a same-microsecond purchase — matching
+    # ASOF's inclusive `l.ts >= r.ts`
+    sweep = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("is_r").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        clicks.unionByName(purchases)
+        .withColumn(
+            "last_purchase_ts_us", F.last("r_ts", ignorenulls=True).over(sweep)
+        )
+        .withColumn(
+            "last_purchase_cents",
+            F.last("r_cents", ignorenulls=True).over(sweep),
+        )
+        .filter("is_r = 0")
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "last_purchase_ts_us",
+            "last_purchase_cents",
+            F.expr("ts_us - last_purchase_ts_us").alias("gap_us"),
+        )
+    )
+
+
+EVENTS_ASOF_SQL = f"""
+WITH ev AS (
+  SELECT CAST(event_id AS BIGINT) AS event_id,
+         CAST(user_id AS BIGINT) AS user_id,
+         event_type, {TS_US_D} AS ts_us, {CENTS} AS cents
+  FROM events
+),
+r AS (
+  SELECT user_id, ts_us, cents FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, ts_us ORDER BY event_id DESC) AS rn
+    FROM ev WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+),
+l AS (
+  SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'
+)
+SELECT l.event_id, l.user_id, l.ts_us,
+       r.ts_us AS last_purchase_ts_us,
+       r.cents AS last_purchase_cents,
+       l.ts_us - r.ts_us AS gap_us
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND l.ts_us >= r.ts_us
+"""
+
+
+# --------------------------------------------------------------------------
+# Range-frame sliding aggregate: per event, activity of the SAME user in
+# the trailing 10 minutes — burst detection / rate features. A true
+# RANGE frame (value-based bounds over the naive-epoch microseconds), so
+# simultaneous events are peers in both engines; one shuffle on user_id,
+# per-key state bounded by the frame width.
+WINDOW_US = 600_000_000  # 10 minutes
+
+
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-WINDOW_US, 0)
+    )
+    return _ev(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.count("*").over(w).alias("n_10min"),
+        F.sum("cents").over(w).alias("cents_10min"),
+    )
+
+
+EVENTS_SLIDING_SQL = f"""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       ts_us,
+       COUNT(*) OVER w AS n_10min,
+       CAST(SUM(cents) OVER w AS BIGINT) AS cents_10min
+FROM (
+  SELECT event_id, user_id, {TS_US_D} AS ts_us, {CENTS} AS cents
+  FROM events
+)
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts_us
+  RANGE BETWEEN {WINDOW_US} PRECEDING AND CURRENT ROW
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct-count sketch — a sketch whose estimate
+# is a DETERMINISTIC function of the data (k smallest md5 fractions), so
+# unlike HLL/theta implementations it is exactly oracle-checkable across
+# engines while remaining a genuine streaming-mergeable sketch (union =
+# merge the min-heaps). Estimator: (k-1) / f_k with f_k the k-th
+# smallest hash fraction; exact count when the domain has < k values.
+#
+# Scale note: this form computes the per-group k-minima with a window
+# over the DISTINCT (group, value) pairs — one shuffle keyed on the
+# group for rows that survive the distinct agg. At extreme per-group
+# cardinality the production path is partial per-partition top-k
+# (an Arrow-batch UDAF merging k-minima), same estimator, same outputs;
+# the relational form here is the cross-engine-checkable contract.
+KMV_K = 64
+_H32_U = (
+    "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) "
+    "AS BIGINT)"
+)
+_H32_U_D = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT"
+
+
+def sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        _events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", F.expr(_H32_U))
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    return (
+        du.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.max(
+                F.expr(f"CASE WHEN rn = {KMV_K} THEN h END")
+            ).alias("kth"),
+        )
+        .select(
+            "event_type",
+            "n_exact",
+            F.expr(
+                f"CASE WHEN n_exact >= {KMV_K} THEN "
+                f"round(({KMV_K} - 1) * 4294967296.0 / greatest(kth, 1), 2) "
+                "ELSE CAST(n_exact AS DOUBLE) END"
+            ).alias("est_distinct"),
+        )
+    )
+
+
+SKETCH_KMV_SQL = f"""
+WITH du AS (
+  SELECT event_type, user_id, {_H32_U_D} AS h
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY h, user_id) AS rn
+  FROM du
+)
+SELECT event_type,
+       COUNT(*) AS n_exact,
+       CASE WHEN COUNT(*) >= {KMV_K} THEN
+         round(({KMV_K} - 1) * 4294967296.0
+               / greatest(MAX(CASE WHEN rn = {KMV_K} THEN h END), 1), 2)
+       ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
+FROM ranked
+GROUP BY event_type
+"""

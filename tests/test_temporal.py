@@ -1,0 +1,100 @@
+"""Semantic invariants of the temporal/sketch operators (value parity
+vs DuckDB is covered by the catalog oracle suite — including the as-of
+sweep vs DuckDB's NATIVE ASOF JOIN, an independent implementation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries.temporal import (
+    KMV_K,
+    WINDOW_US,
+    events_asof_join,
+    events_sliding_window,
+    sketch_distinct_kmv,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_asof_semantics(spark):
+    out = events_asof_join(spark, SF)
+    rows = out.collect()
+    assert rows
+    # as-of never looks forward, and a matched row has both columns
+    for r in rows:
+        if r["last_purchase_ts_us"] is not None:
+            assert r["gap_us"] >= 0
+            assert r["last_purchase_cents"] is not None
+        else:
+            assert r["gap_us"] is None
+    # every click appears exactly once
+    n_clicks = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .filter("event_type = 'click'")
+        .count()
+    )
+    assert len(rows) == n_clicks
+    # brute-force spot check for 3 users: max purchase ts <= click ts
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    sample = [r["user_id"] for r in out.limit(3).collect()]
+    for uid in sample:
+        purchases = sorted(
+            (r["ts"], r["value"])
+            for r in ev.filter(
+                (F.col("user_id") == uid)
+                & (F.col("event_type") == "purchase")
+            ).collect()
+        )
+        for r in [x for x in rows if x["user_id"] == uid][:5]:
+            prior = [p for p in purchases if True]
+            # reconstruct expectation directly from raw data
+            import datetime as dt
+
+            epoch = dt.datetime(1970, 1, 1)
+            prior = [
+                p for p in purchases
+                if int((p[0] - epoch).total_seconds() * 1_000_000)
+                <= r["ts_us"]
+            ]
+            if prior:
+                want = int((prior[-1][0] - epoch).total_seconds() * 1e6)
+                assert r["last_purchase_ts_us"] == want
+            else:
+                assert r["last_purchase_ts_us"] is None
+
+
+def test_sliding_window_bounds(spark):
+    out = events_sliding_window(spark, SF)
+    # the frame includes the current row, so n >= 1 everywhere
+    assert out.filter("n_10min < 1").count() == 0
+    # spot check one busy user against a brute-force count
+    busy = out.orderBy(F.col("n_10min").desc()).first()
+    ev = events_sliding_window(spark, SF).filter(
+        F.col("user_id") == busy["user_id"]
+    )
+    raw = sorted(
+        r["ts_us"]
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .filter(F.col("user_id") == busy["user_id"])
+        .selectExpr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) AS ts_us"
+        )
+        .collect()
+    )
+    for r in ev.limit(20).collect():
+        want = sum(1 for t in raw if r["ts_us"] - WINDOW_US <= t <= r["ts_us"])
+        assert r["n_10min"] == want
+
+
+def test_kmv_estimate_accuracy(spark):
+    rows = sketch_distinct_kmv(spark, SF).collect()
+    assert rows
+    for r in rows:
+        if r["n_exact"] < KMV_K:
+            assert r["est_distinct"] == float(r["n_exact"])
+        else:
+            # KMV stderr ~ 1/sqrt(k-2) ~ 13% at k=64; allow 3 sigma
+            rel = abs(r["est_distinct"] - r["n_exact"]) / r["n_exact"]
+            assert rel < 0.4, (r, rel)
