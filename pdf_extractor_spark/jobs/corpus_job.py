@@ -1,0 +1,157 @@
+"""End-to-end training-corpus construction — the composition a 100 TB
+pipeline actually runs downstream of extraction, as ONE resumable job:
+
+    extracted IceTable
+      → canonicalize (single-space text, 60-bit md5(url) doc key)
+      → quality/lang features  (queries/corpus_select.features_of)
+      → quality + language gate
+      → near-dup dedup          (queries/dedup.near_dup_labels_of:
+                                 LSH candidates → exact-Jaccard verify
+                                 → cluster → keep-one survivors)
+      → stratified sampling     (queries/corpus_select.sample_stratified_of:
+                                 hash-threshold budget per (lang, band))
+      → gzip JSONL shards       (the training-data delivery format)
+
+    python -m pdf_extractor_spark.jobs.corpus_job \
+        --warehouse /path/to/wh --out /path/to/corpus \
+        [--budget 25] [--min-chars 1] [--shards N]
+
+Every stage is the SAME DataFrame operator the catalog oracle-checks on
+the `documents` table — this job is composition, not reimplementation —
+and the whole pipeline is deterministic (hash-ordered sampling, no
+rand()), so a re-run over the same table produces byte-identical output.
+The printed funnel (rows in → gated → survivors → sampled → exported)
+is the job's lineage record, also written to <out>/_SUMMARY.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent.parent))
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.jobs.extract_job import build_session
+from pdf_extractor_spark.queries.corpus_select import (
+    QUALITY_MIN,
+    SAMPLE_BUDGET,
+    features_of,
+    sample_stratified_of,
+)
+from pdf_extractor_spark.queries.dedup import near_dup_labels_of
+from pdf_extractor_spark.tables.icetable import IceTable
+
+# 60-bit integer key from md5(url): the dedup/cluster machinery runs on
+# BIGINT doc ids (min-label arithmetic, decimal-exact convergence sums).
+# At true 10^12-document scale the birthday bound says use the full
+# 128-bit digest as a two-column key; 60 bits is collision-safe to ~10^8
+# docs, ample for any single partition-ranged run of this job.
+_DOC_ID = "CAST(conv(substr(md5(url), 1, 15), 16, 10) AS BIGINT)"
+# the dedup/feature expression templates assume single-space-separated
+# text (the documents-table convention); extracted text carries the
+# block-joining newlines, so canonicalize first
+_CANON = r"trim(regexp_replace(extracted_text, '\\s+', ' '))"
+
+
+def build_corpus(
+    spark: SparkSession,
+    warehouse: str,
+    out: str,
+    budget: int = SAMPLE_BUDGET,
+    min_chars: int = 1,
+    shards: int | None = None,
+    partitions: list[str] | None = None,
+) -> dict:
+    tbl = IceTable(f"{warehouse}/extracted")
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        raw = tbl.read(spark, partitions=partitions)
+        docs = (
+            raw.filter(
+                (F.coalesce(F.col("error"), F.lit("")) == "")
+                & (F.col("n_chars") >= min_chars)
+            )
+            .select(
+                "url",
+                F.date_format(
+                    "warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"
+                ).alias("ts"),
+                F.expr(_DOC_ID).alias("doc_id"),
+                F.expr(_CANON).alias("text"),
+            )
+        )
+        n_in = raw.count()
+        n_docs = docs.count()
+
+        feat = features_of(docs)
+        gated = feat.filter(
+            (F.col("quality") >= QUALITY_MIN) & (F.col("lang_pred") != "und")
+        ).select("doc_id", "url", "ts", "text", "quality", "lang_pred")
+        n_gated = gated.count()
+
+        labels = near_dup_labels_of(gated.select("doc_id", "text"))
+        survivors = gated.join(
+            labels.filter("keep = 1").select("doc_id"), on="doc_id"
+        )
+        n_survivors = survivors.count()
+
+        sampled_ids = sample_stratified_of(survivors, budget=budget)
+        final = survivors.join(
+            sampled_ids.select("doc_id", "quality_band", "sample_rank"),
+            on="doc_id",
+        ).select(
+            "url", "ts", "text", "lang_pred", "quality",
+            "quality_band", "sample_rank",
+        )
+        if shards:
+            final = final.repartition(shards)
+        final.write.mode("overwrite").option("compression", "gzip").json(out)
+        n_out = spark.read.json(out).count()
+
+        summary = {
+            "rows_in": n_in,
+            "rows_clean": n_docs,
+            "rows_gated": n_gated,
+            "rows_survivors": n_survivors,
+            "rows_exported": n_out,
+            "budget_per_stratum": budget,
+            "out": out,
+        }
+        (pathlib.Path(out) / "_SUMMARY.json").write_text(
+            json.dumps(summary, indent=1, sort_keys=True)
+        )
+        return summary
+    finally:
+        spark.conf.set(tz_key, prev_tz)
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--budget", type=int, default=SAMPLE_BUDGET)
+    ap.add_argument("--min-chars", type=int, default=1)
+    ap.add_argument("--shards", type=int, default=None)
+    ap.add_argument("--partitions", nargs="*", default=None)
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    args = ap.parse_args(argv)
+
+    spark = build_session(args.master, args.shuffle_partitions)
+    summary = build_corpus(
+        spark, args.warehouse, args.out, args.budget,
+        args.min_chars, args.shards, args.partitions,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -33,13 +33,13 @@ from pdf_extractor_spark.queries.textstats import (
 QUALITY_MIN = 0.5
 
 
-def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared quality/lang feature prep (the SINGLE Spark-side copy —
-    corpus_select and corpus_sample_stratified both build on it, so the
-    two catalog queries cannot silently diverge)."""
+def features_of(docs: DataFrame) -> DataFrame:
+    """Shared quality/lang feature prep over an ARBITRARY (doc_id, text)
+    DataFrame (the SINGLE Spark-side copy — corpus_select,
+    corpus_sample_stratified, and jobs/corpus_job.py all build on it, so
+    the compositions cannot silently diverge)."""
     df = (
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .withColumn("toks", F.expr(TOKS_S))
+        docs.withColumn("toks", F.expr(TOKS_S))
         .withColumn("n_tokens", F.expr("CAST(size(toks) AS BIGINT)"))
         .withColumn(
             "n_punct",
@@ -53,6 +53,10 @@ def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn(
         "quality", F.expr(_quality_exprs()["quality"])
     ).withColumn("lang_pred", F.expr(_pred_case()))
+
+
+def _features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return features_of(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def corpus_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -128,8 +132,16 @@ _BAND = "CAST(least(floor(quality * 4), 3) AS INT)"
 
 
 def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_stratified_of(_features(spark, sf_dir))
+
+
+def sample_stratified_of(
+    featured: DataFrame, budget: int = SAMPLE_BUDGET
+) -> DataFrame:
+    """Two-phase stratified sampler over an ARBITRARY featured DataFrame
+    (needs doc_id, quality, lang_pred — i.e. features_of() output)."""
     feat = (
-        _features(spark, sf_dir)
+        featured
         .withColumn("quality_band", F.expr(_BAND))
         .withColumn("h", F.expr(_H32))
         .select("doc_id", "lang_pred", "quality_band", "h")
@@ -142,7 +154,7 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(
         F.expr(
             "h / 4294967296.0 < "
-            f"least({SAMPLE_MARGIN}.0 * {SAMPLE_BUDGET} / cnt, 1.0)"
+            f"least({SAMPLE_MARGIN}.0 * {budget} / cnt, 1.0)"
         )
     )
     w = Window.partitionBy("lang_pred", "quality_band").orderBy(
@@ -150,7 +162,7 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         pre.withColumn("sample_rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("sample_rank") <= SAMPLE_BUDGET)
+        .filter(F.col("sample_rank") <= budget)
         .select("doc_id", "lang_pred", "quality_band", "sample_rank")
     )
 

@@ -100,16 +100,22 @@ def _sig_expr_duck(j: int) -> str:
     )
 
 
-def _with_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+def signature_of(docs: DataFrame) -> DataFrame:
+    """MinHash signatures for an ARBITRARY (doc_id, text) DataFrame —
+    the reusable form every composition (catalog queries, the corpus
+    job) builds on. Pure projection, zero shuffles."""
     df = (
-        _docs(spark, sf_dir)
-        .withColumn("toks", F.expr(TOKS_S))
+        docs.withColumn("toks", F.expr(TOKS_S))
         .withColumn("shingles", F.expr(SHINGLES_S))
         .withColumn("sh_md5", F.expr("transform(shingles, s -> md5(s))"))
     )
     for j in range(N_HASHES):
         df = df.withColumn(f"sig_{j}", F.expr(_sig_expr_spark(j)))
     return df.select("doc_id", *[f"sig_{j}" for j in range(N_HASHES)])
+
+
+def _with_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return signature_of(_docs(spark, sf_dir))
 
 
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -145,11 +151,18 @@ LSH_BUCKET_CAP = 64
 def dedup_minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str, stage_dir: str | None = None
 ) -> DataFrame:
-    """LSH banding: (doc, band_idx, md5(sig_2b || sig_2b+1)) exploded, then
-    an equi-self-join on the band key. At 100 TB this join shuffles only
-    the 48-byte band keys, never the documents — and the bucket-size cap
-    (drop band_hash groups with count > LSH_BUCKET_CAP) bounds worst-case
-    skew: the window count shuffles once on exactly the join key, so the
+    return lsh_pairs_of(_docs(spark, sf_dir), stage_dir=stage_dir)
+
+
+def lsh_pairs_of(
+    docs: DataFrame, stage_dir: str | None = None
+) -> DataFrame:
+    """LSH banding over an ARBITRARY (doc_id, text) DataFrame:
+    (doc, band_idx, sig_2b|sig_2b+1) exploded, then an equi-self-join on
+    the band key. At 100 TB this join shuffles only the 48-byte band
+    keys, never the documents — and the bucket-size cap (drop band_hash
+    groups with count > LSH_BUCKET_CAP) bounds worst-case skew: the
+    window count shuffles once on exactly the join key, so the
     self-join reuses the same hash partitioning.
 
     ``stage_dir``: when set, the band table is written to parquet there
@@ -161,7 +174,7 @@ def dedup_minhash_lsh_pairs(
     see the A/B decision note below for when each wins."""
     from pyspark.sql import Window
 
-    sig = _with_signature(spark, sf_dir)
+    sig = signature_of(docs)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -194,7 +207,7 @@ def dedup_minhash_lsh_pairs(
         # the round-2 comment.
         path = f"{stage_dir}/lsh_bands"
         bands.write.mode("overwrite").parquet(path)
-        bands = spark.read.parquet(path)
+        bands = docs.sparkSession.read.parquet(path)
     bw = Window.partitionBy("band_idx", "band_hash")
     bands = (
         bands.withColumn("bucket_n", F.count("*").over(bw))
@@ -551,7 +564,16 @@ def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-duplicate pipeline over `documents`:
+    return near_dup_labels_of(_docs(spark, sf_dir))
+
+
+def near_dup_labels_of(
+    docs: DataFrame, stage_dir: str | None = None
+) -> DataFrame:
+    """End-to-end near-duplicate pipeline over an ARBITRARY
+    (doc_id, text) DataFrame (the catalog's `dedup_near_pipeline` runs
+    it over `documents`; jobs/corpus_job.py runs it over the extracted
+    table):
 
     1. candidates: the LSH band-join (`dedup_minhash_lsh_pairs`) — only
        pairs agreeing on ≥1 MinHash band, bucket-capped, so the pair set
@@ -580,7 +602,7 @@ def dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # internal self-join). Together with the O(|A|+|B|) array_intersect
     # verify and the LP-input checkpoint this took the composed query
     # from 12.9 s to 5.8 s at sf0.1/local[32] (min-of-3)
-    pairs = dedup_minhash_lsh_pairs(spark, sf_dir).localCheckpoint(
+    pairs = lsh_pairs_of(docs, stage_dir=stage_dir).localCheckpoint(
         eager=True
     )
     # shingle sets are needed ONLY for docs that appear in a candidate
@@ -593,8 +615,7 @@ def dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     sh = (
-        _docs(spark, sf_dir)
-        .join(cand_ids, on="doc_id", how="left_semi")
+        docs.join(cand_ids, on="doc_id", how="left_semi")
         .withColumn("toks", F.expr(TOKS_S))
         .select("doc_id", F.expr(SHINGLES_S).alias("shingles"))
     )
@@ -627,9 +648,7 @@ def dedup_near_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" >= {NEAR_DUP_JACCARD}"
         )
     ).select("doc_a", "doc_b")
-    labels = _min_label_propagation(
-        verified, _docs(spark, sf_dir).select("doc_id")
-    )
+    labels = _min_label_propagation(verified, docs.select("doc_id"))
     return labels.select(
         "doc_id",
         "cluster_id",

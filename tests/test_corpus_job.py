@@ -1,0 +1,71 @@
+"""The capstone corpus-construction job: extract warehouse → features →
+gate → near-dup dedup → stratified sample → JSONL, end to end, twice
+(determinism)."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import pathlib
+
+from pdf_extractor_spark.corpus.build import write_pages_parquet
+from pdf_extractor_spark.jobs.corpus_job import build_corpus
+from pdf_extractor_spark.plans.extract_plan import run_extract
+from pdf_extractor_spark.sources.pages import ingest_corpus_to_icetable
+
+
+def _read_jsonl(out: str) -> list[dict]:
+    rows = []
+    for f in sorted(pathlib.Path(out).glob("part-*.json.gz")):
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            rows.extend(json.loads(line) for line in fh)
+    return rows
+
+
+def test_corpus_job_end_to_end(spark, tmp_path):
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=11, n_rows=150, n_days=3)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out1 = str(tmp_path / "corpus1")
+    s1 = build_corpus(spark, wh, out1, budget=10)
+
+    # funnel is monotone and ends at the exported row count
+    assert (
+        s1["rows_in"]
+        >= s1["rows_clean"]
+        >= s1["rows_gated"]
+        >= s1["rows_survivors"]
+        >= s1["rows_exported"]
+        > 0
+    )
+    rows = _read_jsonl(out1)
+    assert len(rows) == s1["rows_exported"]
+    # output invariants: unique urls, budget respected per stratum,
+    # every row carries the full delivery schema
+    urls = [r["url"] for r in rows]
+    assert len(set(urls)) == len(urls)
+    per_stratum: dict = {}
+    for r in rows:
+        assert set(r) == {
+            "url", "ts", "text", "lang_pred", "quality",
+            "quality_band", "sample_rank",
+        }
+        assert r["text"] and "\n" not in r["text"]
+        k = (r["lang_pred"], r["quality_band"])
+        per_stratum[k] = per_stratum.get(k, 0) + 1
+    assert all(n <= 10 for n in per_stratum.values())
+
+    # summary sidecar matches the printed summary
+    side = json.loads((pathlib.Path(out1) / "_SUMMARY.json").read_text())
+    assert side["rows_exported"] == s1["rows_exported"]
+
+    # determinism: a second run over the same table yields the SAME rows
+    out2 = str(tmp_path / "corpus2")
+    s2 = build_corpus(spark, wh, out2, budget=10)
+    assert s2["rows_exported"] == s1["rows_exported"]
+    a = sorted(json.dumps(r, sort_keys=True) for r in rows)
+    b = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out2))
+    assert a == b
