@@ -33,7 +33,7 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent.parent))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.jobs.extract_job import build_session
@@ -73,11 +73,20 @@ def build_corpus(
     spark.conf.set(tz_key, "UTC")
     try:
         raw = tbl.read(spark, partitions=partitions)
+        # canonicalize to ONE row per url (latest crawl wins, warc_ts
+        # then url as the deterministic order): a url extracted in two
+        # partitions (re-crawls, incremental appends) would otherwise
+        # share its doc_id and MULTIPLY through every doc_id join below
+        uw = Window.partitionBy("url").orderBy(
+            F.col("warc_ts").desc(), F.col("partition_date").desc()
+        )
         docs = (
             raw.filter(
                 (F.coalesce(F.col("error"), F.lit("")) == "")
                 & (F.col("n_chars") >= min_chars)
             )
+            .withColumn("rn", F.row_number().over(uw))
+            .filter("rn = 1")
             .select(
                 "url",
                 F.date_format(
@@ -88,18 +97,28 @@ def build_corpus(
             )
         )
         n_in = raw.count()
-        n_docs = docs.count()
 
+        # materialize the gated set ONCE: it feeds the funnel count, the
+        # dedup semi-join + verify, the survivor join, the sampler's
+        # count-aggregate AND prefilter, and the final export — Spark
+        # shares no subplans, so unmaterialized the warehouse scan +
+        # regex feature pipeline would re-execute ~5×
         feat = features_of(docs)
-        gated = feat.filter(
-            (F.col("quality") >= QUALITY_MIN) & (F.col("lang_pred") != "und")
-        ).select("doc_id", "url", "ts", "text", "quality", "lang_pred")
+        gated = (
+            feat.filter(
+                (F.col("quality") >= QUALITY_MIN)
+                & (F.col("lang_pred") != "und")
+            )
+            .select("doc_id", "url", "ts", "text", "quality", "lang_pred")
+            .localCheckpoint(eager=True)
+        )
+        n_docs = docs.count()
         n_gated = gated.count()
 
         labels = near_dup_labels_of(gated.select("doc_id", "text"))
         survivors = gated.join(
             labels.filter("keep = 1").select("doc_id"), on="doc_id"
-        )
+        ).localCheckpoint(eager=True)
         n_survivors = survivors.count()
 
         sampled_ids = sample_stratified_of(survivors, budget=budget)
@@ -113,7 +132,9 @@ def build_corpus(
         if shards:
             final = final.repartition(shards)
         final.write.mode("overwrite").option("compression", "gzip").json(out)
-        n_out = spark.read.json(out).count()
+        # explicit schema: inference would crash on an all-empty output
+        # (legit when a partition range has no surviving docs)
+        n_out = spark.read.schema(final.schema).json(out).count()
 
         summary = {
             "rows_in": n_in,
@@ -127,6 +148,8 @@ def build_corpus(
         (pathlib.Path(out) / "_SUMMARY.json").write_text(
             json.dumps(summary, indent=1, sort_keys=True)
         )
+        gated.unpersist()
+        survivors.unpersist()
         return summary
     finally:
         spark.conf.set(tz_key, prev_tz)

@@ -195,8 +195,9 @@ CATALOG: dict[str, QuerySpec] = {
         "checked twin of the applyInPandasWithState streaming operator"),
     "events_asof_join": QuerySpec(
         temporal.events_asof_join, temporal.EVENTS_ASOF_SQL,
-        "as-of join (Spark lacks it): union-and-sweep plan, one shuffle "
-        "on user_id — verified against DuckDB's NATIVE ASOF LEFT JOIN"),
+        "as-of join (Spark lacks it): union-and-sweep plan, the event "
+        "mass shuffles once — verified against DuckDB's NATIVE ASOF "
+        "LEFT JOIN"),
     "events_sliding_window": QuerySpec(
         temporal.events_sliding_window, temporal.EVENTS_SLIDING_SQL,
         "range-frame sliding aggregate: trailing-10-minute per-user "

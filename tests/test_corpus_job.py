@@ -69,3 +69,37 @@ def test_corpus_job_end_to_end(spark, tmp_path):
     a = sorted(json.dumps(r, sort_keys=True) for r in rows)
     b = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out2))
     assert a == b
+
+
+def test_corpus_job_recrawled_urls_stay_unique(spark, tmp_path):
+    """A url extracted into TWO partitions (re-crawl / incremental
+    append) must not multiply through the doc_id joins: the job
+    canonicalizes to one row per url (latest crawl wins) before
+    anything keyed on doc_id runs."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.tables.icetable import IceTable
+
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=11, n_rows=120, n_days=3)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    # simulate a re-crawl: re-append 30 already-extracted urls under a
+    # later partition date
+    tbl = IceTable(f"{wh}/extracted")
+    dup = (
+        tbl.read(spark)
+        .orderBy("url")
+        .limit(30)
+        .withColumn("partition_date", F.lit("2099-01-01"))
+    )
+    tbl.append(dup)
+
+    out = str(tmp_path / "corpus")
+    s = build_corpus(spark, wh, out, budget=10)
+    rows = _read_jsonl(out)
+    urls = [r["url"] for r in rows]
+    assert len(set(urls)) == len(urls)
+    assert s["rows_clean"] <= 120  # one row per url despite the re-crawl

@@ -35,31 +35,27 @@ def test_asof_semantics(spark):
         .count()
     )
     assert len(rows) == n_clicks
-    # brute-force spot check for 3 users: max purchase ts <= click ts
+    # brute-force spot check for 3 users, reconstructed directly from
+    # the raw data with EXACT integer microsecond arithmetic (a float
+    # total_seconds() round-trip can land 1 ulp low and truncate)
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    us = dt.timedelta(microseconds=1)
     ev = spark.read.parquet(f"{SF}/events.parquet")
     sample = [r["user_id"] for r in out.limit(3).collect()]
     for uid in sample:
         purchases = sorted(
-            (r["ts"], r["value"])
+            (r["ts"] - epoch) // us
             for r in ev.filter(
                 (F.col("user_id") == uid)
                 & (F.col("event_type") == "purchase")
             ).collect()
         )
         for r in [x for x in rows if x["user_id"] == uid][:5]:
-            prior = [p for p in purchases if True]
-            # reconstruct expectation directly from raw data
-            import datetime as dt
-
-            epoch = dt.datetime(1970, 1, 1)
-            prior = [
-                p for p in purchases
-                if int((p[0] - epoch).total_seconds() * 1_000_000)
-                <= r["ts_us"]
-            ]
+            prior = [p for p in purchases if p <= r["ts_us"]]
             if prior:
-                want = int((prior[-1][0] - epoch).total_seconds() * 1e6)
-                assert r["last_purchase_ts_us"] == want
+                assert r["last_purchase_ts_us"] == prior[-1]
             else:
                 assert r["last_purchase_ts_us"] is None
 
