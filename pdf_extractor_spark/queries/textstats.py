@@ -384,26 +384,39 @@ EMBED_TOP_K = 3
 
 
 def text_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from pdf_extractor_spark.queries.similarity import _DOT_S, _topk
 
-    emb = text_embeddings(spark, sf_dir).withColumn(
-        "nrm",
-        F.expr(
-            "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), "
-            "(a, x) -> a + x * x))"
-        ),
-    ).filter("nrm > 0")
-    qw = Window.orderBy("vec_id")
-    q = (
-        emb.withColumn("qr", F.row_number().over(qw))
-        .filter(F.col("qr") <= N_EMBED_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
-            F.col("nrm").alias("qn"),
+    # materialize the SCALAR embedding table first (tiny: N × 16
+    # BIGINTs). Unlike the parquet-backed similarity queries these
+    # vectors are EXPRESSION TREES — 16 token-folds each of which
+    # projection collapse re-inlines the per-token (bucket,sign) parse
+    # into — and every downstream reference (array build, norm, each
+    # pair row's cos/rank/output) would re-evaluate the construction:
+    # unmaterialized, the 25k-pair join cost 15.7 s at sf0.1/local[32];
+    # with the scalar checkpoint the whole query runs in ~2 s
+    scalars = text_embed_hash(spark, sf_dir).localCheckpoint(eager=True)
+    arr = "array(" + ", ".join(
+        f"CAST(e_{d} AS DOUBLE)" for d in range(EMBED_DIMS)
+    ) + ")"
+    emb = (
+        scalars.select(
+            F.col("doc_id").alias("vec_id"), F.expr(arr).alias("embedding")
         )
+        .withColumn(
+            "nrm",
+            F.expr(
+                "sqrt(aggregate(embedding, CAST(0 AS DOUBLE), "
+                "(a, x) -> a + x * x))"
+            ),
+        )
+        .filter("nrm > 0")
+    )
+    # query selection via orderBy().limit() = TakeOrderedAndProject
+    # (per-task heaps), never an unpartitioned row_number window
+    q = emb.orderBy("vec_id").limit(N_EMBED_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
