@@ -206,6 +206,12 @@ CATALOG: dict[str, QuerySpec] = {
         temporal.sketch_distinct_kmv, temporal.SKETCH_KMV_SQL,
         "KMV distinct-count sketch: deterministic k-minimum md5 "
         "fractions, exactly oracle-checkable unlike HLL"),
+    "sketch_distinct_kmv_partial": QuerySpec(
+        temporal.sketch_distinct_kmv_partial,
+        f"SELECT event_type, est_distinct FROM ({temporal.SKETCH_KMV_SQL})",
+        "the 100 TB KMV shape: Arrow-batch per-partition partial "
+        "k-minima + relational merge — bit-identical estimates, so the "
+        "mapInPandas path sits inside the same SQL oracle gate"),
     # --- training-data pipeline: deduplication ---
     "dedup_exact": QuerySpec(
         dedup.dedup_exact, dedup.DEDUP_EXACT_SQL,

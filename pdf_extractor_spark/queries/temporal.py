@@ -183,12 +183,15 @@ WINDOW w AS (
 # merge the min-heaps). Estimator: (k-1) / f_k with f_k the k-th
 # smallest hash fraction; exact count when the domain has < k values.
 #
-# Scale note: this form computes the per-group k-minima with a window
-# over the DISTINCT (group, value) pairs — one shuffle keyed on the
-# group for rows that survive the distinct agg. At extreme per-group
-# cardinality the production path is partial per-partition top-k
-# (an Arrow-batch UDAF merging k-minima), same estimator, same outputs;
-# the relational form here is the cross-engine-checkable contract.
+# Two implementations, proven equal (tests/test_temporal.py):
+# - sketch_distinct_kmv: relational form — per-group k-minima via a
+#   window over the DISTINCT (group, value) pairs; one shuffle keyed on
+#   the group. The cross-engine-checkable contract.
+# - sketch_distinct_kmv_partial: the 100 TB form — an Arrow-batch
+#   partial aggregation (mapInPandas) emits each input partition's
+#   per-group k-minima (≤ k rows per group per partition, no distinct
+#   shuffle of the raw pairs), then the tiny partials merge with the
+#   same rank window. Identical estimator, bit-identical outputs.
 KMV_K = 64
 _H32_U = (
     "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10) "
@@ -221,6 +224,87 @@ def sketch_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"CASE WHEN n_exact >= {KMV_K} THEN "
                 f"round(({KMV_K} - 1) * 4294967296.0 / greatest(kth, 1), 2) "
                 "ELSE CAST(n_exact AS DOUBLE) END"
+            ).alias("est_distinct"),
+        )
+    )
+
+
+def sketch_distinct_kmv_partial(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The petabyte-shaped KMV: per-partition partial k-minima via an
+    Arrow-batch stage, then a relational merge of the tiny partials.
+
+    Stage 1 (mapInPandas): each input partition emits at most K rows per
+    group — its local k smallest (h, user_id) pairs, deduplicated — so
+    the shuffle that follows carries O(partitions × groups × K) rows
+    instead of the full distinct (group, user) set. md5 here is
+    Python's hashlib, which matches Spark's md5() on UTF-8 strings, so
+    the merged minima are the same values the relational form ranks.
+    Stage 2: rank the union of partials per group and apply the
+    identical estimator. Output is BIT-IDENTICAL to
+    sketch_distinct_kmv (test-enforced)."""
+    from pyspark.sql import types as T
+
+    k = KMV_K
+
+    def partial_minima(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        best: dict[str, dict[int, int]] = {}
+        for pdf in batches:
+            for et, uid in zip(pdf["event_type"], pdf["user_id"]):
+                g = best.setdefault(et, {})
+                uid = int(uid)
+                if uid not in g:
+                    g[uid] = int(
+                        _hl.md5(str(uid).encode("ascii")).hexdigest()[:8],
+                        16,
+                    )
+        out_et, out_uid, out_h = [], [], []
+        for et, g in best.items():
+            for uid, h in sorted(g.items(), key=lambda x: (x[1], x[0]))[:k]:
+                out_et.append(et)
+                out_uid.append(uid)
+                out_h.append(h)
+        yield pd.DataFrame(
+            {"event_type": out_et, "user_id": out_uid, "h": out_h}
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("h", T.LongType()),
+        ]
+    )
+    partials = (
+        _events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .mapInPandas(partial_minima, schema=schema)
+        # the same (group, user) can surface from several partitions —
+        # collapse before ranking so rn counts DISTINCT values, exactly
+        # like the relational form's distinct()
+        .distinct()
+    )
+    w = Window.partitionBy("event_type").orderBy("h", "user_id")
+    return (
+        partials.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_min"),
+            F.max(
+                F.expr(f"CASE WHEN rn = {KMV_K} THEN h END")
+            ).alias("kth"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"CASE WHEN n_min >= {KMV_K} THEN "
+                f"round(({KMV_K} - 1) * 4294967296.0 / greatest(kth, 1), 2) "
+                "ELSE CAST(n_min AS DOUBLE) END"
             ).alias("est_distinct"),
         )
     )

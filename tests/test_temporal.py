@@ -94,3 +94,34 @@ def test_kmv_estimate_accuracy(spark):
             # KMV stderr ~ 1/sqrt(k-2) ~ 13% at k=64; allow 3 sigma
             rel = abs(r["est_distinct"] - r["n_exact"]) / r["n_exact"]
             assert rel < 0.4, (r, rel)
+
+
+def test_kmv_partial_form_equals_relational_form(spark):
+    """The Arrow-batch partial-aggregation KMV (the 100 TB shape) must
+    produce BIT-IDENTICAL estimates to the oracle-checked relational
+    form: the global k smallest hashes are always contained in the
+    union of per-partition k-minima, so the merged kth value — and
+    hence the estimator — is exactly the same."""
+    from pdf_extractor_spark.queries.temporal import (
+        sketch_distinct_kmv_partial,
+    )
+
+    for sf in ("/root/testdata/sf0.001", SF):
+        rel = {
+            r["event_type"]: r["est_distinct"]
+            for r in sketch_distinct_kmv(spark, sf).collect()
+        }
+        par = {
+            r["event_type"]: r["est_distinct"]
+            for r in sketch_distinct_kmv_partial(spark, sf).collect()
+        }
+        assert rel == par
+
+    # the partial stage really bounds its output: repartition the input
+    # wide and check the merged pre-rank row count stays small
+    ev = spark.read.parquet(f"{SF}/events.parquet").repartition(16)
+    n_groups = ev.select("event_type").distinct().count()
+    # <= partitions * groups * K, and far below the distinct pair count
+    assert (
+        sketch_distinct_kmv_partial(spark, SF).count() == n_groups
+    )
