@@ -287,7 +287,13 @@ CATALOG: dict[str, QuerySpec] = {
     "text_embed_topk": QuerySpec(
         textstats.text_embed_topk, textstats.TEXT_EMBED_TOPK_SQL,
         "text→embedding→ANN loop closed in-catalog: exact cosine top-k "
-        "over the engine-produced hashed embeddings"),
+        "over the engine-produced hashed embeddings (recall baseline)"),
+    "text_embed_centroid_topk": QuerySpec(
+        textstats.text_embed_centroid_topk,
+        textstats.TEXT_EMBED_CENTROID_TOPK_SQL,
+        "the text-vector SCALE path: engine-produced hashed embeddings "
+        "through the learned-centroid IVF bucketing (never exact-scans; "
+        "recall vs text_embed_topk test-enforced at bounded scan %)"),
     "text_fingerprint": QuerySpec(
         textstats.text_fingerprint, textstats.TEXT_FINGERPRINT_SQL,
         "document fingerprint: min-wise rolling 4-gram hash"),

@@ -335,6 +335,10 @@ def _multiprobe(emb: DataFrame, n_probes: int) -> DataFrame:
 # both engines), so both engines see bit-identical centroids.
 SAMPLE_N = 256
 N_CENTROIDS = 16
+LLOYD_ITERS = 2  # round-4: a second refinement pass (round-3 used 1)
+# measurably improves cell balance — the round-3 note's "biggest cell is
+# 19% of the clustered fixture" — and lifts recall at fixed probe
+# budget; the DuckDB oracle re-derives every iteration in lockstep
 CENTROID_PROBES = 2  # measured on the clustered fixture: T=1 → recall
 # 0.88 @ 8.5% scanned, T=2 → recall 1.00 @ 19%, T=3 → 1.00 @ 28%; the
 # fixed default T=2 clears the recall ≥ 0.9 / scan ≤ 25% contract with
@@ -355,38 +359,48 @@ def _sqdist_py(a: list[float], b: list[float]) -> float:
     return acc
 
 
-def _learn_centroids(emb: DataFrame) -> list[list[float]]:
+def _learn_centroids(
+    emb: DataFrame,
+    sample_where: str | None = f"vec_id >= {N_QUERIES}",
+    vec_col: str = "v",
+) -> list[list[float]]:
     """Deterministic one-iteration k-means over the sample; returns
-    N_CENTROIDS lists of DIM floats (means rounded half-up to 6 dp;
-    an empty cell keeps its raw seed). ``emb`` must be _prep()-ed."""
+    N_CENTROIDS lists of floats (dim = the data's, means rounded half-up
+    to 6 dp; an empty cell keeps its raw seed). ``emb`` must be
+    _prep()-ed. ``sample_where`` filters the sample universe (None =
+    whole table; the default excludes the fixture tables' query ids).
+    ``vec_col`` picks the clustering space (``u`` = the L2-normalized
+    copy, for corpora where raw magnitude would dominate)."""
+    base = emb.filter(F.expr(sample_where)) if sample_where else emb
     rows = (
-        emb.filter(F.col("vec_id") >= N_QUERIES)
-        .orderBy("vec_id")
+        base.orderBy("vec_id")
         .limit(SAMPLE_N)
-        .select("vec_id", "v")
+        .select("vec_id", F.col(vec_col).alias("v"))
         .collect()
     )
     sample = [list(r["v"]) for r in rows]  # already vec_id-ascending
-    seeds = sample[:N_CENTROIDS]
-    members: list[list[list[float]]] = [[] for _ in range(N_CENTROIDS)]
-    for v in sample:
-        best = min(
-            range(N_CENTROIDS),
-            key=lambda c: (_roundn(_sqdist_py(v, seeds[c]), 9), c),
-        )
-        members[best].append(v)  # appended in vec_id order
-    cents: list[list[float]] = []
-    for c in range(N_CENTROIDS):
-        if not members[c]:
-            cents.append(seeds[c])
-            continue
-        cent = []
-        for d in range(len(seeds[c])):
-            acc = 0.0
-            for v in members[c]:  # left fold in vec_id order
-                acc += v[d]
-            cent.append(_roundn(acc / len(members[c]), 6))
-        cents.append(cent)
+    cents: list[list[float]] = sample[:N_CENTROIDS]  # seeds
+    for _ in range(LLOYD_ITERS):
+        prev = cents
+        members: list[list[list[float]]] = [[] for _ in range(N_CENTROIDS)]
+        for v in sample:
+            best = min(
+                range(N_CENTROIDS),
+                key=lambda c: (_roundn(_sqdist_py(v, prev[c]), 9), c),
+            )
+            members[best].append(v)  # appended in vec_id order
+        cents = []
+        for c in range(N_CENTROIDS):
+            if not members[c]:
+                cents.append(prev[c])  # empty cell keeps its previous seat
+                continue
+            cent = []
+            for d in range(len(prev[c])):
+                acc = 0.0
+                for v in members[c]:  # left fold in vec_id order
+                    acc += v[d]
+                cent.append(_roundn(acc / len(members[c]), 6))
+            cents.append(cent)
     return cents
 
 
@@ -398,18 +412,43 @@ def _cent_lit(cent: list[float]) -> str:
     return "array(" + ", ".join(f"{x!r}D" for x in cent) + ")"
 
 
-def _cdist_expr(c: int, cents: list[list[float]]) -> str:
+def _cdist_expr(c: int, cents: list[list[float]], vec: str = "v") -> str:
     return (
-        f"aggregate(zip_with(v, {_cent_lit(cents[c])}, "
+        f"aggregate(zip_with({vec}, {_cent_lit(cents[c])}, "
         "(x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), "
         "(acc, x) -> acc + x)"
     )
 
 
-def _centroid_search(emb: DataFrame, n_probes: int) -> DataFrame:
+def _centroid_search(
+    emb: DataFrame,
+    n_probes: int,
+    k: int = TOP_K,
+    query_lowest_n: int | None = None,
+    sample_where: str | None = f"vec_id >= {N_QUERIES}",
+    normalize: bool = False,
+) -> DataFrame:
+    """Learned-centroid IVF over a _prep()-ed (vec_id, v, nrm) DataFrame.
+
+    Defaults reproduce the fixture-table contract (queries = vec_id <
+    N_QUERIES, sample excludes them). ``query_lowest_n`` instead takes
+    the N lowest vec_ids as queries (TakeOrderedAndProject, the
+    engine-produced-embedding contract where ids are arbitrary doc
+    keys), with the sample drawn from the WHOLE table.
+
+    ``normalize=True`` clusters and assigns on the L2-NORMALIZED copy
+    (spherical k-means: ||u_a - u_b||² = 2 - 2·cos), for corpora whose
+    raw vectors are all-positive counts — there, unnormalized k-means
+    buckets by document LENGTH, nearly orthogonal to the cosine
+    objective the search ranks by. Reported cosines still come from the
+    raw vectors (identical values either way)."""
     from pyspark.sql import Window
 
-    cents = _learn_centroids(emb)
+    vec_col = "v"
+    if normalize:
+        vec_col = "u"
+        emb = emb.withColumn("u", F.expr("transform(v, x -> x / nrm)"))
+    cents = _learn_centroids(emb, sample_where, vec_col)
     # ONE array column holds all 16 centroid distances, so every
     # downstream use references `dists`/`rd` instead of re-inlining the
     # 16×64-literal folds (a least()+CASE argmin expanded each fold
@@ -417,7 +456,7 @@ def _centroid_search(emb: DataFrame, n_probes: int) -> DataFrame:
     # optimization). argmin = array_position of the min, which returns
     # the FIRST match — the lowest-centroid-id tie-break for free.
     dists_expr = "array(" + ", ".join(
-        _cdist_expr(c, cents) for c in range(N_CENTROIDS)
+        _cdist_expr(c, cents, vec_col) for c in range(N_CENTROIDS)
     ) + ")"
     emb = (
         emb.withColumn("dists", F.expr(dists_expr))
@@ -432,9 +471,13 @@ def _centroid_search(emb: DataFrame, n_probes: int) -> DataFrame:
     pw = Window.partitionBy("query_id").orderBy(
         F.expr("round(pc.dist, 9)").asc(), F.col("pc.cid").asc()
     )
+    q_base = (
+        emb.orderBy("vec_id").limit(query_lowest_n)
+        if query_lowest_n is not None
+        else emb.filter(F.col("vec_id") < N_QUERIES)
+    )
     q = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(
+        q_base.select(
             F.col("vec_id").alias("query_id"),
             F.col("v").alias("qv"),
             F.col("nrm").alias("qn"),
@@ -465,7 +508,7 @@ def _centroid_search(emb: DataFrame, n_probes: int) -> DataFrame:
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", F.expr(f"{_DOT_S} / (qn * cn)"))
     )
-    return _topk(joined)
+    return _topk(joined, k)
 
 
 def embedding_centroid_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -496,56 +539,93 @@ WITH e AS (
   SELECT vec_id, v, {_NORM_D} AS nrm
   FROM (SELECT vec_id, {_VEC_D} AS v FROM {source})
 ),
-sample AS (
-  SELECT vec_id, v FROM e WHERE vec_id >= {N_QUERIES}
+{_centroid_sql_body(
+    dim=DIM,
+    n_probes=n_probes,
+    k=TOP_K,
+    qids_sql=f"SELECT vec_id FROM e WHERE vec_id < {N_QUERIES}",
+    sample_where=f"WHERE vec_id >= {N_QUERIES}",
+)}"""
+
+
+def _centroid_sql_body(
+    dim: int,
+    n_probes: int,
+    k: int,
+    qids_sql: str,
+    sample_where: str,
+    vec: str = "v",
+) -> str:
+    """The centroid re-derivation + search, generic over a CTE
+    ``e(vec_id, v, nrm)`` the caller has already defined (the fixture
+    tables define it from parquet; textstats defines it from the
+    engine's hashed embeddings). ``vec`` picks the clustering space —
+    pass ``u`` when the caller's ``e`` carries an L2-normalized copy
+    (the Spark side's ``normalize=True``). Returns the WITH-chain
+    remainder + final SELECT — same float discipline as the Spark
+    side."""
+    # one assign→means→coalesce block per Lloyd iteration, chained:
+    # cent{i} refines cent{i-1} (seeds for i=1), exactly mirroring the
+    # Python loop in _learn_centroids (empty cell keeps its previous
+    # seat via the LEFT JOIN coalesce)
+    lloyd = ""
+    prev = "seeds"
+    for i in range(1, LLOYD_ITERS + 1):
+        lloyd += f"""a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT s.vec_id, s.v, c.cid, row_number() OVER (
+      PARTITION BY s.vec_id
+      ORDER BY round({_SQD_D.format(a="s.v", b="c.v")}, 9), c.cid
+    ) AS rn
+    FROM sample s CROSS JOIN {prev} c
+  ) WHERE rn = 1
+),
+m{i} AS (
+  SELECT cid, d,
+         round(list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
+               / COUNT(*), 6) AS cv
+  FROM (
+    SELECT a{i}.cid, a{i}.vec_id, t.d, a{i}.v[t.d + 1] AS val
+    FROM a{i} CROSS JOIN (SELECT unnest(range({dim})) AS d) t
+  )
+  GROUP BY cid, d
+),
+cent{i} AS (
+  SELECT s.cid, list(coalesce(m.cv, s.v[t.d + 1]) ORDER BY t.d) AS v
+  FROM {prev} s
+  CROSS JOIN (SELECT unnest(range({dim})) AS d) t
+  LEFT JOIN m{i} m ON m.cid = s.cid AND m.d = t.d
+  GROUP BY s.cid
+),
+"""
+        prev = f"cent{i}"
+    return f"""sample AS (
+  SELECT vec_id, {vec} AS v FROM e {sample_where}
   ORDER BY vec_id LIMIT {SAMPLE_N}
 ),
 seeds AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
   FROM (SELECT vec_id, v FROM sample ORDER BY vec_id LIMIT {N_CENTROIDS})
 ),
-a1 AS (
-  SELECT vec_id, v, cid FROM (
-    SELECT s.vec_id, s.v, c.cid, row_number() OVER (
-      PARTITION BY s.vec_id
-      ORDER BY round({_SQD_D.format(a="s.v", b="c.v")}, 9), c.cid
-    ) AS rn
-    FROM sample s CROSS JOIN seeds c
-  ) WHERE rn = 1
-),
-m AS (
-  SELECT cid, d,
-         round(list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
-               / COUNT(*), 6) AS cv
-  FROM (
-    SELECT a1.cid, a1.vec_id, t.d, a1.v[t.d + 1] AS val
-    FROM a1 CROSS JOIN (SELECT unnest(range({DIM})) AS d) t
-  )
-  GROUP BY cid, d
-),
-cent AS (
-  SELECT s.cid, list(coalesce(m.cv, s.v[t.d + 1]) ORDER BY t.d) AS v
-  FROM seeds s
-  CROSS JOIN (SELECT unnest(range({DIM})) AS d) t
-  LEFT JOIN m ON m.cid = s.cid AND m.d = t.d
-  GROUP BY s.cid
-),
+{lloyd}cent AS (SELECT cid, v FROM {prev}),
 assign AS (
   SELECT vec_id, cid AS bucket FROM (
     SELECT e.vec_id, c.cid, row_number() OVER (
       PARTITION BY e.vec_id
-      ORDER BY round({_SQD_D.format(a="e.v", b="c.v")}, 9), c.cid
+      ORDER BY round({_SQD_D.format(a=f"e.{vec}", b="c.v")}, 9), c.cid
     ) AS rn
     FROM e CROSS JOIN cent c
   ) WHERE rn = 1
 ),
+qids AS ({qids_sql}),
 qp AS (
   SELECT vec_id, cid AS qb FROM (
-    SELECT e.vec_id, c.cid, row_number() OVER (
-      PARTITION BY e.vec_id
-      ORDER BY round({_SQD_D.format(a="e.v", b="c.v")}, 9), c.cid
+    SELECT eq.vec_id, c.cid, row_number() OVER (
+      PARTITION BY eq.vec_id
+      ORDER BY round({_SQD_D.format(a=f"eq.{vec}", b="c.v")}, 9), c.cid
     ) AS rn
-    FROM e CROSS JOIN cent c WHERE e.vec_id < {N_QUERIES}
+    FROM (SELECT e.* FROM e JOIN qids USING (vec_id)) eq
+    CROSS JOIN cent c
   ) WHERE rn <= {n_probes}
 ),
 pairs AS (
@@ -561,7 +641,7 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
     PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id
   ) AS BIGINT) AS rank
   FROM pairs
-) WHERE rank <= {TOP_K}
+) WHERE rank <= {k}
 """
 
 

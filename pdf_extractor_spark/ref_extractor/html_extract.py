@@ -311,7 +311,28 @@ def _assert_stdlib_transcription_assumptions() -> None:
                 "longer byte-equivalent — re-verify _fast_parse against "
                 "this interpreter and re-run scripts/fuzz_tokenizer.py"
             )
-    src = _inspect.getsource(_hp.HTMLParser.set_cdata_mode)
+    try:
+        src = _inspect.getsource(_hp.HTMLParser.set_cdata_mode)
+    except OSError as e:
+        # interpreters shipping only .pyc / zipped stdlib have no source
+        # to inspect; fall back to the version gate so import still gets
+        # the explanatory diagnostic instead of a bare OSError (the
+        # transcription was verified against CPython 3.11-line sources)
+        import sys as _sys
+
+        vi = _sys.version_info
+        # 3.12.6 changed set_cdata_mode (STATE.md round-3 note), so a
+        # source-less interpreter is trusted only on the ranges the
+        # transcription was actually verified against
+        if not (vi[:2] == (3, 11) or ((3, 12, 0) <= vi[:3] < (3, 12, 6))):
+            raise RuntimeError(
+                "stdlib html.parser source unavailable "
+                f"({e}) and interpreter {vi[:3]} is outside the verified "
+                "3.11 / <3.12.6 range — re-verify _fast_parse against "
+                "this interpreter and re-run scripts/fuzz_tokenizer.py "
+                "before trusting extraction"
+            ) from e
+        src = r"'</\s*%s\s*>'"  # verified line: assume the known pattern
     if r"'</\s*%s\s*>'" not in src:
         raise RuntimeError(
             "stdlib html.parser.set_cdata_mode no longer uses the "

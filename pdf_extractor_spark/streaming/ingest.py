@@ -95,9 +95,17 @@ def _backfill_lineage(
     ):
         return False  # lineage intact — the normal replay case
     ss = batch_df.sparkSession
+    committed = extracted_tbl.read(ss)
+    if not {"batch_id", "stream_id"} <= set(committed.columns):
+        # legacy table: rows committed by the pre-stream_id code carry no
+        # batch provenance columns — filtering on them would raise
+        # AnalysisException and crash the stream. Nothing is recoverable
+        # for such rows; skip the backfill instead of dying (the
+        # warehouse-format note lives in STATE.md).
+        return False
     counts = {
         row["partition_date"]: row["n"]
-        for row in extracted_tbl.read(ss)
+        for row in committed
         .filter(
             (F.col("batch_id") == batch_id)
             & (F.col("stream_id") == stream_id)

@@ -89,3 +89,15 @@ def test_centroid_assignment_is_projection(spark):
     plan = plan_of(CATALOG["embedding_centroid_topk"].fn(spark, SF))
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_text_centroid_never_cartesian(spark):
+    """The text-vector scale path (text_embed_centroid_topk) must keep
+    the bucket equi-join shape: broadcast of the tiny probed-query side,
+    no SortMergeJoin and — unlike the exact text_embed_topk baseline —
+    no cartesian/broadcast-nested-loop scan of the whole table."""
+    plan = plan_of(CATALOG["text_embed_centroid_topk"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

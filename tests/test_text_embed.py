@@ -90,3 +90,75 @@ def test_embedding_shape_and_determinism(spark):
         .count()
     )
     assert chk == 0
+
+
+def test_text_centroid_recall_and_scan_bound(spark):
+    """The text-vector SCALE path (round-4): engine-produced hashed
+    embeddings through the learned-centroid IVF must reach recall >= 0.9
+    vs the exact text_embed_topk baseline at the FIXED probe budget
+    (TEXT_CENTROID_PROBES, no per-dataset knob), scanning a bounded
+    fraction of the table (<= 0.40; 5/16 cells = 0.31 balanced, the
+    500-doc sf0.001 corpus's cells are mildly uneven at 0.37). Both SFs: sf0.01 is
+    the adversarial 500-doc corpus where one neighbor sits in a
+    far-ranked cell (measured recall 0.933 there, 1.0 at sf0.001/sf0.1)."""
+    from pdf_extractor_spark.queries import textstats as ts
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in ts.text_embed_topk(spark, sf).collect()
+        }
+        approx = {
+            (r.query_id, r.neighbor_id)
+            for r in ts.text_embed_centroid_topk(spark, sf).collect()
+        }
+        assert len(approx & exact) / len(exact) >= 0.9, sf
+
+    # measured scan fraction at sf0.001 (normalized clustering space)
+    sf = "/root/testdata/sf0.001"
+    emb = ts._nz_text_embeddings(spark, sf).withColumn(
+        "u", F.expr("transform(v, x -> x / nrm)")
+    )
+    cents = sim._learn_centroids(emb, None, "u")
+    dists = "array(" + ", ".join(
+        sim._cdist_expr(c, cents, "u") for c in range(sim.N_CENTROIDS)
+    ) + ")"
+    emb = (
+        emb.withColumn("dists", F.expr(dists))
+        .withColumn("rd", F.expr("transform(dists, x -> round(x, 9))"))
+        .withColumn(
+            "bucket",
+            F.expr("CAST(array_position(rd, array_min(rd)) - 1 AS BIGINT)"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in emb.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+    }
+    n_total = sum(sizes.values())
+    from pyspark.sql import Window
+
+    pw = Window.partitionBy("vec_id").orderBy(
+        F.expr("round(pc.dist, 9)").asc(), F.col("pc.cid").asc()
+    )
+    probed = (
+        emb.orderBy("vec_id")
+        .limit(ts.N_EMBED_QUERIES)
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {sim.N_CENTROIDS - 1}), "
+                    "c -> struct(CAST(c AS BIGINT) AS cid, "
+                    "element_at(dists, c + 1) AS dist))"
+                )
+            ).alias("pc"),
+        )
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= ts.TEXT_CENTROID_PROBES)
+        .select("vec_id", F.col("pc.cid").alias("qb"))
+        .collect()
+    )
+    scanned = sum(sizes.get(r["qb"], 0) for r in probed)
+    assert scanned / (ts.N_EMBED_QUERIES * n_total) <= 0.40
