@@ -2,7 +2,7 @@
 pipeline actually runs downstream of extraction, as ONE resumable job:
 
     extracted IceTable
-      → canonicalize (single-space text, 60-bit md5(url) doc key)
+      → canonicalize (single-space text, 120-bit (hi, lo) md5(url) key)
       → quality/lang features  (queries/corpus_select.features_of)
       → quality + language gate
       → near-dup dedup          (queries/dedup.near_dup_labels_of:
@@ -46,16 +46,43 @@ from pdf_extractor_spark.queries.corpus_select import (
 from pdf_extractor_spark.queries.dedup import near_dup_labels_of
 from pdf_extractor_spark.tables.icetable import IceTable
 
-# 60-bit integer key from md5(url): the dedup/cluster machinery runs on
-# BIGINT doc ids (min-label arithmetic, decimal-exact convergence sums).
-# At true 10^12-document scale the birthday bound says use the full
-# 128-bit digest as a two-column key; 60 bits is collision-safe to ~10^8
-# docs, ample for any single partition-ranged run of this job.
-_DOC_ID = "CAST(conv(substr(md5(url), 1, 15), 16, 10) AS BIGINT)"
+# 120-bit two-BIGINT doc key from md5(url) (round-4, was a single
+# 60-bit BIGINT): the dedup/cluster machinery compares struct keys
+# lexicographically (min/least are field-ordered in Spark AND DuckDB)
+# and the LP convergence invariant generalizes to the per-field sum
+# tuple (queries/dedup._min_label_propagation). Birthday bound: 60 bits
+# collide at ~10^8 docs — silent dedup corruption at the 10^12-row
+# design scale; 120 bits are safe to ~10^18. A countDistinct guard on
+# the gated set still fails loudly if the impossible happens.
+_DOC_ID = (
+    "named_struct("
+    "'hi', CAST(conv(substr(md5(url), 1, 15), 16, 10) AS BIGINT), "
+    "'lo', CAST(conv(substr(md5(url), 16, 15), 16, 10) AS BIGINT))"
+)
 # the dedup/feature expression templates assume single-space-separated
 # text (the documents-table convention); extracted text carries the
 # block-joining newlines, so canonicalize first
 _CANON = r"trim(regexp_replace(extracted_text, '\\s+', ' '))"
+
+
+def _count_and_guard_doc_keys(gated) -> int:
+    """One agg over the CHECKPOINTED gated rows: row count + the doc-key
+    collision guard. Canonicalization makes urls unique, so distinct
+    doc_ids must equal distinct urls — a 120-bit md5 collision is
+    ~impossible (birthday bound ~10^18 docs), but if it ever happens it
+    silently merges two urls' dedup identities; fail loudly instead."""
+    g = gated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_keys"),
+        F.countDistinct("url").alias("n_urls"),
+    ).collect()[0]
+    if g["n_keys"] != g["n_urls"]:
+        raise RuntimeError(
+            f"doc_id collision: {g['n_urls']} distinct urls map to "
+            f"{g['n_keys']} distinct 120-bit keys — dedup identities "
+            "would silently merge; refusing to continue"
+        )
+    return g["n"]
 
 
 def build_corpus(
@@ -67,12 +94,24 @@ def build_corpus(
     shards: int | None = None,
     partitions: list[str] | None = None,
 ) -> dict:
+    from pyspark.sql import Observation
+
     tbl = IceTable(f"{warehouse}/extracted")
     tz_key = "spark.sql.session.timeZone"
     prev_tz = spark.conf.get(tz_key)
     spark.conf.set(tz_key, "UTC")
     try:
-        raw = tbl.read(spark, partitions=partitions)
+        # funnel counts ride the ONE warehouse pass as Observation
+        # metrics (round-4, was raw.count() + docs.count(): two extra
+        # full scan+window executions just for lineage numbers — pure
+        # waste at 100 TB). The gated localCheckpoint is the single
+        # action that executes the scan; the observations are collected
+        # from it for free.
+        obs_in = Observation()
+        obs_clean = Observation()
+        raw = tbl.read(spark, partitions=partitions).observe(
+            obs_in, F.count(F.lit(1)).alias("n")
+        )
         # canonicalize to ONE row per url (latest crawl wins, warc_ts
         # then url as the deterministic order): a url extracted in two
         # partitions (re-crawls, incremental appends) would otherwise
@@ -95,8 +134,8 @@ def build_corpus(
                 F.expr(_DOC_ID).alias("doc_id"),
                 F.expr(_CANON).alias("text"),
             )
+            .observe(obs_clean, F.count(F.lit(1)).alias("n"))
         )
-        n_in = raw.count()
 
         # materialize the gated set ONCE: it feeds the funnel count, the
         # dedup semi-join + verify, the survivor join, the sampler's
@@ -112,8 +151,9 @@ def build_corpus(
             .select("doc_id", "url", "ts", "text", "quality", "lang_pred")
             .localCheckpoint(eager=True)
         )
-        n_docs = docs.count()
-        n_gated = gated.count()
+        n_in = int(obs_in.get["n"])
+        n_docs = int(obs_clean.get["n"])
+        n_gated = _count_and_guard_doc_keys(gated)
 
         labels = near_dup_labels_of(gated.select("doc_id", "text"))
         survivors = gated.join(

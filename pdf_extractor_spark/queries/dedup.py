@@ -373,7 +373,37 @@ def _min_label_propagation(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     # convergence via the label-sum invariant: min-label propagation only
     # ever DECREASES labels, so sum(cluster_id) is strictly monotone while
     # anything changes and exactly stable at the fixed point — one cheap
-    # agg per iteration instead of a labels⋈labels comparison join
+    # agg per iteration instead of a labels⋈labels comparison join.
+    # STRUCT keys (the 128-bit (hi, lo) doc ids of jobs/corpus_job.py —
+    # labels compare lexicographically, min/least are field-ordered):
+    # the invariant generalizes to the TUPLE of per-field sums. A label
+    # change (a1..an) → (b1..bn) is a lexicographic decrease, so field 1
+    # never increases across any change; if sum(f1) is unchanged, every
+    # change had f1 equal, hence f2 strictly decreased — by induction
+    # the sum tuple is lexicographically strictly decreasing while any
+    # label moves, and exactly stable at the fixed point.
+    from pyspark.sql.types import StructType
+
+    key_type = labels.schema["cluster_id"].dataType
+    sum_fields = (
+        [f.name for f in key_type.fields]
+        if isinstance(key_type, StructType)
+        else None
+    )
+
+    def _label_sum(df: DataFrame):
+        if sum_fields is None:
+            return df.agg(
+                F.sum(F.col("cluster_id").cast("decimal(38,0)"))
+            ).collect()[0][0]
+        row = df.agg(
+            *[
+                F.sum(F.col(f"cluster_id.{f}").cast("decimal(38,0)")).alias(f)
+                for f in sum_fields
+            ]
+        ).collect()[0]
+        return tuple(row[f] for f in sum_fields)
+
     prev_sum = None
     for _ in range(MAX_LP_ITERATIONS):
         neighbor_min = (
@@ -395,9 +425,7 @@ def _min_label_propagation(pairs: DataFrame, docs: DataFrame) -> DataFrame:
         )
         # DECIMAL(38,0) sum: at 10^12 docs × 10^12 max id a BIGINT sum
         # wraps; exact decimal keeps the stability test sound
-        new_sum = new_labels.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        new_sum = _label_sum(new_labels)
         # release the superseded iteration's checkpointed blocks — without
         # this up to MAX_LP_ITERATIONS label tables pile up in executor
         # storage memory over the loop's lifetime

@@ -103,3 +103,44 @@ def test_corpus_job_recrawled_urls_stay_unique(spark, tmp_path):
     urls = [r["url"] for r in rows]
     assert len(set(urls)) == len(urls)
     assert s["rows_clean"] <= 120  # one row per url despite the re-crawl
+
+
+def test_funnel_counts_never_rescan_warehouse(spark, tmp_path, monkeypatch):
+    """Round-4 (VERDICT r3 #6): rows_in/rows_clean ride the single
+    warehouse pass as Observation metrics. Regression guard: no
+    DataFrame.count() executed during build_corpus may have the
+    warehouse scan in its plan (the old code ran raw.count() and
+    docs.count(), re-executing the scan+window pipeline twice just for
+    lineage numbers)."""
+    import pyspark.sql as pssql
+
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=12, n_rows=80, n_days=2)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    offending: list[str] = []
+    orig_count = pssql.DataFrame.count
+
+    def counting(self):
+        plan = self._jdf.queryExecution().analyzed().toString()
+        if "wh/extracted" in plan:
+            offending.append(plan[:400])
+        return orig_count(self)
+
+    monkeypatch.setattr(pssql.DataFrame, "count", counting)
+    out = str(tmp_path / "corpus")
+    s = build_corpus(spark, wh, out, budget=10)
+    assert s["rows_in"] > 0 and s["rows_in"] >= s["rows_clean"] > 0
+    assert not offending, offending[0] if offending else ""
+    # the observed funnel numbers match an independent recount
+    monkeypatch.setattr(pssql.DataFrame, "count", orig_count)
+    from pdf_extractor_spark.tables.icetable import IceTable
+
+    raw = IceTable(f"{wh}/extracted").read(spark)
+    assert s["rows_in"] == raw.count()
+    clean = raw.filter(
+        "coalesce(error, '') = '' AND n_chars >= 1"
+    ).select("url").distinct().count()
+    assert s["rows_clean"] == clean
