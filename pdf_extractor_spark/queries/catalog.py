@@ -113,6 +113,92 @@ def warc_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful streaming sessionizer INSIDE the driver's hash gate
+    (round-4; previously only transitively verified via the batch-twin
+    parity test): run the events table through the
+    ``applyInPandasWithState`` operator (streaming/sessions.py) as a
+    ``Trigger.AvailableNow`` file stream to completion, then emit the
+    batch twin's exact integer-microsecond shape — gated against the
+    SAME ``EVENT_SESSIONS_SQL`` oracle ``event_sessions`` uses.
+
+    Mechanics: events land in a scratch dir as ONE parquet file (single
+    micro-batch, so no event can trail the watermark) plus a sentinel
+    row (user_id -1) far past every session's close — the post-batch
+    timeout pass then closes every REAL session while the sentinel's own
+    stays open and is never emitted. The session TZ is pinned to UTC for
+    the eager streaming run so the NTZ event times round-trip the
+    pandas/Arrow timestamp boundary unchanged; the returned plan reads
+    the result parquet via tz-independent ``unix_micros``."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from pdf_extractor_spark.queries.relational import (
+        SESSION_GAP_S,
+        _events,
+    )
+    from pdf_extractor_spark.streaming.sessions import sessionize
+
+    tmp = tempfile.mkdtemp(prefix="stream_sessions_")
+    landing, out_dir, ck = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ck"
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        ev = _events(spark, sf_dir).select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("value").cast("double").alias("value"),
+        )
+        sentinel = ev.agg(
+            F.expr(
+                "CAST(max(ts) + INTERVAL 400 DAYS AS TIMESTAMP) AS ts"
+            ),
+            F.expr("CAST(-1 AS BIGINT) AS user_id"),
+            F.expr("CAST(0.0 AS DOUBLE) AS value"),
+        )
+        ev.unionByName(sentinel).coalesce(1).write.parquet(landing)
+
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, value double"
+        ).parquet(landing)
+        q = (
+            sessionize(stream, gap_seconds=SESSION_GAP_S,
+                       watermark="10 seconds")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(tz_key, prev_tz)
+
+    w = Window.partitionBy("user_id").orderBy("session_start_us")
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("user_id") >= 0)  # the sentinel never closes; belt
+        .select(
+            "user_id",
+            F.expr("unix_micros(session_start)").alias("session_start_us"),
+            F.expr("unix_micros(session_end)").alias("session_end_us"),
+            "n_events",
+            "value_cents",
+        )
+        .withColumn("session_seq", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "duration_us", F.expr("session_end_us - session_start_us")
+        )
+        .select(
+            "user_id", "session_seq", "session_start_us",
+            "session_end_us", "n_events", "value_cents", "duration_us",
+        )
+    )
+
+
 def _media(spark: SparkSession) -> DataFrame:
     return spark.read.parquet(
         str(REPO_ROOT / "fixtures" / "golden" / "media_micro.parquet")
@@ -193,6 +279,11 @@ CATALOG: dict[str, QuerySpec] = {
         relational.event_sessions, relational.EVENT_SESSIONS_SQL,
         "sessionization, batch gaps-and-islands form — the oracle-"
         "checked twin of the applyInPandasWithState streaming operator"),
+    "stream_sessions": QuerySpec(
+        stream_sessions, relational.EVENT_SESSIONS_SQL,
+        "the applyInPandasWithState stateful sessionizer run to "
+        "completion as a Trigger.AvailableNow stream — hash-gated "
+        "against the SAME SQL oracle as its batch twin"),
     "events_asof_join": QuerySpec(
         temporal.events_asof_join, temporal.EVENTS_ASOF_SQL,
         "as-of join (Spark lacks it): union-and-sweep plan, the event "

@@ -249,26 +249,76 @@ def sketch_distinct_kmv_partial(
     k = KMV_K
 
     def partial_minima(batches):
+        # Bounded-memory, k-th-min-thresholded partial minima (round-4;
+        # the round-3 form accumulated EVERY distinct uid per partition
+        # in a dict — O(distinct) worker memory — and walked every raw
+        # row in a Python zip loop). State per group is a size-k
+        # max-heap of negated (h, uid) pairs plus the member uid set:
+        # O(groups × k) regardless of partition cardinality; the hash
+        # cache is capped (cleared at CACHE_CAP — correctness
+        # unaffected, a re-seen uid just re-hashes). Per batch, pandas
+        # unique() (C speed) collapses repeats and the loop tests the
+        # running k-th-minimum threshold BEFORE anything else, so once
+        # the heap is warm almost every uid costs one dict get + one
+        # compare — no hashing, no set lookup, no storage. md5
+        # digest[:4] big-endian == int(hexdigest[:8], 16) — the same
+        # 32-bit prefix the relational form computes, so outputs stay
+        # bit-identical (test-enforced). Measured on a 2M-row zipf
+        # corpus (per-partition compute, min-of-3): 0.24→0.12 s at 200k
+        # distinct users, 0.20→0.09 s at 2k — the >=2x stage speedup
+        # recorded in BENCH.md.
         import hashlib as _hl
+        import heapq
 
         import pandas as pd
 
-        best: dict[str, dict[int, int]] = {}
+        md5 = _hl.md5
+        heaps: dict[str, list] = {}
+        members: dict[str, set] = {}
+        hcache: dict[int, int] = {}
+        CACHE_CAP = 1 << 18
         for pdf in batches:
-            for et, uid in zip(pdf["event_type"], pdf["user_id"]):
-                g = best.setdefault(et, {})
-                uid = int(uid)
-                if uid not in g:
-                    g[uid] = int(
-                        _hl.md5(str(uid).encode("ascii")).hexdigest()[:8],
-                        16,
-                    )
+            for et, sub in pdf.groupby("event_type", sort=False):
+                heap = heaps.get(et)
+                if heap is None:
+                    heap = heaps[et] = []
+                    members[et] = set()
+                mem = members[et]
+                hc_get = hcache.get
+                full = len(heap) >= k
+                if full:
+                    wh, wu = -heap[0][0], -heap[0][1]
+                for u in sub["user_id"].unique().tolist():
+                    h = hc_get(u)
+                    if h is None:
+                        if len(hcache) >= CACHE_CAP:
+                            hcache.clear()
+                        h = hcache[u] = int.from_bytes(
+                            md5(b"%d" % u).digest()[:4], "big"
+                        )
+                    if full:
+                        if h > wh or (h == wh and u >= wu):
+                            continue
+                        if u in mem:
+                            continue
+                        heapq.heapreplace(heap, (-h, -u))
+                        mem.discard(wu)
+                        mem.add(u)
+                        wh, wu = -heap[0][0], -heap[0][1]
+                    else:
+                        if u in mem:
+                            continue
+                        heapq.heappush(heap, (-h, -u))
+                        mem.add(u)
+                        full = len(heap) >= k
+                        if full:
+                            wh, wu = -heap[0][0], -heap[0][1]
         out_et, out_uid, out_h = [], [], []
-        for et, g in best.items():
-            for uid, h in sorted(g.items(), key=lambda x: (x[1], x[0]))[:k]:
+        for et, heap in heaps.items():
+            for nh, nu in sorted(heap, reverse=True):
                 out_et.append(et)
-                out_uid.append(uid)
-                out_h.append(h)
+                out_uid.append(-nu)
+                out_h.append(-nh)
         yield pd.DataFrame(
             {"event_type": out_et, "user_id": out_uid, "h": out_h}
         )
