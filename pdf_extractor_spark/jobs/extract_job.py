@@ -71,6 +71,15 @@ def main(argv: list[str] | None = None) -> None:
         help="omit the per-block diagnostics column (~25%% faster)")
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
+    ap.add_argument(
+        "--max-dates", type=int, default=None,
+        help="bound how many pending partition-dates this invocation "
+             "processes (resume picks up the rest)")
+    ap.add_argument(
+        "--dates-per-job", type=int, default=1,
+        help="batch K pending dates into one Spark job / one atomic "
+             "multi-partition commit (amortizes job+commit latency over "
+             "many small partitions; a killed chunk re-runs whole)")
     args = ap.parse_args(argv)
 
     spark = build_session(args.master, args.shuffle_partitions)
@@ -100,6 +109,8 @@ def main(argv: list[str] | None = None) -> None:
         num_partitions=args.partitions,
         strategy=strategy,
         with_blocks=not args.no_blocks,
+        max_dates=args.max_dates,
+        dates_per_job=args.dates_per_job,
     )
     print(
         json.dumps(

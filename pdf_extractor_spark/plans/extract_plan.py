@@ -90,6 +90,7 @@ def run_extract(
     max_dates: int | None = None,
     strategy: str = "dispatch",
     with_blocks: bool = True,
+    dates_per_job: int = 1,
 ) -> ExtractRunResult:
     """Run (or resume) extraction of every pending partition of ``pages``.
 
@@ -103,7 +104,17 @@ def run_extract(
     ``fail_dates`` injects a failure after processing those dates' data but
     before their lineage commit — the kill-and-resume test hook (SURVEY.md
     §5.2 property 3). ``max_dates`` bounds work per invocation (also used by
-    the kill test)."""
+    the kill test).
+
+    ``dates_per_job`` batches K pending dates into ONE Spark job (round-4):
+    the scan prunes to the K partitions, the extract stage runs once over
+    their union, the table commit replaces all K partitions atomically,
+    and per-date lineage rows are derived from a single
+    groupBy(partition_date) over the committed output. At 10^3 pending
+    daily partitions the serial per-date loop pays 10^3 job/commit
+    latencies with the cluster idle in between; chunking amortizes that
+    to 10^3/K while keeping resume granularity (a killed chunk re-runs
+    whole — the overwrite is idempotent, lineage rows are per date)."""
     extracted_tbl = IceTable(f"{warehouse}/extracted")
     lineage = LineageLog(f"{warehouse}/lineage")
 
@@ -118,52 +129,73 @@ def run_extract(
     if max_dates is not None:
         pending = pending[:max_dates]
 
-    for date in pending:
+    k = max(1, dates_per_job)
+    for i in range(0, len(pending), k):
+        chunk = pending[i : i + k]
         t0 = time.monotonic()
-        attempt = lineage.attempts(date) + 1
+        attempts = {d: lineage.attempts(d) + 1 for d in chunk}
         try:
-            src = pages.read(spark, partitions=[date])
+            src = pages.read(spark, partitions=chunk)
             if strategy == "dispatch":
                 extracted = extract_stage_dispatch(src, with_blocks=with_blocks)
             else:
                 src = salted_repartition(src, num_partitions, enabled=salt)
                 extracted = extract_stage(src, with_blocks=with_blocks)
             out = with_partition_date(extracted)
+            # ONE atomic commit replaces every partition in the chunk —
+            # readers see all K new dates or none
             extracted_tbl.overwrite_partitions(out)
-            if fail_dates and date in fail_dates:
-                raise RuntimeError(f"injected failure for {date}")
-            # counts from the committed output (cheap: one partition's
-            # files; single agg job computes rows + error count together)
+            if fail_dates and set(chunk) & fail_dates:
+                raise RuntimeError(f"injected failure in chunk {chunk}")
+            # per-date counts from the committed output: one job, one
+            # groupBy over just the chunk's partitions
             from pyspark.sql import functions as F
 
-            out_df = extracted_tbl.read(spark, partitions=[date])
-            stats = out_df.agg(
-                F.count("*").alias("n"),
-                F.sum(
-                    F.when(
-                        F.col("error").isNotNull() & (F.col("error") != ""), 1
-                    ).otherwise(0)
-                ).alias("ne"),
-            ).collect()[0]
-            rows_out = stats["n"]
-            rows_in = rows_out  # extraction is 1:1 row-preserving by design
+            out_df = extracted_tbl.read(spark, partitions=chunk)
+            stats = {
+                r["partition_date"]: r
+                for r in out_df.groupBy(
+                    F.col("partition_date").cast("string").alias(
+                        "partition_date"
+                    )
+                )
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(
+                        F.when(
+                            F.col("error").isNotNull()
+                            & (F.col("error") != ""),
+                            1,
+                        ).otherwise(0)
+                    ).alias("ne"),
+                )
+                .collect()
+            }
+            wall = time.monotonic() - t0
             lineage.append(
                 [
                     {
                         "partition_date": date,
                         "input_snapshot_id": snap_id,
-                        "rows_in": rows_in,
-                        "rows_out": rows_out,
-                        "n_errors": int(stats["ne"] or 0),
+                        # extraction is 1:1 row-preserving by design
+                        "rows_in": stats[date]["n"] if date in stats else 0,
+                        "rows_out": stats[date]["n"] if date in stats else 0,
+                        "n_errors": int(stats[date]["ne"] or 0)
+                        if date in stats
+                        else 0,
                         "extractor_version": EXTRACTOR_VERSION,
-                        "wall_time_s": time.monotonic() - t0,
-                        "attempt": attempt,
+                        # chunk wall clock: the dates ran as one job, so
+                        # each date's row carries the shared job time
+                        "wall_time_s": wall,
+                        "attempt": attempts[date],
                         "status": "ok",
                     }
+                    for date in chunk
                 ]
             )
-            result.processed.append(date)
+            result.processed.extend(chunk)
         except Exception:
+            wall = time.monotonic() - t0
             lineage.append(
                 [
                     {
@@ -172,14 +204,15 @@ def run_extract(
                         "rows_in": 0,
                         "rows_out": 0,
                         "extractor_version": EXTRACTOR_VERSION,
-                        "wall_time_s": time.monotonic() - t0,
-                        "attempt": attempt,
+                        "wall_time_s": wall,
+                        "attempt": attempts[date],
                         "status": "failed",
                     }
+                    for date in chunk
                 ]
             )
-            result.failed.append(date)
-            if fail_dates and date in fail_dates:
+            result.failed.extend(chunk)
+            if fail_dates and set(chunk) & fail_dates:
                 raise
     return result
 

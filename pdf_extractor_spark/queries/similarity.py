@@ -348,8 +348,18 @@ from decimal import ROUND_HALF_UP, Decimal as _Dec
 
 
 def _roundn(x: float, n: int) -> float:
+    # Quantize the SHORTEST decimal repr (repr(x)), not the exact binary
+    # expansion (_Dec(x)): Spark's round() on doubles goes through
+    # BigDecimal.valueOf == Double.toString == shortest round-trip repr,
+    # so this form is definitionally identical to Spark HALF_UP on every
+    # double. (The exact-binary form disagrees by 1 ulp on values whose
+    # shortest repr lands exactly on a .5 decimal boundary — caught by
+    # tests/test_similarity_recall.py::test_rounding_parity_fuzz.)
+    # DuckDB's scaled-double round can still flip ties on such boundary
+    # values; pipeline values (sums of squares of arbitrary doubles)
+    # never land there — the fuzz test pins both facts.
     q = _Dec(1).scaleb(-n)
-    return float(_Dec(x).quantize(q, rounding=ROUND_HALF_UP))
+    return float(_Dec(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
 
 
 def _sqdist_py(a: list[float], b: list[float]) -> float:

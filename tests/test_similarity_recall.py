@@ -108,3 +108,77 @@ def test_clustered_multiprobe_recall_at_low_cost(spark):
     exact = _pairs(spark, "embedding_topk_clustered", "ignored")
     multi = _pairs(spark, "embedding_multiprobe_clustered", "ignored")
     assert len(multi & exact) / len(exact) >= 0.9
+
+
+def test_rounding_parity_fuzz_three_engines(spark):
+    """ADVICE r3: the centroid pipeline pins three rounding
+    implementations as identical — Python Decimal HALF_UP (_roundn),
+    Spark round(), DuckDB round(). Facts this test pins:
+
+    1. _roundn == Spark round() on EVERY double, including adversarial
+       exact-.5-boundary values — both quantize the shortest decimal
+       repr with HALF_UP (Spark: BigDecimal.valueOf/Double.toString;
+       Python: Decimal(repr(x))). An exact-binary Decimal(x) form was
+       measured to disagree by 1 ulp on boundary values; _roundn
+       deliberately uses repr(x).
+    2. All three engines agree on PIPELINE-SHAPED values — uniform
+       randoms and 64-term squared-distance sums at the pipeline's
+       magnitudes — at both 6 and 9 dp. These are the values the oracle
+       hash gate actually sees.
+    3. DuckDB's scaled-double round CAN flip a tie on constructed
+       boundary values k*10^-n + 5*10^-(n+1); when it does, the
+       disagreement is exactly one unit in the last place, never worse.
+       This is the documented residual risk: it only exists for values
+       whose shortest repr lands exactly on a decimal .5 boundary,
+       which arbitrary-double arithmetic does not produce."""
+    import random
+
+    import duckdb
+
+    from pdf_extractor_spark.queries.similarity import _roundn
+
+    rng = random.Random(123)
+    pipeline_vals = [rng.uniform(-16, 16) for _ in range(4000)]
+    pipeline_vals += [
+        sum((rng.uniform(-8, 8)) ** 2 for _ in range(64)) for _ in range(500)
+    ]
+    # adversarial .5-boundary shapes at both scales
+    boundary_vals = [k * 1e-6 + 5e-7 for k in range(-200, 200)]
+    boundary_vals += [k * 1e-9 + 5e-10 for k in range(-200, 200)]
+    vals = pipeline_vals + boundary_vals
+    n_pipe = len(pipeline_vals)
+    for n in (6, 9):
+        ulp = 10.0 ** (-n)
+        py = [_roundn(x, n) for x in vals]
+        sdf = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(vals)], "i long, x double"
+        )
+        sp = [
+            r["r"]
+            for r in sdf.selectExpr("i", f"round(x, {n}) AS r")
+            .orderBy("i")
+            .collect()
+        ]
+        con = duckdb.connect()
+        dk = [
+            r[0]
+            for r in con.execute(
+                f"SELECT round(x, {n}) FROM (SELECT unnest(?) AS x)",
+                [vals],
+            ).fetchall()
+        ]
+        con.close()
+        # fact 1: Python == Spark everywhere, boundaries included
+        mismatch_ps = [(v, a, b) for v, a, b in zip(vals, py, sp) if a != b]
+        assert not mismatch_ps, (n, mismatch_ps[:5])
+        # fact 2: three-way agreement on pipeline-shaped values
+        mismatch_pd_pipe = [
+            (v, a, b)
+            for v, a, b in zip(vals[:n_pipe], py[:n_pipe], dk[:n_pipe])
+            if a != b
+        ]
+        assert not mismatch_pd_pipe, (n, mismatch_pd_pipe[:5])
+        # fact 3: DuckDB boundary flips are exactly 1 ulp, never worse
+        for v, a, b in zip(vals[n_pipe:], py[n_pipe:], dk[n_pipe:]):
+            if a != b:
+                assert abs(a - b) < 1.5 * ulp, (n, v, a, b)
