@@ -113,10 +113,12 @@ HEADLINE = [
     "dedup_simhash",
     "ngram_jaccard",
     "dedup_near_pipeline",
+    "dedup_embedding_cosine",
     "event_sessions",
     "events_asof_join",
     "events_sliding_window",
     "sketch_distinct_kmv",
+    "sketch_distinct_kmv_partial",
     "embedding_topk",
     "embedding_multiprobe_clustered",
     "embedding_ivf_topk",
@@ -128,6 +130,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_embed_hash",
     "text_embed_topk",
+    "text_embed_centroid_topk",
     "o11_struct_extract",
     "corpus_select",
     "corpus_sample_stratified",

@@ -327,6 +327,12 @@ CATALOG: dict[str, QuerySpec] = {
     "ngram_jaccard": QuerySpec(
         dedup.ngram_jaccard, dedup.NGRAM_JACCARD_SQL,
         "exact n-gram Jaccard over candidate pairs via shingle-key join"),
+    "dedup_embedding_cosine": QuerySpec(
+        textstats.dedup_embedding_cosine,
+        textstats.DEDUP_EMBEDDING_COSINE_SQL,
+        "embedding-cosine near-dup pairs: sign-random-projection LSH "
+        "bands over the engine-produced hashed embeddings, capped "
+        "bucket equi-join, exact-cosine verify on candidates only"),
     # --- training-data pipeline: similarity search ---
     "embedding_topk": QuerySpec(
         similarity.embedding_topk, similarity.EMBEDDING_TOPK_SQL,

@@ -556,6 +556,221 @@ TEXT_EMBED_CENTROID_TOPK_SQL = _text_embed_centroid_sql()
 
 
 # --------------------------------------------------------------------------
+# Embedding-cosine near-dup PAIRS over `documents` — the dedup-shaped
+# counterpart of the top-k search entries: report every pair of docs
+# whose engine-produced hashed embeddings have cosine >= EC_TAU, without
+# an O(N^2) scan. Plan = sign-random-projection LSH over MEAN-CENTERED
+# vectors: EC_BANDS independent bands of EC_PLANES md5-derived
+# hyperplanes each -> per-band integer bucket key from the sign bits ->
+# capped within-bucket candidate pairs (band-key equi-join, the
+# dedup_minhash_lsh_pairs shape) -> exact RAW-cosine verify on
+# candidates only.
+#
+# Why centered: token-count embeddings live in a narrow all-positive
+# cone — measured on the fixture corpus, RAW sign projections occupy
+# only ~15-20 of 64 buckets with one bucket holding 70% of all docs
+# (every plane whose normal has a component along the cone axis puts
+# everything on one side), so the bucket cap annihilates recall (0.72
+# at tau .99). Subtracting the corpus mean before projecting spreads
+# the cone across all sign patterns; measured recall vs the exact
+# tau-0.99 truth: 1.000 at both sf0.001 and sf0.01 with ~12% of all
+# pairs as candidates (numpy sweep over {B,P,cap,centered} — raw
+# banding never exceeded 0.75). The mean is derived RELATIONALLY from
+# the exact BIGINT scalar sums (integer addition is order-free, so the
+# double mu is bit-identical across engines); verification cosine stays
+# in RAW space — centering only shapes candidate generation, never the
+# reported value. Exact dups center identically -> candidates in every
+# band. At 100 TB the bucket count is the knob (planes grow ~log N)
+# and the bucket cap bounds worst-case join fan-out exactly like the
+# MinHash-LSH path.
+EC_BANDS = 8
+EC_PLANES = 8
+EC_TAU = 0.99
+EC_BUCKET_CAP = 64
+
+
+def _ec_coeffs(plane: int) -> list[float]:
+    """Hyperplane coefficients for the EMBED_DIMS-dim text embeddings:
+    md5-derived half-integers in {-7.5..7.5}, namespaced 'ec' so they
+    are independent of the 64-dim fixture family's planes. Computed once
+    in Python, inlined as foldable literals (the similarity.py
+    discipline — never per-row md5)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"ec{plane}|{d}".encode()).hexdigest()[0], 16) - 7.5
+        for d in range(1, EMBED_DIMS + 1)
+    ]
+
+
+def _ec_dot(plane: int, side: str) -> str:
+    # fold over the CENTERED vector column cvec; same fold structure
+    # both engines -> bit-identical doubles -> identical sign bits
+    cs = _ec_coeffs(plane)
+    body = ", ".join(f"CAST({c} AS DOUBLE)" for c in cs)
+    if side == "spark":
+        return (
+            f"aggregate(zip_with(cvec, array({body}), (x, y) -> x * y), "
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    return (
+        f"list_sum(list_transform(list_zip(cvec, [{body}]), "
+        "z -> z[1] * z[2]))"
+    )
+
+
+def _ec_band_key(band: int, side: str) -> str:
+    bits = []
+    for p in range(EC_PLANES):
+        plane = band * EC_PLANES + p
+        bit = 1 << (EC_PLANES - 1 - p)
+        bits.append(
+            f"(CASE WHEN {_ec_dot(plane, side)} >= 0 "
+            f"THEN {bit} ELSE 0 END)"
+        )
+    return "CAST(" + " + ".join(bits) + " AS BIGINT)"
+
+
+_EC_CENTER_S = "zip_with(v, mu, (x, m) -> x - m)"
+_EC_CENTER_D = "list_transform(list_zip(v, mu), z -> z[1] - z[2])"
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pdf_extractor_spark.queries.similarity import _DOT_S
+
+    scalars = text_embed_hash(spark, sf_dir).localCheckpoint(eager=True)
+    arr = "array(" + ", ".join(
+        f"CAST(e_{d} AS DOUBLE)" for d in range(EMBED_DIMS)
+    ) + ")"
+    emb = (
+        scalars.withColumnRenamed("doc_id", "vec_id")
+        .withColumn("v", F.expr(arr))
+        .withColumn(
+            "nrm",
+            F.expr(
+                "sqrt(aggregate(v, CAST(0 AS DOUBLE), "
+                "(a, x) -> a + x * x))"
+            ),
+        )
+        .filter("nrm > 0")
+    )
+    # corpus mean from the exact BIGINT sums (order-free, both engines
+    # produce the identical double); one broadcastable row
+    mu_arr = "array(" + ", ".join(
+        f"CAST(s_{d} AS DOUBLE) / CAST(cnt AS DOUBLE)"
+        for d in range(EMBED_DIMS)
+    ) + ")"
+    means = emb.agg(
+        *[F.sum(f"e_{d}").alias(f"s_{d}") for d in range(EMBED_DIMS)],
+        F.count("*").alias("cnt"),
+    ).select(F.expr(mu_arr).alias("mu"))
+    keys = ", ".join(_ec_band_key(b, "spark") for b in range(EC_BANDS))
+    banded = (
+        emb.crossJoin(F.broadcast(means))
+        .withColumn("cvec", F.expr(_EC_CENTER_S))
+        .select(
+            "vec_id",
+            F.posexplode(F.expr(f"array({keys})")).alias("band", "bkt"),
+        )
+    )
+    # cap the join key itself (band, bkt) — the LSH_BUCKET_CAP
+    # discipline: a pathological hot bucket bounds fan-out, not wall
+    w = Window.partitionBy("band", "bkt")
+    banded = banded.withColumn("bn", F.count("*").over(w)).filter(
+        F.col("bn") <= EC_BUCKET_CAP
+    )
+    a = banded.select(F.col("vec_id").alias("id_a"), "band", "bkt")
+    b = banded.select(F.col("vec_id").alias("id_b"), "band", "bkt")
+    cand = (
+        a.join(b, on=["band", "bkt"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair found by several bands verifies ONCE
+    )
+    qa = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    qb = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    return (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .withColumn("cos", F.expr(f"{_DOT_S} / (qn * cn)"))
+        .filter(F.expr(f"round(cos, 9) >= {EC_TAU}"))
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            F.round("cos", 5).alias("cosine"),
+        )
+    )
+
+
+def _dedup_embedding_cosine_sql() -> str:
+    dims = ", ".join(f"e_{d}" for d in range(EMBED_DIMS))
+    sums = ", ".join(f"SUM(e_{d}) AS s_{d}" for d in range(EMBED_DIMS))
+    mu = ", ".join(
+        f"CAST(s_{d} AS DOUBLE) / CAST(cnt AS DOUBLE)"
+        for d in range(EMBED_DIMS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, {_ec_band_key(b, 'duck')} AS bkt "
+        "FROM centered"
+        for b in range(EC_BANDS)
+    )
+    return f"""
+WITH he AS ({_text_embed_sql()}),
+emb0 AS (
+  SELECT vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm, {dims}
+  FROM (SELECT doc_id AS vec_id, [{dims}]::DOUBLE[] AS v, {dims} FROM he)
+),
+nz AS (SELECT * FROM emb0 WHERE nrm > 0),
+means AS (
+  SELECT [{mu}]::DOUBLE[] AS mu
+  FROM (SELECT {sums}, COUNT(*) AS cnt FROM nz)
+),
+centered AS (
+  SELECT vec_id, {_EC_CENTER_D} AS cvec FROM nz CROSS JOIN means
+),
+banded0 AS (
+{band_selects}
+),
+banded AS (
+  SELECT vec_id, band, bkt FROM (
+    SELECT vec_id, band, bkt,
+           COUNT(*) OVER (PARTITION BY band, bkt) AS bn
+    FROM banded0
+  ) WHERE bn <= {EC_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
+),
+pairs AS (
+  SELECT id_a, id_b,
+         list_sum(list_transform(list_zip(qa.v, qb.v), z -> z[1] * z[2]))
+           / (qa.nrm * qb.nrm) AS cos
+  FROM cand
+  JOIN nz qa ON cand.id_a = qa.vec_id
+  JOIN nz qb ON cand.id_b = qb.vec_id
+)
+SELECT id_a AS doc_id_a, id_b AS doc_id_b, round(cos, 5) AS cosine
+FROM pairs WHERE round(cos, 9) >= {EC_TAU}
+"""
+
+
+DEDUP_EMBEDDING_COSINE_SQL = _dedup_embedding_cosine_sql()
+
+
+# --------------------------------------------------------------------------
 # O11 — the structured-extraction driver (pdf_processor.py:418-446): one
 # projection stage assembling every per-document field. This is the
 # `entry()` flagship as an oracle-checked catalog query.

@@ -92,6 +92,81 @@ def test_embedding_shape_and_determinism(spark):
     assert chk == 0
 
 
+def test_embedding_cosine_near_dup_recall_and_precision(spark):
+    """dedup_embedding_cosine (round-4): centered-SRP LSH candidates +
+    exact raw-cosine verify. Precision is exact BY CONSTRUCTION (every
+    reported pair passed the verify filter — assert reported ⊆ truth),
+    recall vs the brute-force tau-0.99 truth must hold at both SFs
+    (measured 1.0 with 8x8 banding; raw uncentered banding measured
+    0.72-0.75 — the centering is load-bearing, see textstats.py)."""
+    from pdf_extractor_spark.queries import textstats as ts
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = ts._nz_text_embeddings(spark, sf)
+        qa = emb.select(
+            F.col("vec_id").alias("id_a"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        qb = emb.select(
+            F.col("vec_id").alias("id_b"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        truth = {
+            (r.id_a, r.id_b)
+            for r in qa.crossJoin(qb)
+            .filter("id_a < id_b")
+            .withColumn("cos", F.expr(f"{sim._DOT_S} / (qn * cn)"))
+            .filter(F.expr(f"round(cos, 9) >= {ts.EC_TAU}"))
+            .select("id_a", "id_b")
+            .collect()
+        }
+        found = {
+            (r.doc_id_a, r.doc_id_b)
+            for r in ts.dedup_embedding_cosine(spark, sf).collect()
+        }
+        assert found <= truth, sf  # verify step makes precision exact
+        assert len(found & truth) / max(len(truth), 1) >= 0.9, sf
+
+
+def test_embedding_cosine_exact_dups_always_pair(spark, tmp_path):
+    """Exact duplicates center to identical vectors → identical sign
+    bits in EVERY band → always candidates → always reported at
+    cosine 1.0 (the no-probabilistic-miss guarantee of the design)."""
+    from pdf_extractor_spark.queries import textstats as ts
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").orderBy("doc_id")
+    base = docs.limit(40)
+    copies = (
+        base.limit(5).withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+    )
+    dup_dir = str(tmp_path / "dup_corpus")
+    base.unionByName(copies).write.parquet(f"{dup_dir}/documents.parquet")
+
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.cosine
+        for r in ts.dedup_embedding_cosine(spark, dup_dir).collect()
+    }
+    originals = [r.doc_id for r in base.limit(5).collect()]
+    for oid in originals:
+        key = (oid, oid + 1_000_000)
+        assert key in pairs, (key, sorted(pairs))
+        assert pairs[key] == 1.0
+
+
+def test_embedding_cosine_plan_no_cartesian(spark):
+    """The candidate join must be a (band, bkt) equi-join — never a
+    CartesianProduct over documents. The ONLY nested-loop join allowed
+    is the broadcast of the single-row corpus-mean table."""
+    from pdf_extractor_spark.queries import textstats as ts
+
+    plan = ts.dedup_embedding_cosine(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_text_centroid_recall_and_scan_bound(spark):
     """The text-vector SCALE path (round-4): engine-produced hashed
     embeddings through the learned-centroid IVF must reach recall >= 0.9
