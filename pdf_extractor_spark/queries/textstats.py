@@ -573,20 +573,25 @@ TEXT_EMBED_CENTROID_TOPK_SQL = _text_embed_centroid_sql()
 # everything on one side), so the bucket cap annihilates recall (0.72
 # at tau .99). Subtracting the corpus mean before projecting spreads
 # the cone across all sign patterns; measured recall vs the exact
-# tau-0.99 truth: 1.000 at both sf0.001 and sf0.01 with ~12% of all
-# pairs as candidates (numpy sweep over {B,P,cap,centered} — raw
-# banding never exceeded 0.75). The mean is derived RELATIONALLY from
-# the exact BIGINT scalar sums (integer addition is order-free, so the
-# double mu is bit-identical across engines); verification cosine stays
-# in RAW space — centering only shapes candidate generation, never the
-# reported value. Exact dups center identically -> candidates in every
-# band. At 100 TB the bucket count is the knob (planes grow ~log N)
-# and the bucket cap bounds worst-case join fan-out exactly like the
-# MinHash-LSH path.
+# tau-0.99 truth: 1.000 at both sf0.001 and sf0.01 (numpy sweep over
+# {B,P,cap,centered} — raw banding never exceeded 0.75). The mean is
+# derived RELATIONALLY from the exact BIGINT scalar sums (integer
+# addition is order-free, so the double mu is bit-identical across
+# engines); verification cosine stays in RAW space — centering only
+# shapes candidate generation, never the reported value. Exact dups
+# center identically -> candidates in every band. At 100 TB the bucket
+# count is the knob and the bucket cap bounds worst-case join fan-out
+# exactly like the MinHash-LSH path. Plane-count sizing (measured vs
+# brute-force truth): 8 planes (256 buckets/band) saturate at the
+# 15k-doc sf0.1 corpus — occupancy hits the cap, 123 hot buckets
+# dropped, recall 0.9075; 12 planes / cap 128 restore recall
+# 1.0 / 1.0 / 0.9912 at sf0.001 / sf0.01 / sf0.1 with candidates at
+# 0.34% of all pairs (380k of 112M). Production sizing rule: planes ~
+# log2(N / target_occupancy), re-derived per deployment corpus.
 EC_BANDS = 8
-EC_PLANES = 8
+EC_PLANES = 12
 EC_TAU = 0.99
-EC_BUCKET_CAP = 64
+EC_BUCKET_CAP = 128
 
 
 def _ec_coeffs(plane: int) -> list[float]:
