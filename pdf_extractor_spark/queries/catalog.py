@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_extractor_spark.queries import (
+    contamination,
     corpus_select as cs,
     dedup,
     relational,
@@ -327,6 +328,11 @@ CATALOG: dict[str, QuerySpec] = {
     "ngram_jaccard": QuerySpec(
         dedup.ngram_jaccard, dedup.NGRAM_JACCARD_SQL,
         "exact n-gram Jaccard over candidate pairs via shingle-key join"),
+    "decontaminate": QuerySpec(
+        contamination.decontaminate, contamination.DECONTAMINATE_SQL,
+        "benchmark decontamination: training docs sharing word 4-grams "
+        "with the held-out eval slice; eval n-gram set broadcast, the "
+        "training mass never shuffles for the join"),
     "dedup_embedding_cosine": QuerySpec(
         textstats.dedup_embedding_cosine,
         textstats.DEDUP_EMBEDDING_COSINE_SQL,

@@ -101,3 +101,14 @@ def test_text_centroid_never_cartesian(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """Decontamination must probe the (tiny) benchmark n-gram set via
+    broadcast — the 10^12-doc training mass never shuffles for the
+    overlap join; the only document shuffle is the groupBy(doc_id)
+    overlap count. No sort-merge join, no cartesian."""
+    plan = plan_of(CATALOG["decontaminate"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
