@@ -322,6 +322,12 @@ CATALOG: dict[str, QuerySpec] = {
         dedup.dedup_near_pipeline, dedup.DEDUP_NEAR_PIPELINE_SQL,
         "composed near-dup pipeline: LSH candidates → exact-Jaccard "
         "verification on those pairs → clustering → keep-one survivors"),
+    "dedup_incremental": QuerySpec(
+        dedup.dedup_incremental, dedup.DEDUP_INCREMENTAL_SQL,
+        "incremental dedup: the NEW batch slice against the existing-"
+        "corpus index (exact 128-bit hash layer + LSH band probe + "
+        "Jaccard verify) — the daily-crawl-vs-kept-corpus production "
+        "shape; corpus text mass is touched only via index projections"),
     "dedup_simhash": QuerySpec(
         dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL,
         "SimHash: 16-bit majority-vote fingerprint, pure projection"),

@@ -148,6 +148,33 @@ FROM (
 LSH_BUCKET_CAP = 64
 
 
+def bands_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH band table for an ARBITRARY
+    (doc_id, text) DataFrame — the signature pipeline plus the band
+    explode, still a pure projection (zero shuffles). Both the self-join
+    pair generator (`lsh_pairs_of`) and the incremental batch-vs-corpus
+    join (`dedup_incremental_of`) build on it."""
+    return signature_of(docs).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        # equality-only key: plain delimited concat of the
+                        # two BIGINT sigs (no hashing needed for a join key)
+                        F.expr(
+                            f"concat(CAST(sig_{2 * b} AS STRING), '|', "
+                            f"CAST(sig_{2 * b + 1} AS STRING))"
+                        ).alias("band_hash"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
 def dedup_minhash_lsh_pairs(
     spark: SparkSession, sf_dir: str, stage_dir: str | None = None
 ) -> DataFrame:
@@ -174,26 +201,7 @@ def lsh_pairs_of(
     see the A/B decision note below for when each wins."""
     from pyspark.sql import Window
 
-    sig = signature_of(docs)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_idx"),
-                        # equality-only key: plain delimited concat of the
-                        # two BIGINT sigs (no hashing needed for a join key)
-                        F.expr(
-                            f"concat(CAST(sig_{2 * b} AS STRING), '|', "
-                            f"CAST(sig_{2 * b + 1} AS STRING))"
-                        ).alias("band_hash"),
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
+    bands = bands_of(docs)
     if stage_dir is not None:
         # A/B (round 3, sf0.1/local[8], interleaved min-of-3, two
         # independent windows): staged 3.29/3.42 s vs unstaged
@@ -725,4 +733,224 @@ FROM (
   FROM documents d LEFT JOIN reach r ON r.src = d.doc_id
   GROUP BY d.doc_id
 )
+"""
+
+
+# --------------------------------------------------------------------------
+# Incremental dedup: a NEW batch of documents against the EXISTING
+# corpus — the shape a production pipeline actually runs daily (dedup
+# today's crawl against the 10^12-doc kept corpus), where re-running the
+# all-pairs pipeline over corpus ∪ batch would redo petabytes of work
+# for a batch that is ~0.1% of the data.
+#
+# Physical shape at design scale: the corpus side is an INDEX — its
+# md5 text hashes and LSH band table are pure projections that a real
+# deployment precomputes once at ingest and stores (the same columns
+# this query derives on the fly from the `documents` view); the batch
+# side alone is shingled/hashed fresh. Both layers join batch-vs-index
+# on uniform keys (128-bit text hash; band keys with the index-side
+# bucket cap bounding fan-out), then the exact-Jaccard verify runs only
+# on candidate pairs, with shingles semi-join-pruned to candidate docs
+# exactly as in `near_dup_labels_of`. No step touches corpus text mass
+# beyond the index projections.
+BATCH_MOD = 10
+BATCH_MIN = 8  # doc_id % BATCH_MOD >= BATCH_MIN -> the "new batch"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_incremental_of(_docs(spark, sf_dir))
+
+
+def dedup_incremental_of(docs: DataFrame) -> DataFrame:
+    """Incremental dedup of the batch slice (doc_id % BATCH_MOD >=
+    BATCH_MIN) against the corpus slice. One row per BATCH doc:
+
+      doc_id, exact_dup (0/1), exact_dup_of (min corpus doc with the
+      same md5 text hash, -1 if none), n_candidates (distinct corpus
+      docs sharing >= 1 LSH band), near_dup (0/1 — verified exact
+      word-2-gram Jaccard >= NEAR_DUP_JACCARD), near_dup_of (min
+      verified corpus doc, -1 if none).
+
+    Integer-only columns for exact cross-engine hash parity; the
+    Jaccard stays a join-side predicate as in the batch pipeline."""
+    corpus = docs.filter(F.col("doc_id") % BATCH_MOD < BATCH_MIN)
+    batch = docs.filter(F.col("doc_id") % BATCH_MOD >= BATCH_MIN)
+
+    # exact layer: 128-bit hash equi-join; corpus side collapses to
+    # (hash, min doc) first so the join is vs distinct index keys
+    corpus_hash = (
+        corpus.select(
+            F.md5(F.lower(F.col("text"))).alias("text_hash"), "doc_id"
+        )
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("hash_min_doc"))
+    )
+    exact = batch.select(
+        "doc_id", F.md5(F.lower(F.col("text"))).alias("text_hash")
+    ).join(corpus_hash, on="text_hash", how="left")
+
+    # near layer: batch bands probe the (capped) corpus band index —
+    # the cap is an index property (hot boilerplate buckets carry no
+    # near-dup information; dedup_exact's layer already caught them)
+    from pyspark.sql import Window
+
+    cw = Window.partitionBy("band_idx", "band_hash")
+    corpus_bands = (
+        bands_of(corpus)
+        .withColumn("bucket_n", F.count("*").over(cw))
+        .filter(F.col("bucket_n") <= LSH_BUCKET_CAP)
+        .drop("bucket_n")
+    )
+    cand = (
+        bands_of(batch)
+        .join(
+            corpus_bands.select(
+                "band_idx",
+                "band_hash",
+                F.col("doc_id").alias("corpus_doc"),
+            ),
+            on=["band_idx", "band_hash"],
+        )
+        .select("doc_id", "corpus_doc")
+        .distinct()
+        # the candidate table is referenced on four paths below
+        # (two verify joins, the n_candidates agg, the verified agg);
+        # Spark shares no subplans, so materialize it once — it is tiny
+        # by LSH construction (band agreements, bucket-capped)
+        .localCheckpoint(eager=True)
+    )
+    cand_batch_ids = cand.select("doc_id").distinct()
+    cand_corpus_ids = cand.select(
+        F.col("corpus_doc").alias("doc_id")
+    ).distinct()
+    sh_batch = (
+        batch.join(cand_batch_ids, on="doc_id", how="left_semi")
+        .withColumn("toks", F.expr(TOKS_S))
+        .select("doc_id", F.expr(SHINGLES_S).alias("sh_b"))
+    )
+    sh_corpus = (
+        corpus.join(cand_corpus_ids, on="doc_id", how="left_semi")
+        .withColumn("toks", F.expr(TOKS_S))
+        .select(
+            F.col("doc_id").alias("corpus_doc"),
+            F.expr(SHINGLES_S).alias("sh_c"),
+        )
+    )
+    verified = (
+        cand.join(sh_batch, on="doc_id")
+        .join(sh_corpus, on="corpus_doc")
+        .withColumn(
+            "n_inter", F.expr("size(array_intersect(sh_b, sh_c))")
+        )
+        .filter(
+            F.expr(
+                "CAST(n_inter AS DOUBLE) / "
+                "(size(sh_b) + size(sh_c) - n_inter)"
+                f" >= {NEAR_DUP_JACCARD}"
+            )
+        )
+        .groupBy("doc_id")
+        .agg(F.min("corpus_doc").alias("near_min_doc"))
+    )
+    n_cand = cand.groupBy("doc_id").agg(
+        F.count("*").alias("n_cand")
+    )
+    return (
+        exact.join(n_cand, on="doc_id", how="left")
+        .join(verified, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(CASE WHEN hash_min_doc IS NULL THEN 0 ELSE 1 END"
+                " AS INT)"
+            ).alias("exact_dup"),
+            F.expr("CAST(coalesce(hash_min_doc, -1) AS BIGINT)").alias(
+                "exact_dup_of"
+            ),
+            F.expr("CAST(coalesce(n_cand, 0) AS BIGINT)").alias(
+                "n_candidates"
+            ),
+            F.expr(
+                "CAST(CASE WHEN near_min_doc IS NULL THEN 0 ELSE 1 END"
+                " AS INT)"
+            ).alias("near_dup"),
+            F.expr("CAST(coalesce(near_min_doc, -1) AS BIGINT)").alias(
+                "near_dup_of"
+            ),
+        )
+    )
+
+
+_BANDS_UNNEST = ", ".join(
+    f"{{'band_idx': {b}, 'band_hash': sig_{2 * b}::VARCHAR || '|' || "
+    f"sig_{2 * b + 1}::VARCHAR}}"
+    for b in range(N_BANDS)
+)
+DEDUP_INCREMENTAL_SQL = f"""
+WITH sig AS ({DEDUP_MINHASH_SQL}),
+bands_all AS (
+  SELECT doc_id, band.* FROM (
+    SELECT doc_id, unnest([{_BANDS_UNNEST}]) AS band
+    FROM sig
+  )
+),
+corpus_bands AS (
+  SELECT doc_id, band_idx, band_hash FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash)
+           AS bucket_n
+    FROM bands_all WHERE doc_id % {BATCH_MOD} < {BATCH_MIN}
+  ) WHERE bucket_n <= {LSH_BUCKET_CAP}
+),
+batch_bands AS (
+  SELECT doc_id, band_idx, band_hash FROM bands_all
+  WHERE doc_id % {BATCH_MOD} >= {BATCH_MIN}
+),
+cand AS (
+  SELECT DISTINCT b.doc_id, c.doc_id AS corpus_doc
+  FROM batch_bands b JOIN corpus_bands c
+    ON b.band_idx = c.band_idx AND b.band_hash = c.band_hash
+),
+sh AS (
+  SELECT doc_id, {SHINGLES_D} AS shingles FROM (
+    SELECT doc_id, text, {TOKS_D} AS toks FROM documents
+  )
+),
+verified AS (
+  SELECT doc_id, MIN(corpus_doc) AS near_min_doc FROM (
+    SELECT p.doc_id, p.corpus_doc,
+           len(list_intersect(a.shingles, c.shingles)) AS n_inter,
+           len(a.shingles) AS na, len(c.shingles) AS nc
+    FROM cand p
+    JOIN sh a ON p.doc_id = a.doc_id
+    JOIN sh c ON p.corpus_doc = c.doc_id
+  )
+  WHERE CAST(n_inter AS DOUBLE) / (na + nc - n_inter)
+        >= {NEAR_DUP_JACCARD}
+  GROUP BY doc_id
+),
+n_cand AS (
+  SELECT doc_id, COUNT(*) AS n_cand FROM cand GROUP BY doc_id
+),
+corpus_hash AS (
+  SELECT md5(lower(text)) AS text_hash, MIN(doc_id) AS hash_min_doc
+  FROM documents WHERE doc_id % {BATCH_MOD} < {BATCH_MIN}
+  GROUP BY text_hash
+),
+exact AS (
+  SELECT d.doc_id, h.hash_min_doc
+  FROM (SELECT doc_id, md5(lower(text)) AS text_hash FROM documents
+        WHERE doc_id % {BATCH_MOD} >= {BATCH_MIN}) d
+  LEFT JOIN corpus_hash h ON d.text_hash = h.text_hash
+)
+SELECT e.doc_id,
+       CAST(CASE WHEN e.hash_min_doc IS NULL THEN 0 ELSE 1 END AS INT)
+         AS exact_dup,
+       CAST(coalesce(e.hash_min_doc, -1) AS BIGINT) AS exact_dup_of,
+       CAST(coalesce(n.n_cand, 0) AS BIGINT) AS n_candidates,
+       CAST(CASE WHEN v.near_min_doc IS NULL THEN 0 ELSE 1 END AS INT)
+         AS near_dup,
+       CAST(coalesce(v.near_min_doc, -1) AS BIGINT) AS near_dup_of
+FROM exact e
+LEFT JOIN n_cand n ON e.doc_id = n.doc_id
+LEFT JOIN verified v ON e.doc_id = v.doc_id
 """

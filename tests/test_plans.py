@@ -112,3 +112,12 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_never_cartesian(spark):
+    """Batch-vs-corpus dedup must stay equi-join shaped end to end:
+    band-key probes and hash-key joins only — no cartesian, no
+    broadcast-nested-loop fallback anywhere in the composed plan."""
+    plan = plan_of(CATALOG["dedup_incremental"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
