@@ -386,6 +386,11 @@ CATALOG: dict[str, QuerySpec] = {
     "text_tokens": QuerySpec(
         textstats.text_tokens, textstats.TEXT_TOKENS_SQL,
         "token counting: whitespace + BPE-ish regex tokenization"),
+    "text_repetition": QuerySpec(
+        textstats.text_repetition, textstats.TEXT_REPETITION_SQL,
+        "Gopher-style repetition signals: type-token ratio, top-token "
+        "share, duplicate-2-gram fraction — explode + two-level hash "
+        "agg on uniform keys, per-doc scalars ride the agg (no joins)"),
     "text_ngram_freq": QuerySpec(
         textstats.text_ngram_freq, textstats.TEXT_NGRAM_FREQ_SQL,
         "corpus top-K bigram frequency (hash agg + global top-k window)"),

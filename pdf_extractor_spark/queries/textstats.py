@@ -822,3 +822,109 @@ FROM (
   )
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Repetition signals — the Gopher-style quality rules that catch the
+# failure mode length/punct ratios miss: machine-generated or boiler-
+# plate text that loops a small vocabulary. Three signals per doc:
+# type-token ratio (distinct/total), top-token share (most frequent
+# token / total), and duplicate-2-gram fraction (1 - distinct/total
+# 2-grams).
+#
+# Physical shape at 100 TB: the per-doc array stats are projections;
+# the top-token count is explode → two-level hash agg keyed on
+# (doc_id, tok) then doc_id — both uniform keys, map-side partial aggs,
+# no joins (the per-doc scalars ride the aggregation as max() of a
+# per-doc constant instead of a join back to the scan). Zero-token docs
+# have no rows to explode and drop out identically in both engines.
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_repetition_of(_docs(spark, sf_dir))
+
+
+def text_repetition_of(docs: DataFrame) -> DataFrame:
+    df = (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .withColumn("n_tokens", F.expr("CAST(size(toks) AS BIGINT)"))
+        .withColumn(
+            "n_distinct",
+            F.expr("CAST(size(array_distinct(toks)) AS BIGINT)"),
+        )
+        .withColumn("shingles", F.expr(SHINGLES_S))
+        .withColumn(
+            "n2_distinct", F.expr("CAST(size(shingles) AS BIGINT)")
+        )
+    )
+    ex = df.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "n2_distinct",
+        F.explode("toks").alias("tok"),
+    )
+    per_tok = ex.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("c"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_distinct").alias("n_distinct"),
+        F.max("n2_distinct").alias("n2_distinct"),
+    )
+    agg = per_tok.groupBy("doc_id").agg(
+        F.max("c").alias("top_tok_n"),
+        F.max("n_tokens").alias("n_tokens"),
+        F.max("n_distinct").alias("n_distinct"),
+        F.max("n2_distinct").alias("n2_distinct"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.expr(
+            "round(CAST(n_distinct AS DOUBLE)"
+            " / CAST(n_tokens AS DOUBLE), 5)"
+        ).alias("ttr"),
+        "top_tok_n",
+        F.expr(
+            "round(CAST(top_tok_n AS DOUBLE)"
+            " / CAST(n_tokens AS DOUBLE), 5)"
+        ).alias("top_ratio"),
+        F.expr(
+            "CASE WHEN n_tokens >= 2 THEN round(1.0 - "
+            "CAST(n2_distinct AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE)"
+            ", 5) ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("dup_2gram_ratio"),
+    )
+
+
+TEXT_REPETITION_SQL = f"""
+WITH base AS (
+  SELECT doc_id, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST(len({SHINGLES_D}) AS BIGINT) AS n2_distinct
+  FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
+),
+per_tok AS (
+  SELECT doc_id, tok, COUNT(*) AS c,
+         MAX(n_tokens) AS n_tokens, MAX(n_distinct) AS n_distinct,
+         MAX(n2_distinct) AS n2_distinct
+  FROM (SELECT doc_id, n_tokens, n_distinct, n2_distinct,
+               unnest(toks) AS tok FROM base)
+  GROUP BY doc_id, tok
+),
+agg AS (
+  SELECT doc_id, MAX(c) AS top_tok_n,
+         MAX(n_tokens) AS n_tokens, MAX(n_distinct) AS n_distinct,
+         MAX(n2_distinct) AS n2_distinct
+  FROM per_tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 5)
+         AS ttr,
+       top_tok_n,
+       round(CAST(top_tok_n AS DOUBLE) / CAST(n_tokens AS DOUBLE), 5)
+         AS top_ratio,
+       CASE WHEN n_tokens >= 2 THEN round(1.0 -
+         CAST(n2_distinct AS DOUBLE) / CAST(n_tokens - 1 AS DOUBLE), 5)
+       ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_ratio
+FROM agg
+"""
