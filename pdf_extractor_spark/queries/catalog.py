@@ -420,6 +420,16 @@ CATALOG: dict[str, QuerySpec] = {
         "stratified training-mix sampling: deterministic hash-threshold "
         "budget per (lang, quality band), two-phase (broadcast count "
         "prefilter, then exact rank) so no stratum key ever goes hot"),
+    "corpus_mix_report": QuerySpec(
+        cs.corpus_mix_report, cs.CORPUS_MIX_SQL,
+        "per-(source, lang) corpus composition: doc/token counts, mean "
+        "quality and token share from exact BIGINT sums (order-free, "
+        "bit-identical); grand total broadcast back, no global window"),
+    "corpus_shuffle_shards": QuerySpec(
+        cs.corpus_shuffle_shards, cs.CORPUS_SHUFFLE_SQL,
+        "deterministic training-export shuffle: seeded-hash shard "
+        "assignment (pure projection) + per-shard position — per-shard "
+        "sorts only, no global ordering anywhere"),
     # --- multimodal columns (oracle = expected fixtures from the pure
     #     numpy decoders, scripts/build_expected_oracles.py) ---
     "media_image_features": QuerySpec(

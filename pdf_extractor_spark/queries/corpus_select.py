@@ -200,3 +200,143 @@ SELECT doc_id, lang_pred, quality_band, sample_rank FROM (
   FROM pre
 ) WHERE sample_rank <= {SAMPLE_BUDGET}
 """
+
+
+# --------------------------------------------------------------------------
+# Corpus mix report — the per-(source, predicted-language) composition
+# table a pipeline publishes before fixing a training mix: document
+# counts, token totals, mean quality, and each cell's share of all
+# corpus tokens.
+#
+# Cross-engine float discipline: a naive avg(quality) sums doubles in
+# engine/partition order and can differ in the last ulp. Instead the
+# 5-dp quality is scaled to an exact BIGINT (quality_micro) and summed
+# as integers (order-free), and every reported double derives from one
+# division of exact integers — bit-identical everywhere. Same for
+# token_share: BIGINT token sums, one double division, one round.
+#
+# Physical shape at 100 TB: one scan → hash agg on (source, lang_pred)
+# with map-side partial aggregation (group count ~ sources × langs,
+# tiny); the grand total joins back as a BROADCAST of a 1-row agg —
+# never a global single-partition window over the result.
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_mix_report_of(_features(spark, sf_dir))
+
+
+def corpus_mix_report_of(featured: DataFrame) -> DataFrame:
+    grouped = (
+        featured.withColumn(
+            "quality_micro",
+            F.expr("CAST(round(quality * 100000) AS BIGINT)"),
+        )
+        .groupBy("source", "lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("quality_micro").alias("q_micro_sum"),
+        )
+    )
+    total = grouped.agg(
+        F.sum("sum_tokens").alias("total_tokens")
+    )
+    return (
+        grouped.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "lang_pred",
+            "n_docs",
+            F.expr("CAST(sum_tokens AS BIGINT)").alias("sum_tokens"),
+            F.expr(
+                "round(CAST(q_micro_sum AS DOUBLE)"
+                " / (CAST(n_docs AS DOUBLE) * 100000.0), 5)"
+            ).alias("mean_quality"),
+            F.expr(
+                "round(CAST(sum_tokens AS DOUBLE)"
+                " / CAST(total_tokens AS DOUBLE), 5)"
+            ).alias("token_share"),
+        )
+    )
+
+
+CORPUS_MIX_SQL = f"""
+WITH feat AS (
+  SELECT doc_id, source, n_tokens,
+         {_quality_exprs()["quality"]} AS quality,
+         {_pred_case()} AS lang_pred
+  FROM (
+    SELECT doc_id, source, text, toks,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '{_PUNCT_RE}', 1)) AS BIGINT)
+             AS n_punct,
+           {_HITS_D}
+    FROM (SELECT doc_id, source, text, {TOKS_D} AS toks FROM documents)
+  )
+),
+grouped AS (
+  SELECT source, lang_pred, COUNT(*) AS n_docs,
+         SUM(n_tokens) AS sum_tokens,
+         SUM(CAST(round(quality * 100000) AS BIGINT)) AS q_micro_sum
+  FROM feat GROUP BY source, lang_pred
+)
+SELECT source, lang_pred, n_docs,
+       CAST(sum_tokens AS BIGINT) AS sum_tokens,
+       round(CAST(q_micro_sum AS DOUBLE)
+             / (CAST(n_docs AS DOUBLE) * 100000.0), 5) AS mean_quality,
+       round(CAST(sum_tokens AS DOUBLE)
+             / CAST((SELECT SUM(sum_tokens) FROM grouped) AS DOUBLE), 5)
+         AS token_share
+FROM grouped
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic shuffle-sharding — the training-export step after
+# selection/sampling: give every document a stable (shard, position)
+# under a seeded hash so the exported order is fully mixed, identical
+# on every rerun and every cluster size, and resumable per shard.
+#
+# Physical shape at 100 TB: shard assignment is a pure projection
+# (seeded md5); the intra-shard order is a PER-SHARD sort, never a
+# global one. N_SHARDS here is 8 for the fixture; a production export
+# sizes it to corpus_bytes / shard_bytes (~10^5 shards of ~256 MB), so
+# each row_number window partition is one output file's worth — there
+# is no hot key and no total ordering across shards anywhere.
+N_SHARDS = 8
+_SHUF_H = (
+    "CAST(conv(substr(md5(concat('shuf1|', CAST(doc_id AS STRING))), "
+    "1, 8), 16, 10) AS BIGINT)"
+)
+_SHUF_H_D = (
+    "('0x' || substr(md5('shuf1|' || CAST(doc_id AS VARCHAR)), "
+    "1, 8))::BIGINT"
+)
+
+
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_shuffle_shards_of(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def corpus_shuffle_shards_of(docs: DataFrame) -> DataFrame:
+    df = docs.select("doc_id", F.expr(_SHUF_H).alias("h")).withColumn(
+        "shard", F.expr(f"CAST(h % {N_SHARDS} AS INT)")
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return df.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+CORPUS_SHUFFLE_SQL = f"""
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+            AS BIGINT) AS pos
+FROM (
+  SELECT doc_id, {_SHUF_H_D} AS h,
+         CAST({_SHUF_H_D} % {N_SHARDS} AS INT) AS shard
+  FROM documents
+)
+"""

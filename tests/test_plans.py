@@ -121,3 +121,22 @@ def test_incremental_dedup_never_cartesian(spark):
     plan = plan_of(CATALOG["dedup_incremental"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mix_report_broadcasts_total(spark):
+    """The grand-total token count must come back as a broadcast of a
+    1-row aggregate — never a single-partition global window over the
+    grouped result; no sort-merge join in the composed plan."""
+    plan = plan_of(CATALOG["corpus_mix_report"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_shards_has_no_global_sort(spark):
+    """Shard assignment is a projection and intra-shard ordering is a
+    per-shard window sort after a hash exchange on `shard` — a global
+    range-partitioned sort anywhere means the plan regressed to a total
+    ordering that cannot scale."""
+    plan = plan_of(CATALOG["corpus_shuffle_shards"].fn(spark, SF))
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(shard" in plan
