@@ -114,6 +114,8 @@ HEADLINE = [
     "ngram_jaccard",
     "dedup_near_pipeline",
     "dedup_embedding_cosine",
+    "dedup_incremental",
+    "decontaminate",
     "event_sessions",
     "events_asof_join",
     "events_sliding_window",
@@ -134,6 +136,9 @@ HEADLINE = [
     "o11_struct_extract",
     "corpus_select",
     "corpus_sample_stratified",
+    "text_repetition",
+    "corpus_mix_report",
+    "corpus_shuffle_shards",
 ]
 
 

@@ -8,9 +8,15 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
       → near-dup dedup          (queries/dedup.near_dup_labels_of:
                                  LSH candidates → exact-Jaccard verify
                                  → cluster → keep-one survivors)
+      → [optional] benchmark decontamination
+                                (queries/contamination.contamination_of:
+                                 drop survivors sharing word n-grams
+                                 with --benchmark's eval texts)
       → stratified sampling     (queries/corpus_select.sample_stratified_of:
                                  hash-threshold budget per (lang, band))
-      → gzip JSONL shards       (the training-data delivery format)
+      → gzip JSONL shards       (the training-data delivery format;
+                                 --mix-shards N exports N deterministic
+                                 hash-mixed shards, per-shard order)
 
     python -m pdf_extractor_spark.jobs.corpus_job \
         --warehouse /path/to/wh --out /path/to/corpus \
@@ -43,6 +49,7 @@ from pdf_extractor_spark.queries.corpus_select import (
     features_of,
     sample_stratified_of,
 )
+from pdf_extractor_spark.queries.contamination import contamination_of
 from pdf_extractor_spark.queries.dedup import near_dup_labels_of
 from pdf_extractor_spark.tables.icetable import IceTable
 
@@ -93,6 +100,8 @@ def build_corpus(
     min_chars: int = 1,
     shards: int | None = None,
     partitions: list[str] | None = None,
+    benchmark: str | None = None,
+    mix_shards: int | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -161,6 +170,27 @@ def build_corpus(
         ).localCheckpoint(eager=True)
         n_survivors = survivors.count()
 
+        # optional benchmark decontamination: drop survivors sharing
+        # word n-grams with the eval set BEFORE sampling, so
+        # contaminated docs never consume a stratum's budget. The
+        # benchmark n-gram set broadcasts (eval sets are tiny vs the
+        # corpus) — same operator the catalog oracle-checks.
+        n_decontaminated = n_survivors
+        if benchmark is not None:
+            bench_docs = (
+                spark.read.parquet(benchmark)
+                if benchmark.endswith(".parquet")
+                else spark.read.json(benchmark)
+            ).select("text")
+            flags = contamination_of(
+                survivors.select("doc_id", "text"), bench_docs
+            )
+            survivors = survivors.join(
+                flags.filter("contaminated = 0").select("doc_id"),
+                on="doc_id",
+            ).localCheckpoint(eager=True)
+            n_decontaminated = survivors.count()
+
         sampled_ids = sample_stratified_of(survivors, budget=budget)
         final = survivors.join(
             sampled_ids.select("doc_id", "quality_band", "sample_rank"),
@@ -169,7 +199,27 @@ def build_corpus(
             "url", "ts", "text", "lang_pred", "quality",
             "quality_band", "sample_rank",
         )
-        if shards:
+        if mix_shards:
+            # deterministic mixed export (the corpus_shuffle_shards
+            # semantic, keyed on url): seeded-hash shard assignment is
+            # a projection, ordering is per-shard only — every rerun
+            # and every cluster size produces the same shard files in
+            # the same internal order, with no global sort anywhere
+            final = (
+                final.withColumn(
+                    "_h",
+                    F.expr(
+                        "CAST(conv(substr(md5(concat('shuf1|', url)), "
+                        "1, 8), 16, 10) AS BIGINT)"
+                    ),
+                )
+                .repartition(
+                    mix_shards, F.expr(f"CAST(_h % {mix_shards} AS INT)")
+                )
+                .sortWithinPartitions("_h", "url")
+                .drop("_h")
+            )
+        elif shards:
             final = final.repartition(shards)
         final.write.mode("overwrite").option("compression", "gzip").json(out)
         # explicit schema: inference would crash on an all-empty output
@@ -181,6 +231,7 @@ def build_corpus(
             "rows_clean": n_docs,
             "rows_gated": n_gated,
             "rows_survivors": n_survivors,
+            "rows_decontaminated": n_decontaminated,
             "rows_exported": n_out,
             "budget_per_stratum": budget,
             "out": out,
@@ -202,6 +253,17 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--budget", type=int, default=SAMPLE_BUDGET)
     ap.add_argument("--min-chars", type=int, default=1)
     ap.add_argument("--shards", type=int, default=None)
+    ap.add_argument(
+        "--benchmark", default=None,
+        help="path to eval-set docs (parquet or jsonl with a `text` "
+        "column); survivors sharing word n-grams with it are dropped "
+        "before sampling",
+    )
+    ap.add_argument(
+        "--mix-shards", type=int, default=None,
+        help="export as N deterministically hash-mixed shards "
+        "(rerun-identical order, no global sort)",
+    )
     ap.add_argument("--partitions", nargs="*", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
@@ -211,6 +273,7 @@ def main(argv: list[str] | None = None) -> None:
     summary = build_corpus(
         spark, args.warehouse, args.out, args.budget,
         args.min_chars, args.shards, args.partitions,
+        benchmark=args.benchmark, mix_shards=args.mix_shards,
     )
     print(json.dumps(summary))
     spark.stop()

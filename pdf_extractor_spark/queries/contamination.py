@@ -59,20 +59,29 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def decontaminate_of(docs: DataFrame) -> DataFrame:
-    """Contamination flags for an ARBITRARY (doc_id, text) DataFrame,
-    with the benchmark carved out by doc_id % BENCH_MOD. Output one row
-    per TRAINING doc: (doc_id, n_overlap, contaminated) — integer-only
-    columns for exact cross-engine hash parity."""
-    with_grams = docs.withColumn("toks", F.expr(TOKS_S)).select(
+def _grams_of(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("toks", F.expr(TOKS_S)).select(
         "doc_id", F.expr(_ngrams_spark(N_CONTAM)).alias("grams")
     )
+
+
+def contamination_of(train_docs: DataFrame, bench_docs: DataFrame) -> DataFrame:
+    """Generic two-table form: flag TRAINING docs (doc_id, text) whose
+    word n-grams overlap any BENCHMARK doc's (text). The doc_id may be
+    any joinable/groupable type (BIGINT in the catalog, the corpus
+    job's (hi, lo) struct key works too). Output one row per training
+    doc: (doc_id, n_overlap, contaminated) — integer-only columns for
+    exact cross-engine hash parity."""
     bench_grams = (
-        with_grams.filter(F.col("doc_id") % BENCH_MOD == 0)
-        .select(F.explode("grams").alias("gram"))
+        bench_docs.withColumn("toks", F.expr(TOKS_S))
+        .select(
+            F.explode(
+                F.expr(_ngrams_spark(N_CONTAM))
+            ).alias("gram")
+        )
         .distinct()
     )
-    train = with_grams.filter(F.col("doc_id") % BENCH_MOD != 0)
+    train = _grams_of(train_docs)
     # the broadcast is the load-bearing physical property: the training
     # mass probes the benchmark set map-side; grams arrays are already
     # distinct per doc, so a plain count is the distinct-overlap count
@@ -95,6 +104,16 @@ def decontaminate_of(docs: DataFrame) -> DataFrame:
                 "ELSE 0 END AS INT)"
             ).alias("contaminated"),
         )
+    )
+
+
+def decontaminate_of(docs: DataFrame) -> DataFrame:
+    """Catalog form: the benchmark is carved out of the one table by
+    doc_id % BENCH_MOD (so tests and oracles need no external data);
+    training docs are everything else."""
+    return contamination_of(
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0),
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0),
     )
 
 

@@ -144,3 +144,54 @@ def test_funnel_counts_never_rescan_warehouse(spark, tmp_path, monkeypatch):
         "coalesce(error, '') = '' AND n_chars >= 1"
     ).select("url").distinct().count()
     assert s["rows_clean"] == clean
+
+
+def test_corpus_job_benchmark_and_mixed_shards(spark, tmp_path):
+    """The optional composition stages: --benchmark drops survivors
+    overlapping the eval set before sampling; --mix-shards exports
+    deterministically hash-mixed shards whose per-file contents are
+    rerun-identical."""
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=13, n_rows=150, n_days=3)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out0 = str(tmp_path / "plain")
+    s0 = build_corpus(spark, wh, out0, budget=10)
+    rows0 = _read_jsonl(out0)
+    assert s0["rows_decontaminated"] == s0["rows_survivors"]
+
+    # benchmark = one exported doc's text -> that url must disappear
+    victim = rows0[0]
+    bench = tmp_path / "bench.jsonl"
+    bench.write_text(json.dumps({"text": victim["text"]}) + "\n")
+    out1 = str(tmp_path / "decon")
+    s1 = build_corpus(spark, wh, out1, budget=10, benchmark=str(bench))
+    assert s1["rows_decontaminated"] < s1["rows_survivors"]
+    assert (
+        s1["rows_survivors"]
+        >= s1["rows_decontaminated"]
+        >= s1["rows_exported"]
+    )
+    assert victim["url"] not in {r["url"] for r in _read_jsonl(out1)}
+
+    # mixed-shard export: same row set as the plain run, N part files,
+    # and a rerun reproduces every file's internal order byte-for-byte
+    def shard_contents(out):
+        return [
+            (f.name, f.read_bytes())
+            for f in sorted(pathlib.Path(out).glob("part-*.json.gz"))
+        ]
+
+    out2 = str(tmp_path / "mixed1")
+    out3 = str(tmp_path / "mixed2")
+    build_corpus(spark, wh, out2, budget=10, mix_shards=2)
+    build_corpus(spark, wh, out3, budget=10, mix_shards=2)
+    assert len(shard_contents(out2)) == 2
+    a = [c for _, c in shard_contents(out2)]
+    b = [c for _, c in shard_contents(out3)]
+    assert a == b
+    assert sorted(
+        json.dumps(r, sort_keys=True) for r in _read_jsonl(out2)
+    ) == sorted(json.dumps(r, sort_keys=True) for r in rows0)
