@@ -118,6 +118,7 @@ HEADLINE = [
     "decontaminate",
     "event_sessions",
     "events_asof_join",
+    "events_range_join",
     "events_sliding_window",
     "sketch_distinct_kmv",
     "sketch_distinct_kmv_partial",

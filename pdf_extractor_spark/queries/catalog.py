@@ -290,6 +290,11 @@ CATALOG: dict[str, QuerySpec] = {
         "as-of join (Spark lacks it): union-and-sweep plan, the event "
         "mass shuffles once — verified against DuckDB's NATIVE ASOF "
         "LEFT JOIN"),
+    "events_range_join": QuerySpec(
+        temporal.events_range_join, temporal.EVENTS_RANGE_JOIN_SQL,
+        "range (interval) join (Spark lacks it): time-binned equi-join "
+        "on (user_id, bin) — fan-out bounded by bin occupancy, never "
+        "per-user totals; verified against DuckDB's native IEJoin"),
     "events_sliding_window": QuerySpec(
         temporal.events_sliding_window, temporal.EVENTS_SLIDING_SQL,
         "range-frame sliding aggregate: trailing-10-minute per-user "

@@ -379,3 +379,108 @@ SELECT event_type,
 FROM ranked
 GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Range (interval) join — the second temporal join class Spark lacks a
+# native operator for (alongside as-of): match point events to
+# containing intervals. Here: every `error` event opens a 10-minute
+# incident window for its user; each event reports how many incident
+# windows of its own user contain it.
+#
+# Why not the naive join: `ON user_id AND ts BETWEEN start AND end`
+# equi-joins on user_id and then filters — per-user fan-out is
+# events(u) × intervals(u), quadratic for a power user (the classic
+# skew bomb at 10^12 events). The scale plan BINS the time axis at the
+# interval length: an event lands in exactly one bin, an interval
+# overlaps at most 2 bins (RJ_WIN_US wide, RJ_BIN_US = RJ_WIN_US), and
+# the join key becomes (user_id, bin) — fan-out is bounded by bin
+# occupancy, never per-user totals, and longer intervals only raise the
+# bins-per-interval constant (len/bin + 1), never the join shape.
+# Because each (event, interval) pair can only meet in the event's one
+# bin, the binned join emits no duplicates — no distinct needed.
+#
+# Oracle: DuckDB executes the DIRECT inequality join with its native
+# IEJoin — an independent implementation of the semantic, exactly like
+# the as-of entry's verification against DuckDB's native ASOF.
+RJ_WIN_US = 10 * 60 * 1_000_000  # incident window length
+RJ_BIN_US = RJ_WIN_US  # bin size = window length -> <= 2 bins/interval
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_range_join_of(_events(spark, sf_dir))
+
+
+def events_range_join_of(events: DataFrame) -> DataFrame:
+    """Binned range join over an ARBITRARY (user_id, event_id, ts,
+    event_type) DataFrame; see the module comment above for the plan
+    rationale."""
+    ev = events.select(
+        "user_id", "event_id", F.expr(TS_US_S).alias("us")
+    )
+    iv = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            "user_id",
+            F.col("event_id").alias("window_id"),
+            F.expr(TS_US_S).alias("start_us"),
+            F.expr(f"{TS_US_S} + {RJ_WIN_US}").alias("end_us"),
+        )
+    )
+    ev_b = ev.withColumn(
+        "bin", F.expr(f"CAST(floor(us / {RJ_BIN_US}) AS BIGINT)")
+    )
+    iv_b = iv.withColumn(
+        "bin",
+        F.explode(
+            F.expr(
+                f"sequence(CAST(floor(start_us / {RJ_BIN_US}) AS BIGINT), "
+                f"CAST(floor((end_us - 1) / {RJ_BIN_US}) AS BIGINT))"
+            )
+        ),
+    )
+    hits = (
+        ev_b.join(iv_b, on=["user_id", "bin"])
+        .filter("us >= start_us AND us < end_us")
+        .groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.min("window_id").alias("first_window"),
+        )
+    )
+    return ev.select("event_id").join(hits, on="event_id", how="left").select(
+        "event_id",
+        F.expr(
+            "CAST(CASE WHEN n_windows IS NULL THEN 0 ELSE 1 END AS INT)"
+        ).alias("in_incident"),
+        F.expr("CAST(coalesce(n_windows, 0) AS BIGINT)").alias("n_windows"),
+        F.expr("CAST(coalesce(first_window, -1) AS BIGINT)").alias(
+            "first_window"
+        ),
+    )
+
+
+EVENTS_RANGE_JOIN_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, {TS_US_D} AS us FROM events
+),
+iv AS (
+  SELECT user_id, event_id AS window_id, {TS_US_D} AS start_us,
+         {TS_US_D} + {RJ_WIN_US} AS end_us
+  FROM events WHERE event_type = 'error'
+),
+hits AS (
+  SELECT e.event_id, COUNT(*) AS n_windows,
+         MIN(i.window_id) AS first_window
+  FROM ev e JOIN iv i
+    ON e.user_id = i.user_id
+   AND e.us >= i.start_us AND e.us < i.end_us
+  GROUP BY e.event_id
+)
+SELECT e.event_id,
+       CAST(CASE WHEN h.n_windows IS NULL THEN 0 ELSE 1 END AS INT)
+         AS in_incident,
+       CAST(coalesce(h.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(h.first_window, -1) AS BIGINT) AS first_window
+FROM ev e LEFT JOIN hits h ON e.event_id = h.event_id
+"""

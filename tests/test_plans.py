@@ -140,3 +140,12 @@ def test_shuffle_shards_has_no_global_sort(spark):
     plan = plan_of(CATALOG["corpus_shuffle_shards"].fn(spark, SF))
     assert "rangepartitioning" not in plan.lower()
     assert "hashpartitioning(shard" in plan
+
+
+def test_range_join_is_binned_equi_join(spark):
+    """The range join must compile to an equi-join on (user_id, bin) —
+    never the naive inequality form, which Spark would execute as a
+    per-user nested loop (quadratic for power users)."""
+    plan = plan_of(CATALOG["events_range_join"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
