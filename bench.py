@@ -119,6 +119,7 @@ HEADLINE = [
     "event_sessions",
     "events_asof_join",
     "events_range_join",
+    "events_rollup",
     "events_sliding_window",
     "sketch_distinct_kmv",
     "sketch_distinct_kmv_partial",

@@ -299,6 +299,11 @@ CATALOG: dict[str, QuerySpec] = {
         temporal.events_sliding_window, temporal.EVENTS_SLIDING_SQL,
         "range-frame sliding aggregate: trailing-10-minute per-user "
         "activity (value-based frame, peers included identically)"),
+    "events_rollup": QuerySpec(
+        temporal.events_rollup, temporal.EVENTS_ROLLUP_SQL,
+        "hypertable-style rollup: hour + day grains from ONE scan via "
+        "GROUPING SETS (map-side partials, one shuffle) — replaces "
+        "N per-grain jobs; exact-integer metrics"),
     "sketch_distinct_kmv": QuerySpec(
         temporal.sketch_distinct_kmv, temporal.SKETCH_KMV_SQL,
         "KMV distinct-count sketch: deterministic k-minimum md5 "

@@ -484,3 +484,88 @@ SELECT e.event_id,
        CAST(coalesce(h.first_window, -1) AS BIGINT) AS first_window
 FROM ev e LEFT JOIN hits h ON e.event_id = h.event_id
 """
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style rollup — the continuous-aggregate pattern of
+# time-series stores (timescale hypertables, druid rollup): the same
+# event stream aggregated at multiple time granularities in ONE pass.
+# Spark-first form: precompute the hour/day bucket columns in a
+# projection, then GROUPING SETS ((day, hour, type), (day, type)) — a
+# single scan with map-side partial aggregation; the day grain
+# aggregates ~24x fewer groups and rides the same shuffle. At 10^12
+# events this is the shape that replaces N separate per-grain jobs
+# (N scans) with one.
+#
+# grain is derived from the grouping-set membership (hour IS NULL ->
+# 'day'); all metrics are exact integers (counts + cents), so the
+# oracle (DuckDB GROUPING SETS — its own independent implementation)
+# matches bit-for-bit.
+_HOUR_US = 3_600 * 1_000_000
+_DAY_US = 24 * _HOUR_US
+
+
+def events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_rollup_of(_events(spark, sf_dir))
+
+
+def events_rollup_of(events: DataFrame) -> DataFrame:
+    base = events.select(
+        F.expr(
+            f"CAST(floor({TS_US_S} / {_DAY_US}) AS BIGINT)"
+        ).alias("bucket_day"),
+        F.expr(
+            f"CAST(floor({TS_US_S} / {_HOUR_US}) AS BIGINT)"
+        ).alias("bucket_hour"),
+        "event_type",
+        F.expr(CENTS).alias("cents"),
+        "user_id",
+    )
+    agg = base.groupingSets(
+        [
+            ["bucket_day", "bucket_hour", "event_type"],
+            ["bucket_day", "event_type"],
+        ],
+        "bucket_day",
+        "bucket_hour",
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.expr("CAST(SUM(cents) AS BIGINT)").alias("sum_value_cents"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    return agg.select(
+        F.expr(
+            "CASE WHEN bucket_hour IS NULL THEN 'day' ELSE 'hour' END"
+        ).alias("grain"),
+        "bucket_day",
+        F.expr("CAST(coalesce(bucket_hour, -1) AS BIGINT)").alias(
+            "bucket_hour"
+        ),
+        "event_type",
+        "n_events",
+        "sum_value_cents",
+        "n_users",
+    )
+
+
+EVENTS_ROLLUP_SQL = f"""
+WITH base AS (
+  SELECT CAST(floor({TS_US_D} / {_DAY_US}) AS BIGINT) AS bucket_day,
+         CAST(floor({TS_US_D} / {_HOUR_US}) AS BIGINT) AS bucket_hour,
+         event_type, {CENTS} AS cents, user_id
+  FROM events
+)
+SELECT CASE WHEN bucket_hour IS NULL THEN 'day' ELSE 'hour' END AS grain,
+       bucket_day,
+       CAST(coalesce(bucket_hour, -1) AS BIGINT) AS bucket_hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_value_cents,
+       COUNT(DISTINCT user_id) AS n_users
+FROM base
+GROUP BY GROUPING SETS (
+  (bucket_day, bucket_hour, event_type),
+  (bucket_day, event_type)
+)
+"""

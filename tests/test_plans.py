@@ -149,3 +149,11 @@ def test_range_join_is_binned_equi_join(spark):
     plan = plan_of(CATALOG["events_range_join"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_is_single_scan(spark):
+    """Both grains must come from ONE scan (GROUPING SETS -> Expand),
+    never a union of per-grain subplans re-reading the table."""
+    plan = plan_of(CATALOG["events_rollup"].fn(spark, SF))
+    assert plan.count("FileScan") == 1
+    assert "Expand" in plan
