@@ -48,6 +48,7 @@ from pdf_extractor_spark.queries.corpus_select import (
     SAMPLE_BUDGET,
     features_of,
     sample_stratified_of,
+    shuffle_hash_expr,
 )
 from pdf_extractor_spark.queries.contamination import contamination_of
 from pdf_extractor_spark.queries.dedup import near_dup_labels_of
@@ -102,6 +103,7 @@ def build_corpus(
     partitions: list[str] | None = None,
     benchmark: str | None = None,
     mix_shards: int | None = None,
+    contam_ngram: int | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -182,8 +184,19 @@ def build_corpus(
                 if benchmark.endswith(".parquet")
                 else spark.read.json(benchmark)
             ).select("text")
+            # real text defaults to the production n-gram length
+            # (N_CONTAM_PROD=8): the fixture's 4-gram setting is sized
+            # for the synthetic ~30-word vocabulary and would chance-
+            # collide on natural-language boilerplate, silently
+            # dropping clean docs
+            from pdf_extractor_spark.queries.contamination import (
+                N_CONTAM_PROD,
+            )
+
             flags = contamination_of(
-                survivors.select("doc_id", "text"), bench_docs
+                survivors.select("doc_id", "text"),
+                bench_docs,
+                n=contam_ngram or N_CONTAM_PROD,
             )
             survivors = survivors.join(
                 flags.filter("contaminated = 0").select("doc_id"),
@@ -204,18 +217,19 @@ def build_corpus(
             # semantic, keyed on url): seeded-hash shard assignment is
             # a projection, ordering is per-shard only — every rerun
             # and every cluster size produces the same shard files in
-            # the same internal order, with no global sort anywhere
+            # the same internal order, with no global sort anywhere.
+            # NOTE: partition by the FULL seeded hash, never by a
+            # precomputed residue — repartition(N, expr) applies
+            # pmod(murmur3(expr), N) on top, and murmur3 of the N
+            # residue values collides (reproduced: N=2 collapsed both
+            # residues into ONE shard, leaving an empty part file);
+            # the high-entropy hash spreads uniformly instead, and
+            # shard membership stays a pure function of url
             final = (
                 final.withColumn(
-                    "_h",
-                    F.expr(
-                        "CAST(conv(substr(md5(concat('shuf1|', url)), "
-                        "1, 8), 16, 10) AS BIGINT)"
-                    ),
+                    "_h", F.expr(shuffle_hash_expr("url"))
                 )
-                .repartition(
-                    mix_shards, F.expr(f"CAST(_h % {mix_shards} AS INT)")
-                )
+                .repartition(mix_shards, "_h")
                 .sortWithinPartitions("_h", "url")
                 .drop("_h")
             )
@@ -264,6 +278,11 @@ def main(argv: list[str] | None = None) -> None:
         help="export as N deterministically hash-mixed shards "
         "(rerun-identical order, no global sort)",
     )
+    ap.add_argument(
+        "--contam-ngram", type=int, default=None,
+        help="n-gram length for --benchmark decontamination "
+        "(default: the production setting N_CONTAM_PROD=8)",
+    )
     ap.add_argument("--partitions", nargs="*", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
@@ -274,6 +293,7 @@ def main(argv: list[str] | None = None) -> None:
         spark, args.warehouse, args.out, args.budget,
         args.min_chars, args.shards, args.partitions,
         benchmark=args.benchmark, mix_shards=args.mix_shards,
+        contam_ngram=args.contam_ngram,
     )
     print(json.dumps(summary))
     spark.stop()

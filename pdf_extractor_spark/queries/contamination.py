@@ -59,13 +59,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
-def _grams_of(docs: DataFrame) -> DataFrame:
+def _grams_of(docs: DataFrame, n: int) -> DataFrame:
     return docs.withColumn("toks", F.expr(TOKS_S)).select(
-        "doc_id", F.expr(_ngrams_spark(N_CONTAM)).alias("grams")
+        "doc_id", F.expr(_ngrams_spark(n)).alias("grams")
     )
 
 
-def contamination_of(train_docs: DataFrame, bench_docs: DataFrame) -> DataFrame:
+# Production n-gram length for REAL text (published decontamination
+# recipes use 8-13-grams: long enough that natural-language boilerplate
+# like "as well as the" cannot chance-collide). N_CONTAM=4 above is the
+# FIXTURE setting, sized for the synthetic ~30-word vocabulary — using
+# it on natural text would silently drop clean docs.
+N_CONTAM_PROD = 8
+
+
+def contamination_of(
+    train_docs: DataFrame, bench_docs: DataFrame, n: int = N_CONTAM
+) -> DataFrame:
     """Generic two-table form: flag TRAINING docs (doc_id, text) whose
     word n-grams overlap any BENCHMARK doc's (text). The doc_id may be
     any joinable/groupable type (BIGINT in the catalog, the corpus
@@ -76,12 +86,12 @@ def contamination_of(train_docs: DataFrame, bench_docs: DataFrame) -> DataFrame:
         bench_docs.withColumn("toks", F.expr(TOKS_S))
         .select(
             F.explode(
-                F.expr(_ngrams_spark(N_CONTAM))
+                F.expr(_ngrams_spark(n))
             ).alias("gram")
         )
         .distinct()
     )
-    train = _grams_of(train_docs)
+    train = _grams_of(train_docs, n)
     # the broadcast is the load-bearing physical property: the training
     # mass probes the benchmark set map-side; grams arrays are already
     # distinct per doc, so a plain count is the distinct-overlap count

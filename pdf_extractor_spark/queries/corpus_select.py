@@ -236,6 +236,13 @@ def corpus_mix_report_of(featured: DataFrame) -> DataFrame:
             F.sum("quality_micro").alias("q_micro_sum"),
         )
     )
+    # materialize the tiny grouped aggregate ONCE: the grand-total agg
+    # and the crossJoin left side are otherwise independent plan
+    # branches, and Spark shares no subplans — the full scan + regex
+    # feature pipeline would execute TWICE just to derive a 1-row total
+    # (confirmed from the executed plan: 2 FileScans without this).
+    # grouped is O(sources × langs) rows, so the checkpoint is free.
+    grouped = grouped.localCheckpoint(eager=True)
     total = grouped.agg(
         F.sum("sum_tokens").alias("total_tokens")
     )
@@ -302,14 +309,28 @@ FROM grouped
 # each row_number window partition is one output file's worth — there
 # is no hot key and no total ordering across shards anywhere.
 N_SHARDS = 8
-_SHUF_H = (
-    "CAST(conv(substr(md5(concat('shuf1|', CAST(doc_id AS STRING))), "
-    "1, 8), 16, 10) AS BIGINT)"
-)
-_SHUF_H_D = (
-    "('0x' || substr(md5('shuf1|' || CAST(doc_id AS VARCHAR)), "
-    "1, 8))::BIGINT"
-)
+
+
+def shuffle_hash_expr(key: str) -> str:
+    """Seeded 32-bit shuffle hash of `key` (Spark SQL) — the ONE
+    definition both the catalog entry (keyed on doc_id) and the corpus
+    job's --mix-shards export (keyed on url) compose, so the two paths
+    cannot silently diverge."""
+    return (
+        f"CAST(conv(substr(md5(concat('shuf1|', CAST({key} AS STRING))), "
+        "1, 8), 16, 10) AS BIGINT)"
+    )
+
+
+def _shuffle_hash_duck(key: str) -> str:
+    return (
+        f"('0x' || substr(md5('shuf1|' || CAST({key} AS VARCHAR)), "
+        "1, 8))::BIGINT"
+    )
+
+
+_SHUF_H = shuffle_hash_expr("doc_id")
+_SHUF_H_D = _shuffle_hash_duck("doc_id")
 
 
 def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:

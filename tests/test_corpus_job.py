@@ -189,6 +189,15 @@ def test_corpus_job_benchmark_and_mixed_shards(spark, tmp_path):
     build_corpus(spark, wh, out2, budget=10, mix_shards=2)
     build_corpus(spark, wh, out3, budget=10, mix_shards=2)
     assert len(shard_contents(out2)) == 2
+    # every shard must actually carry documents: partitioning by a
+    # precomputed residue collapsed all rows into ONE shard (murmur3 of
+    # the N residues collides mod N), which this assertion catches
+    shard_rows = []
+    for f in sorted(pathlib.Path(out2).glob("part-*.json.gz")):
+        with gzip.open(f, "rt", encoding="utf-8") as fh:
+            shard_rows.append(sum(1 for _ in fh))
+    assert min(shard_rows) > 0, shard_rows
+    assert max(shard_rows) < sum(shard_rows), shard_rows
     a = [c for _, c in shard_contents(out2)]
     b = [c for _, c in shard_contents(out3)]
     assert a == b

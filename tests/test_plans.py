@@ -126,10 +126,13 @@ def test_incremental_dedup_never_cartesian(spark):
 def test_mix_report_broadcasts_total(spark):
     """The grand-total token count must come back as a broadcast of a
     1-row aggregate — never a single-partition global window over the
-    grouped result; no sort-merge join in the composed plan."""
+    grouped result; no sort-merge join; and the corpus is scanned ONCE
+    (the grouped aggregate is checkpointed before the total derives
+    from it — without that the regex feature pipeline runs twice)."""
     plan = plan_of(CATALOG["corpus_mix_report"].fn(spark, SF))
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+    assert "FileScan" not in plan  # both branches read the checkpoint
 
 
 def test_shuffle_shards_has_no_global_sort(spark):
