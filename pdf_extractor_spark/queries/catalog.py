@@ -418,6 +418,11 @@ CATALOG: dict[str, QuerySpec] = {
         "the text-vector SCALE path: engine-produced hashed embeddings "
         "through the learned-centroid IVF bucketing (never exact-scans; "
         "recall vs text_embed_topk test-enforced at bounded scan %)"),
+    "text_length_percentiles": QuerySpec(
+        textstats.text_length_percentiles, textstats.TEXT_LENGTH_PCT_SQL,
+        "exact per-lang token-count percentiles WITHOUT sorting the "
+        "corpus: (lang, n_tokens) histogram agg first, cumulative "
+        "window + inverse-CDF over the tiny histogram only"),
     "text_fingerprint": QuerySpec(
         textstats.text_fingerprint, textstats.TEXT_FINGERPRINT_SQL,
         "document fingerprint: min-wise rolling 4-gram hash"),

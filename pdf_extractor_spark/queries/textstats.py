@@ -928,3 +928,72 @@ SELECT doc_id, n_tokens, n_distinct,
        ELSE CAST(0.0 AS DOUBLE) END AS dup_2gram_ratio
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# Exact length percentiles per language — the token-count distribution
+# report a pipeline publishes when choosing sequence-length budgets.
+#
+# The 100 TB trick: percentiles WITHOUT sorting the corpus. Token
+# counts live in a small value domain (distinct lengths ~ 10^3-10^5 no
+# matter how many documents), so aggregate a (lang, n_tokens) →
+# count HISTOGRAM first (uniform-key hash agg, map-side partials), and
+# run the cumulative window + inverse-CDF lookup over the tiny
+# histogram only. A naive per-lang sort/rank of 10^12 rows never
+# happens; the window input is the histogram, not the corpus.
+#
+# Discrete percentile semantics (engine-independent, mirrored in the
+# oracle CTE rather than trusting any engine's quantile function):
+# p-th percentile = smallest value whose cumulative count reaches
+# ceil(p * N / 100), computed in exact integer arithmetic.
+_PCTS = (25, 50, 90, 99)
+
+
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hist = (
+        _docs(spark, sf_dir)
+        .withColumn("toks", F.expr(TOKS_S))
+        .select("lang", F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens"))
+        .groupBy("lang", "n_tokens")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "tot", F.sum("cnt").over(w_tot)
+    )
+    aggs = [
+        F.expr("max(tot)").alias("n_docs"),
+        *[
+            F.expr(
+                f"min(CASE WHEN cum * 100 >= {p} * tot THEN n_tokens END)"
+            ).alias(f"p{p}")
+            for p in _PCTS
+        ],
+    ]
+    return cum.groupBy("lang").agg(*aggs)
+
+
+TEXT_LENGTH_PCT_SQL = f"""
+WITH hist AS (
+  SELECT lang, CAST(len(toks) AS BIGINT) AS n_tokens, COUNT(*) AS cnt
+  FROM (SELECT lang, {TOKS_D} AS toks FROM documents)
+  GROUP BY lang, n_tokens
+),
+cum AS (
+  SELECT lang, n_tokens,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY n_tokens
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS tot
+  FROM hist
+)
+SELECT lang, MAX(tot) AS n_docs,
+       {", ".join(f"MIN(CASE WHEN cum * 100 >= {p} * tot THEN n_tokens END) AS p{p}" for p in _PCTS)}
+FROM cum GROUP BY lang
+"""
