@@ -68,3 +68,45 @@ def test_overlapping_windows_count_and_min_id(spark):
     ]
     out = _run(spark, rows)
     assert out[7]["n_windows"] == 2 and out[7]["first_window"] == 5
+
+
+def test_binned_join_equals_brute_force_on_random_data(spark):
+    """Differential check: the binned plan must equal a brute-force
+    Python evaluation of the SAME semantics on seeded random data —
+    proving the bin explode/containment algebra directly, independent
+    of the DuckDB oracle."""
+    import random
+
+    rng = random.Random(991)
+    rows = []
+    for eid in range(300):
+        us = rng.randrange(0, 3 * RJ_WIN_US)
+        uid = rng.randrange(0, 5)
+        et = "error" if rng.random() < 0.2 else "view"
+        rows.append((eid, us, uid, et))
+
+    windows = [
+        (eid, uid, us, us + RJ_WIN_US)
+        for eid, us, uid, et in rows
+        if et == "error"
+    ]
+    expected = {}
+    for eid, us, uid, _ in rows:
+        hits = [
+            wid
+            for wid, wuid, s, e in windows
+            if wuid == uid and s <= us < e
+        ]
+        expected[eid] = (
+            1 if hits else 0,
+            len(hits),
+            min(hits) if hits else -1,
+        )
+
+    got = _run(spark, rows)
+    assert set(got) == set(expected)
+    for eid, (inc, n, first) in expected.items():
+        r = got[eid]
+        assert (r["in_incident"], r["n_windows"], r["first_window"]) == (
+            inc, n, first,
+        ), eid
