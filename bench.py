@@ -115,6 +115,7 @@ HEADLINE = [
     "dedup_near_pipeline",
     "dedup_embedding_cosine",
     "dedup_incremental",
+    "dedup_lines",
     "decontaminate",
     "event_sessions",
     "events_asof_join",

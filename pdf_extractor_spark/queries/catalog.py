@@ -338,6 +338,11 @@ CATALOG: dict[str, QuerySpec] = {
         "corpus index (exact 128-bit hash layer + LSH band probe + "
         "Jaccard verify) — the daily-crawl-vs-kept-corpus production "
         "shape; corpus text mass is touched only via index projections"),
+    "dedup_lines": QuerySpec(
+        dedup.dedup_lines, dedup.DEDUP_LINES_SQL,
+        "CCNet-style line/segment boilerplate dedup: cross-document "
+        "repeated segments stripped; frequency pass shuffles only md5 "
+        "hashes, cleaning pass is a broadcast-set projection"),
     "dedup_simhash": QuerySpec(
         dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL,
         "SimHash: 16-bit majority-vote fingerprint, pure projection"),

@@ -1,0 +1,91 @@
+"""Semantic tests for dedup_lines (cross-document segment boilerplate
+strip) on constructed corpora — the oracle parity test
+(test_queries_oracle) covers the sf0.001 corpus; these pin the
+SEMANTICS: what counts as boilerplate, what survives, and reassembly
+order."""
+
+from __future__ import annotations
+
+from pdf_extractor_spark.queries.dedup import (
+    LINE_SEG_LEN,
+    dedup_lines_of,
+)
+
+
+def _mkdoc(*segments: str) -> str:
+    """Build a doc whose LINE_SEG_LEN-token windows are exactly
+    `segments` (each segment is padded to LINE_SEG_LEN tokens with
+    tokens derived from the segment CONTENT, so equal segments pad
+    equally regardless of position or document)."""
+    import hashlib
+
+    toks = []
+    for seg in segments:
+        words = seg.split()
+        assert len(words) <= LINE_SEG_LEN
+        tag = hashlib.md5(seg.encode()).hexdigest()[:6]
+        words = words + [
+            f"p{tag}x{j}" for j in range(LINE_SEG_LEN - len(words))
+        ]
+        toks.extend(words)
+    return " ".join(toks)
+
+
+BOILER = "subscribe to our newsletter terms privacy cookie"
+
+
+def _run(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return {r["doc_id"]: r for r in dedup_lines_of(df).collect()}
+
+
+def test_cross_doc_segment_removed_everywhere(spark):
+    rows = [
+        (1, _mkdoc(BOILER, "alpha beta gamma")),
+        (2, _mkdoc("delta epsilon", BOILER)),
+        (3, _mkdoc("unique three content here")),
+    ]
+    out = _run(spark, rows)
+    assert out[1]["n_boiler"] == 1 and BOILER not in out[1]["text_clean"]
+    assert out[2]["n_boiler"] == 1 and BOILER not in out[2]["text_clean"]
+    assert out[3]["n_boiler"] == 0
+    # survivors keep their own content, in order
+    assert out[1]["text_clean"].startswith("alpha beta gamma")
+    assert out[2]["text_clean"].startswith("delta epsilon")
+
+
+def test_within_doc_repeat_is_not_boilerplate(spark):
+    # the same segment twice in ONE doc: distinct-doc count is 1,
+    # below LINE_MIN_DOCS, so both instances survive
+    seg = "only in this doc repeated twice yes"
+    rows = [
+        (1, _mkdoc(seg) + " " + _mkdoc(seg)),
+        (2, _mkdoc("completely different words over here")),
+    ]
+    out = _run(spark, rows)
+    assert out[1]["n_boiler"] == 0
+    assert out[1]["text_clean"].count("only in this doc") == 2
+
+
+def test_every_instance_of_boiler_removed_and_empty_doc_ok(spark):
+    # doc 1 is NOTHING BUT the boilerplate (twice) -> cleans to ''
+    rows = [
+        (1, _mkdoc(BOILER) + " " + _mkdoc(BOILER)),
+        (2, _mkdoc("real content words", BOILER)),
+    ]
+    out = _run(spark, rows)
+    assert out[1]["n_boiler"] == 2 and out[1]["text_clean"] == ""
+    assert out[2]["n_boiler"] == 1
+    assert out[2]["text_clean"].startswith("real content words")
+
+
+def test_tail_segment_shorter_than_window(spark):
+    # 10 tokens = one full segment + a 2-token tail; the tail is its
+    # own segment and survives when unique
+    rows = [
+        (1, _mkdoc(BOILER) + " tail end"),
+        (2, _mkdoc("other doc for the frequency pass", BOILER)),
+    ]
+    out = _run(spark, rows)
+    assert out[1]["n_segs"] == 2 and out[1]["n_boiler"] == 1
+    assert out[1]["text_clean"] == "tail end"

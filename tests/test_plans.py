@@ -160,3 +160,18 @@ def test_rollup_is_single_scan(spark):
     plan = plan_of(CATALOG["events_rollup"].fn(spark, SF))
     assert plan.count("FileScan") == 1
     assert "Expand" in plan
+
+
+def test_line_dedup_text_never_shuffles(spark):
+    """Pass 1 (segment frequency) may exchange only md5 hashes; the
+    frequent set must come back as a 1-row BROADCAST attached to the
+    document side with a broadcast join — if the document mass (the
+    `segs`/`text` column) ever crosses an Exchange, or the attach
+    regresses to a sort-merge join, the 100 TB story is gone."""
+    plan = plan_of(CATALOG["dedup_lines"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row freq crossJoin
+    assert "SortMergeJoin" not in plan
+    # every Exchange in the plan carries only hash-stat columns
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "segs" not in head and "text" not in head, head
