@@ -143,6 +143,7 @@ HEADLINE = [
     "text_length_percentiles",
     "corpus_mix_report",
     "corpus_shuffle_shards",
+    "corpus_pack_sequences",
 ]
 
 

@@ -445,6 +445,11 @@ CATALOG: dict[str, QuerySpec] = {
         "per-(source, lang) corpus composition: doc/token counts, mean "
         "quality and token share from exact BIGINT sums (order-free, "
         "bit-identical); grand total broadcast back, no global window"),
+    "corpus_pack_sequences": QuerySpec(
+        cs.corpus_pack_sequences, cs.CORPUS_PACK_SQL,
+        "GPT-style sequence-packing manifest: concat-and-chop the "
+        "seeded shuffle order into fixed 256-token sequences; per-shard "
+        "prefix-sum window, exact BIGINT arithmetic, no global sort"),
     "corpus_shuffle_shards": QuerySpec(
         cs.corpus_shuffle_shards, cs.CORPUS_SHUFFLE_SQL,
         "deterministic training-export shuffle: seeded-hash shard "

@@ -361,3 +361,90 @@ FROM (
   FROM documents
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Sequence packing — the step between the shuffled export and the
+# trainer: concatenate every document's tokens (plus one EOS each) in
+# the seeded shuffle order and chop the stream into fixed
+# SEQ_LEN-token training sequences (GPT-style concat-and-chop; a
+# document may straddle a sequence boundary). The output is the
+# packing MANIFEST: for every document, which sequence its tokens
+# start in, at what offset, and how many sequences it spans — exactly
+# what a loader needs to materialize sequence s without scanning the
+# corpus.
+#
+# Physical shape at 100 TB: identical to corpus_shuffle_shards — shard
+# assignment is a pure seeded-hash projection, and the cumulative
+# token count is a PER-SHARD window (hash exchange on `shard`, sort
+# within partition), never a global ordering. Every output column is
+# exact BIGINT arithmetic on the prefix sum, so the manifest is
+# rerun-identical on any cluster size.
+SEQ_LEN = 256
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_pack_sequences_of(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def corpus_pack_sequences_of(docs: DataFrame) -> DataFrame:
+    df = docs.select(
+        "doc_id",
+        F.expr(_SHUF_H).alias("h"),
+        # +1: every document is terminated by one EOS token
+        F.expr(f"CAST(size({TOKS_S}) + 1 AS BIGINT)").alias("cost"),
+    ).withColumn("shard", F.expr(f"CAST(h % {N_SHARDS} AS INT)"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    df = df.withColumn(
+        "tok_start",
+        F.coalesce(
+            F.sum("cost").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return df.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+        F.col("cost").alias("n_tokens_eos"),
+        "tok_start",
+        F.expr(f"tok_start DIV {SEQ_LEN}").alias("seq_first"),
+        F.expr(f"(tok_start + cost - 1) DIV {SEQ_LEN}").alias("seq_last"),
+        F.expr(f"tok_start % {SEQ_LEN}").alias("offset_in_seq"),
+        F.expr(
+            f"(tok_start + cost - 1) DIV {SEQ_LEN}"
+            f" - tok_start DIV {SEQ_LEN} + 1"
+        ).alias("n_seqs"),
+    )
+
+
+CORPUS_PACK_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_SHUF_H_D} AS h,
+         CAST({_SHUF_H_D} % {N_SHARDS} AS INT) AS shard,
+         CAST(len({TOKS_D}) + 1 AS BIGINT) AS cost
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, shard, h, cost,
+         CAST(row_number() OVER w AS BIGINT) AS pos,
+         coalesce(sum(cost) OVER (
+           w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS tok_start
+  FROM base
+  WINDOW w AS (PARTITION BY shard ORDER BY h, doc_id)
+)
+SELECT doc_id, shard, pos,
+       cost AS n_tokens_eos,
+       tok_start,
+       tok_start // {SEQ_LEN} AS seq_first,
+       (tok_start + cost - 1) // {SEQ_LEN} AS seq_last,
+       tok_start % {SEQ_LEN} AS offset_in_seq,
+       (tok_start + cost - 1) // {SEQ_LEN}
+         - tok_start // {SEQ_LEN} + 1 AS n_seqs
+FROM cum
+"""

@@ -175,3 +175,12 @@ def test_line_dedup_text_never_shuffles(spark):
     for frag in plan.split("Exchange")[1:]:
         head = frag.split("\n", 1)[0]
         assert "segs" not in head and "text" not in head, head
+
+
+def test_pack_sequences_has_no_global_sort(spark):
+    """Packing's prefix sum must be a per-shard window (hash exchange
+    on `shard`) — a range partitioning anywhere means the plan
+    regressed to a global total order."""
+    plan = plan_of(CATALOG["corpus_pack_sequences"].fn(spark, SF))
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning(shard" in plan
