@@ -27,6 +27,7 @@ from pdf_extractor_spark.queries import (
     contamination,
     corpus_select as cs,
     dedup,
+    pii,
     relational,
     similarity,
     temporal,
@@ -450,6 +451,11 @@ CATALOG: dict[str, QuerySpec] = {
         "GPT-style sequence-packing manifest: concat-and-chop the "
         "seeded shuffle order into fixed 256-token sequences; per-shard "
         "prefix-sum window, exact BIGINT arithmetic, no global sort"),
+    "pii_scrub": QuerySpec(
+        pii.pii_scrub, pii.PII_SCRUB_SQL,
+        "PII redaction projection (emails/phones/IPv4 -> typed "
+        "placeholders) with pre-scrub counts; java.util.regex vs the "
+        "oracle's RE2 must agree byte-for-byte on every document"),
     "corpus_shuffle_shards": QuerySpec(
         cs.corpus_shuffle_shards, cs.CORPUS_SHUFFLE_SQL,
         "deterministic training-export shuffle: seeded-hash shard "

@@ -66,7 +66,7 @@ def test_ngram_freq_topk_is_take_ordered(spark):
 def test_projection_queries_have_no_shuffle(spark):
     for name in ("text_quality", "text_fingerprint", "dedup_simhash",
                  "o9_fallback_chain", "o21_locale_normalize",
-                 "text_embed_hash"):
+                 "text_embed_hash", "pii_scrub"):
         plan = plan_of(CATALOG[name].fn(spark, SF))
         assert "Exchange" not in plan, f"{name} grew a shuffle"
 
