@@ -160,6 +160,7 @@ def main() -> None:
         extract_stage,
         extract_stage_dispatch,
     )
+    from pdf_extractor_spark.operators.links import links_stage
     from pdf_extractor_spark.operators.skew import salted_repartition
     from pdf_extractor_spark.queries import CATALOG
     from pdf_extractor_spark.sources.warc import read_warc
@@ -199,6 +200,9 @@ def main() -> None:
         # file-level parallelism (WARC_FILES files)
         record("warc_extract", lambda: run_to_completion(
             extract_stage_dispatch(read_warc(spark, warc_path))))
+        # outlink stage over the same corpus (link-graph arm)
+        record("extract_links", lambda: run_to_completion(
+            links_stage(salted_repartition(pages, cpus * 2))))
 
     # extract_scan_only is a measurement skeleton (the breakdown
     # baseline), not a workload — keep it out of the cross-round total

@@ -27,6 +27,7 @@ from pdf_extractor_spark.queries import (
     contamination,
     corpus_select as cs,
     dedup,
+    links,
     pii,
     relational,
     similarity,
@@ -487,6 +488,15 @@ CATALOG: dict[str, QuerySpec] = {
     # --- the extraction engine itself (oracle = expected fixtures from
     #     the pure-Python ref_extractor; byte-level goldens additionally
     #     gate the full text in tests/test_golden_bytes.py) ---
+    "extract_links": QuerySpec(
+        links.extract_links, links.EXTRACT_LINKS_SQL,
+        "outlink extraction (mapInArrow anchor collector) + relational "
+        "host resolution; oracle re-derives hosts in SQL over the "
+        "pure-Python expected-output rows"),
+    "link_host_degree": QuerySpec(
+        links.link_host_degree, links.LINK_HOST_DEGREE_SQL,
+        "host-level link degree over the outlink stage — the "
+        "crawl-frontier / centrality-filter input aggregation"),
     "extract_pages": QuerySpec(
         extract_pages,
         _expected_sql(

@@ -97,6 +97,30 @@ def expected_extract_first_block() -> pa.Table:
     )
 
 
+def expected_extract_links() -> pa.Table:
+    from pdf_extractor_spark.ref_extractor.links import collect_links
+
+    pages = pq.read_table(GOLDEN / "pages_micro.parquet").to_pylist()
+    rows = []
+    for p in pages:
+        for seq, href, anchor in collect_links(p["html"]):
+            rows.append(
+                {"url": p["url"], "seq": seq, "href": href,
+                 "anchor": anchor}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("seq", pa.int64()),
+                ("href", pa.string()),
+                ("anchor", pa.string()),
+            ]
+        ),
+    )
+
+
 def _media(kind: str) -> list[dict]:
     tbl = pq.read_table(GOLDEN / "media_micro.parquet")
     return [r for r in tbl.to_pylist() if r["kind"] == kind]
@@ -204,6 +228,7 @@ def expected_media_frame_sample(every_k: int = 4) -> pa.Table:
 BUILDERS = {
     "extract_pages": expected_extract_pages,
     "extract_first_block": expected_extract_first_block,
+    "extract_links": expected_extract_links,
     "media_image_features": expected_media_image_features,
     "media_audio_features": expected_media_audio_features,
     "media_frame_sample": expected_media_frame_sample,
