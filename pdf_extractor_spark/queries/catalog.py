@@ -29,6 +29,7 @@ from pdf_extractor_spark.queries import (
     dedup,
     links,
     pii,
+    urlnorm,
     relational,
     similarity,
     temporal,
@@ -452,6 +453,11 @@ CATALOG: dict[str, QuerySpec] = {
         "GPT-style sequence-packing manifest: concat-and-chop the "
         "seeded shuffle order into fixed 256-token sequences; per-shard "
         "prefix-sum window, exact BIGINT arithmetic, no global sort"),
+    "url_normalize": QuerySpec(
+        urlnorm.url_normalize, urlnorm.URL_NORMALIZE_SQL,
+        "URL canonicalization (case/port/fragment/tracking-param/"
+        "trailing-slash rules) + canon-key dedup groups; array-function "
+        "param surgery keeps Java and RE2 regex semantics aligned"),
     "pii_scrub": QuerySpec(
         pii.pii_scrub, pii.PII_SCRUB_SQL,
         "PII redaction projection (emails/phones/IPv4 -> typed "
