@@ -27,6 +27,7 @@ from pdf_extractor_spark.queries import (
     contamination,
     corpus_select as cs,
     dedup,
+    graph,
     links,
     pii,
     urlnorm,
@@ -453,6 +454,11 @@ CATALOG: dict[str, QuerySpec] = {
         "GPT-style sequence-packing manifest: concat-and-chop the "
         "seeded shuffle order into fixed 256-token sequences; per-shard "
         "prefix-sum window, exact BIGINT arithmetic, no global sort"),
+    "graph_pagerank": QuerySpec(
+        graph.graph_pagerank, graph.GRAPH_PAGERANK_SQL,
+        "integer-exact PageRank (3 unrolled iterations) over the host "
+        "link graph — the domain-reputation filter; floor-per-edge + "
+        "BIGINT sums keep both engines bit-identical"),
     "url_normalize": QuerySpec(
         urlnorm.url_normalize, urlnorm.URL_NORMALIZE_SQL,
         "URL canonicalization (case/port/fragment/tracking-param/"

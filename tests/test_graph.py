@@ -1,0 +1,58 @@
+"""graph_pagerank: differential vs a plain-Python integer PageRank and
+structural sanity on the committed host-graph fixture."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+
+from pdf_extractor_spark.queries.graph import (
+    GRAPH_FIXTURE,
+    PR_BASE,
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_ITER,
+    PR_SCALE,
+    graph_pagerank_of,
+)
+
+
+def py_pagerank(edges):
+    hosts = sorted({s for s, _ in edges} | {d for _, d in edges})
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {h: PR_SCALE for h in hosts}
+    for _ in range(PR_ITER):
+        incoming = {h: 0 for h in hosts}
+        for s, d in edges:
+            incoming[d] += rank[s] // outdeg[s]
+        rank = {
+            h: PR_BASE + PR_DAMP_NUM * incoming[h] // PR_DAMP_DEN
+            for h in hosts
+        }
+    return rank, outdeg
+
+
+def test_differential_vs_python_loop(spark):
+    tbl = pq.read_table(GRAPH_FIXTURE).to_pylist()
+    edges = [(r["src_host"], r["dst_host"]) for r in tbl]
+    want_rank, want_deg = py_pagerank(edges)
+    df = spark.read.parquet(str(GRAPH_FIXTURE))
+    got = {r["host"]: r for r in graph_pagerank_of(df).collect()}
+    assert {h: r["rank"] for h, r in got.items()} == want_rank
+    assert {h: r["out_degree"] for h, r in got.items()} == {
+        h: want_deg.get(h, 0) for h in want_rank
+    }
+
+
+def test_hub_ranks_above_leaf_and_dangling_handled(spark):
+    # tiny hand graph: everyone links to hub; hub links to one leaf;
+    # lone dangles (no out, no meaningful in)
+    edges = [("a", "hub"), ("b", "hub"), ("c", "hub"), ("hub", "a")]
+    df = spark.createDataFrame(edges, "src_host string, dst_host string")
+    got = {r["host"]: r for r in graph_pagerank_of(df).collect()}
+    assert got["hub"]["rank"] > got["a"]["rank"] > got["b"]["rank"]
+    assert got["b"]["rank"] == got["c"]["rank"]  # symmetric leaves
+    assert got["b"]["out_degree"] == 1 and got["hub"]["out_degree"] == 1
+    # leaves receive nothing -> fixed point BASE after >1 iteration
+    assert got["b"]["rank"] == PR_BASE
