@@ -984,11 +984,15 @@ LEFT JOIN verified v ON e.doc_id = v.doc_id
 LINE_SEG_LEN = 8
 LINE_MIN_DOCS = 2
 
+# The empty-doc guard is load-bearing: Spark's sequence(0, -1) DESCENDS
+# ([0, -1]) instead of returning [], so an empty token list would grow
+# two phantom segments (and DuckDB's range(0, 0) correctly yields []).
 _LINE_SEGS_S = (
+    f"CASE WHEN size(toks) = 0 THEN array() ELSE "
     f"transform(sequence(0, CAST((size(toks) + {LINE_SEG_LEN - 1}) "
     f"DIV {LINE_SEG_LEN} AS INT) - 1), "
     f"i -> array_join(slice(toks, i * {LINE_SEG_LEN} + 1, "
-    f"{LINE_SEG_LEN}), ' '))"
+    f"{LINE_SEG_LEN}), ' ')) END"
 )
 _LINE_SEGS_D = (
     f"list_transform(range(0, CAST((len(toks) + {LINE_SEG_LEN - 1}) "

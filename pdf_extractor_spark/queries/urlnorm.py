@@ -78,9 +78,13 @@ def _canon_sql(split_fn: str, filter_fn: str, match: str, join_fn: str) -> str:
         f"THEN regexp_replace({path0}, '/+$', '') ELSE {path0} END)"
     )
     path = f"(CASE WHEN {path1} = '' THEN '/' ELSE {path1} END)"
+    # scheme-less input (no '://' match -> scheme = '') passes through
+    # unchanged: a crawl row that failed URL parsing must not be
+    # silently rewritten to '://...' garbage
     return (
+        f"CASE WHEN scheme = '' THEN url ELSE "
         f"concat(scheme, '://', {host}, {path}, "
-        f"CASE WHEN {q} = '' THEN '' ELSE concat('?', {q}) END)"
+        f"CASE WHEN {q} = '' THEN '' ELSE concat('?', {q}) END) END"
     )
 
 
@@ -102,6 +106,7 @@ def url_normalize_of(urls: DataFrame) -> DataFrame:
     group_size — the url-level dedup verdict per record."""
     df = urls.select(
         "rec_id",
+        "url",
         F.expr(_SCHEME).alias("scheme"),
         F.expr(_HOST0).alias("host0"),
         F.expr(_REST).alias("rest"),
@@ -117,7 +122,7 @@ def url_normalize_of(urls: DataFrame) -> DataFrame:
 
 URL_NORMALIZE_SQL = f"""
 WITH parts AS (
-  SELECT rec_id, {_SCHEME} AS scheme, {_HOST0} AS host0, {_REST} AS rest
+  SELECT rec_id, url, {_SCHEME} AS scheme, {_HOST0} AS host0, {_REST} AS rest
   FROM '{URL_FIXTURE}'
 ),
 canon AS (

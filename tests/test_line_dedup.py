@@ -89,3 +89,14 @@ def test_tail_segment_shorter_than_window(spark):
     out = _run(spark, rows)
     assert out[1]["n_segs"] == 2 and out[1]["n_boiler"] == 1
     assert out[1]["text_clean"] == "tail end"
+
+
+def test_empty_and_whitespace_docs_have_zero_segments(spark):
+    # Spark's sequence(0, -1) descends — without the empty guard an
+    # empty doc grows two phantom '' segments (and two empty docs then
+    # boilerplate-match each other)
+    rows = [(1, ""), (2, "   "), (3, _mkdoc(BOILER)), (4, _mkdoc(BOILER))]
+    out = _run(spark, rows)
+    assert out[1]["n_segs"] == 0 and out[1]["text_clean"] == ""
+    assert out[2]["n_segs"] == 0 and out[2]["n_boiler"] == 0
+    assert out[3]["n_boiler"] == 1  # the real boilerplate still flagged

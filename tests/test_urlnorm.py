@@ -90,3 +90,12 @@ def test_group_stats_consistent(spark):
     rows = {r["rec_id"]: r for r in url_normalize_of(df).collect()}
     assert [rows[i]["group_size"] for i in range(4)] == [3, 3, 3, 1]
     assert [rows[i]["canon_group"] for i in range(4)] == [0, 0, 0, 3]
+
+
+def test_schemeless_and_empty_doc_edges(spark):
+    # scheme-less rows pass through unchanged (no '://...' garbage)
+    urls = ["not-a-url", "example.com/x?utm_s=1", "https://ok.example/a/"]
+    got = _canon_map(spark, urls)
+    assert got["not-a-url"] == "not-a-url"
+    assert got["example.com/x?utm_s=1"] == "example.com/x?utm_s=1"
+    assert got["https://ok.example/a/"] == "https://ok.example/a"
