@@ -144,6 +144,7 @@ HEADLINE = [
     "corpus_mix_report",
     "corpus_shuffle_shards",
     "corpus_pack_sequences",
+    "corpus_filter_report",
 ]
 
 

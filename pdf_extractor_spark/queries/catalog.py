@@ -449,6 +449,11 @@ CATALOG: dict[str, QuerySpec] = {
         "per-(source, lang) corpus composition: doc/token counts, mean "
         "quality and token share from exact BIGINT sums (order-free, "
         "bit-identical); grand total broadcast back, no global window"),
+    "corpus_filter_report": QuerySpec(
+        cs.corpus_filter_report, cs.CORPUS_FILTER_REPORT_SQL,
+        "per-rule filter dashboard (too_short / lang_unknown / low_ttr "
+        "/ dup_2grams + pass/fail totals): one projection pass, "
+        "integer-only thresholds, single 1-row aggregate unpivoted"),
     "corpus_pack_sequences": QuerySpec(
         cs.corpus_pack_sequences, cs.CORPUS_PACK_SQL,
         "GPT-style sequence-packing manifest: concat-and-chop the "

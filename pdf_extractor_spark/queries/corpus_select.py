@@ -18,7 +18,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from pdf_extractor_spark.queries.dedup import TOKS_D, TOKS_S
+from pdf_extractor_spark.queries.dedup import (
+    SHINGLES_D,
+    SHINGLES_S,
+    TOKS_D,
+    TOKS_S,
+)
 from pdf_extractor_spark.queries.textstats import (
     _FP_D,
     _FP_S,
@@ -447,4 +452,140 @@ SELECT doc_id, shard, pos,
        (tok_start + cost - 1) // {SEQ_LEN}
          - tok_start // {SEQ_LEN} + 1 AS n_seqs
 FROM cum
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-rule filter report — the pipeline-health dashboard a C4/Gopher
+# style cleaning stage publishes: for each gating rule, how many
+# documents fail it, plus the pass-all / fail-any totals. The rules are
+# deliberately INTEGER comparisons (cross-multiplied thresholds), so
+# the report is bit-exact across engines with no float rounding
+# anywhere:
+#   too_short    n_tokens < 20
+#   lang_unknown no stopword hit in any supported language
+#   low_ttr      distinct/total < 1/2        (2·n_distinct < n_tokens)
+#   dup_2grams   1 - n2_distinct/(n-1) >= 1/10 (10·((n-1)-n2d) >= n-1)
+#
+# Physical shape: ONE projection pass over the corpus (all four flags
+# are array-function expressions — no explode, no join), then a single
+# 1-row aggregate unpivoted to the tall (rule, n_docs) report. At
+# 100 TB this is a map-side-combined scan: the only exchange carries
+# seven partial sums.
+FILTER_MIN_TOKENS = 20
+
+
+def _filter_flags(size_fn: str, hits: list[str]) -> dict[str, str]:
+    nt = "n_tokens"
+    return {
+        "f_short": f"CASE WHEN {nt} < {FILTER_MIN_TOKENS} THEN 1 ELSE 0 END",
+        "f_lang": (
+            f"CASE WHEN greatest({', '.join(hits)}) = 0 THEN 1 ELSE 0 END"
+        ),
+        "f_ttr": f"CASE WHEN n_distinct * 2 < {nt} THEN 1 ELSE 0 END",
+        "f_dup": (
+            f"CASE WHEN {nt} >= 2 AND "
+            f"({nt} - 1 - n2_distinct) * 10 >= ({nt} - 1) "
+            "THEN 1 ELSE 0 END"
+        ),
+    }
+
+
+_FILTER_RULES = ["too_short", "lang_unknown", "low_ttr", "dup_2grams"]
+_FLAG_OF = dict(zip(_FILTER_RULES, ["f_short", "f_lang", "f_ttr", "f_dup"]))
+
+
+def corpus_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_filter_report_of(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def corpus_filter_report_of(docs: DataFrame) -> DataFrame:
+    """(rule, n_docs): one row per gating rule + total/fail_any/pass_all."""
+    df = (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .withColumn("n_tokens", F.expr("CAST(size(toks) AS BIGINT)"))
+        .withColumn(
+            "n_distinct",
+            F.expr("CAST(size(array_distinct(toks)) AS BIGINT)"),
+        )
+        .withColumn("shingles", F.expr(SHINGLES_S))
+        .withColumn(
+            "n2_distinct", F.expr("CAST(size(shingles) AS BIGINT)")
+        )
+    )
+    for lg in _LANG_ORDER:
+        df = df.withColumn(f"hits_{lg}", F.expr(_hits_spark(lg)))
+    flags = _filter_flags(
+        "size", [f"hits_{lg}" for lg in _LANG_ORDER]
+    )
+    for name, expr in flags.items():
+        df = df.withColumn(name, F.expr(expr))
+    agg = df.agg(
+        F.count("*").alias("n_total"),
+        *[
+            F.sum(_FLAG_OF[r]).cast("long").alias(f"n_{r}")
+            for r in _FILTER_RULES
+        ],
+        F.sum(
+            F.expr(
+                "CASE WHEN f_short + f_lang + f_ttr + f_dup = 0 "
+                "THEN 1 ELSE 0 END"
+            )
+        ).cast("long").alias("n_pass"),
+    )
+    rule_pairs = ", ".join(
+        f"'{r}', n_{r}" for r in _FILTER_RULES
+    )
+    n = len(_FILTER_RULES) + 3
+    return agg.select(
+        F.expr(
+            f"stack({n}, 'total', CAST(n_total AS BIGINT), {rule_pairs}, "
+            "'fail_any', CAST(n_total - n_pass AS BIGINT), "
+            "'pass_all', n_pass) AS (rule, n_docs)"
+        )
+    )
+
+
+_FILTER_HITS_D = ",\n         ".join(
+    f"{_hits_duck(lg)} AS hits_{lg}" for lg in _LANG_ORDER
+)
+_FILTER_FLAGS_D = _filter_flags(
+    "len", [f"hits_{lg}" for lg in _LANG_ORDER]
+)
+
+CORPUS_FILTER_REPORT_SQL = f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         CAST(len({SHINGLES_D}) AS BIGINT) AS n2_distinct,
+         {_FILTER_HITS_D}
+  FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
+),
+flags AS (
+  SELECT {_FILTER_FLAGS_D['f_short']} AS f_short,
+         {_FILTER_FLAGS_D['f_lang']} AS f_lang,
+         {_FILTER_FLAGS_D['f_ttr']} AS f_ttr,
+         {_FILTER_FLAGS_D['f_dup']} AS f_dup
+  FROM feat
+),
+sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         CAST(sum(f_short) AS BIGINT) AS n_too_short,
+         CAST(sum(f_lang) AS BIGINT) AS n_lang_unknown,
+         CAST(sum(f_ttr) AS BIGINT) AS n_low_ttr,
+         CAST(sum(f_dup) AS BIGINT) AS n_dup_2grams,
+         CAST(sum(CASE WHEN f_short + f_lang + f_ttr + f_dup = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+  FROM flags
+)
+SELECT 'total' AS rule, n_total AS n_docs FROM sums
+UNION ALL SELECT 'too_short', n_too_short FROM sums
+UNION ALL SELECT 'lang_unknown', n_lang_unknown FROM sums
+UNION ALL SELECT 'low_ttr', n_low_ttr FROM sums
+UNION ALL SELECT 'dup_2grams', n_dup_2grams FROM sums
+UNION ALL SELECT 'fail_any', n_total - n_pass FROM sums
+UNION ALL SELECT 'pass_all', n_pass FROM sums
 """
