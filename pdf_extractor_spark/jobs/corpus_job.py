@@ -104,6 +104,7 @@ def build_corpus(
     benchmark: str | None = None,
     mix_shards: int | None = None,
     contam_ngram: int | None = None,
+    line_dedup: bool = False,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -165,6 +166,41 @@ def build_corpus(
         n_in = int(obs_in.get["n"])
         n_docs = int(obs_clean.get["n"])
         n_gated = _count_and_guard_doc_keys(gated)
+
+        # optional CCNet-style line (segment) boilerplate strip: the
+        # frequency pass runs over the gated CHECKPOINT (never a second
+        # warehouse scan); cleaned text feeds near-dup detection AND the
+        # export, and docs reduced to nothing are dropped. Quality was
+        # scored on the original text (gate-then-clean order,
+        # documented); n_boiler rides the funnel summary.
+        n_boiler_segs = 0
+        if line_dedup:
+            from pdf_extractor_spark.queries.dedup import dedup_lines_of
+
+            cleaned = dedup_lines_of(
+                gated.select("doc_id", "text"), id_col="doc_id"
+            )
+            gated = (
+                gated.drop("text")
+                .join(
+                    cleaned.filter(F.length("text_clean") > 0).select(
+                        "doc_id",
+                        F.col("text_clean").alias("text"),
+                        "n_boiler",
+                    ),
+                    on="doc_id",
+                )
+                .localCheckpoint(eager=True)
+            )
+            agg = gated.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_boiler").alias("b"),
+            ).collect()[0]
+            n_gated_clean = int(agg["n"])
+            n_boiler_segs = int(agg["b"] or 0)
+            gated = gated.drop("n_boiler")
+        else:
+            n_gated_clean = n_gated
 
         labels = near_dup_labels_of(gated.select("doc_id", "text"))
         survivors = gated.join(
@@ -244,6 +280,8 @@ def build_corpus(
             "rows_in": n_in,
             "rows_clean": n_docs,
             "rows_gated": n_gated,
+            "rows_line_cleaned": n_gated_clean,
+            "boiler_segments_removed": n_boiler_segs,
             "rows_survivors": n_survivors,
             "rows_decontaminated": n_decontaminated,
             "rows_exported": n_out,
@@ -274,6 +312,11 @@ def main(argv: list[str] | None = None) -> None:
         "before sampling",
     )
     ap.add_argument(
+        "--line-dedup", action="store_true",
+        help="strip cross-document repeated segments (CCNet line dedup) "
+        "after gating, before near-dup detection and export",
+    )
+    ap.add_argument(
         "--mix-shards", type=int, default=None,
         help="export as N deterministically hash-mixed shards "
         "(rerun-identical order, no global sort)",
@@ -293,7 +336,7 @@ def main(argv: list[str] | None = None) -> None:
         spark, args.warehouse, args.out, args.budget,
         args.min_chars, args.shards, args.partitions,
         benchmark=args.benchmark, mix_shards=args.mix_shards,
-        contam_ngram=args.contam_ngram,
+        contam_ngram=args.contam_ngram, line_dedup=args.line_dedup,
     )
     print(json.dumps(summary))
     spark.stop()

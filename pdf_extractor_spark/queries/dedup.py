@@ -1006,15 +1006,17 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_of(_docs(spark, sf_dir))
 
 
-def dedup_lines_of(docs: DataFrame) -> DataFrame:
-    """doc_id, n_segs, n_boiler, text_clean — cross-document repeated
-    segments stripped from every document."""
-    segd = docs.select("doc_id", F.expr(TOKS_S).alias("toks")).select(
-        "doc_id", F.expr(_LINE_SEGS_S).alias("segs")
+def dedup_lines_of(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """<id_col>, n_segs, n_boiler, text_clean — cross-document repeated
+    segments stripped from every document. `id_col` may be any
+    equality-comparable column (incl. the corpus job's struct doc key);
+    only distinct-counting touches it."""
+    segd = docs.select(id_col, F.expr(TOKS_S).alias("toks")).select(
+        id_col, F.expr(_LINE_SEGS_S).alias("segs")
     )
     freq_rows = (
-        segd.select("doc_id", F.explode("segs").alias("seg"))
-        .select("doc_id", F.md5("seg").alias("h"))
+        segd.select(id_col, F.explode("segs").alias("seg"))
+        .select(id_col, F.md5("seg").alias("h"))
         .distinct()
         .groupBy("h")
         .count()
@@ -1028,7 +1030,7 @@ def dedup_lines_of(docs: DataFrame) -> DataFrame:
             F.expr("filter(segs, s -> NOT array_contains(freq, md5(s)))"),
         )
         .select(
-            "doc_id",
+            id_col,
             F.size("segs").cast("long").alias("n_segs"),
             (F.size("segs") - F.size("kept")).cast("long").alias("n_boiler"),
             F.array_join("kept", " ").alias("text_clean"),

@@ -204,3 +204,34 @@ def test_corpus_job_benchmark_and_mixed_shards(spark, tmp_path):
     assert sorted(
         json.dumps(r, sort_keys=True) for r in _read_jsonl(out2)
     ) == sorted(json.dumps(r, sort_keys=True) for r in rows0)
+
+
+def test_corpus_job_line_dedup(spark, tmp_path):
+    """--line-dedup: the funnel gains the segment-strip stage (run over
+    the gated checkpoint), stays monotone and deterministic, and the
+    flag's summary keys are present and consistent."""
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=23, n_rows=120, n_days=2)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out1 = str(tmp_path / "c1")
+    out2 = str(tmp_path / "c2")
+    s1 = build_corpus(spark, wh, out1, budget=10, line_dedup=True)
+    assert s1["rows_gated"] >= s1["rows_line_cleaned"] >= s1["rows_survivors"]
+    assert s1["boiler_segments_removed"] >= 0
+    assert s1["rows_exported"] > 0
+
+    # deterministic rerun: identical exported row set
+    s2 = build_corpus(spark, wh, out2, budget=10, line_dedup=True)
+    assert s1["rows_exported"] == s2["rows_exported"]
+    r1 = {(r["url"], r["text"]) for r in _read_jsonl(out1)}
+    r2 = {(r["url"], r["text"]) for r in _read_jsonl(out2)}
+    assert r1 == r2
+
+    # the flag off keeps the legacy funnel shape (no strip stage)
+    out3 = str(tmp_path / "c3")
+    s3 = build_corpus(spark, wh, out3, budget=10)
+    assert s3["rows_line_cleaned"] == s3["rows_gated"]
+    assert s3["boiler_segments_removed"] == 0
