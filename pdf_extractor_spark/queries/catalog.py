@@ -75,6 +75,89 @@ def extract_first_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BUILT-IN stateful streaming operator inside the hash gate
+    (complementing the custom applyInPandasWithState sessionizer):
+    watermarked 10-minute tumbling-window counts per event_type, run to
+    completion as a Trigger.AvailableNow file stream and gated against
+    a plain GROUP BY oracle.
+
+    Mechanics mirror stream_sessions: one landing parquet file (single
+    micro-batch — nothing can trail the watermark), plus a sentinel
+    event 400 days ahead so the closing no-data micro-batch's watermark
+    passes every REAL window's end and append mode emits them all; the
+    sentinel's own window is filtered from the result. UTC-pinned for
+    the run; the returned plan reads back tz-independent unix_micros."""
+    import tempfile
+
+    from pdf_extractor_spark.queries.relational import _events
+    from pdf_extractor_spark.streaming.windows import windowed_counts
+
+    tmp = tempfile.mkdtemp(prefix="stream_windows_")
+    landing, out_dir, ck = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ck"
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        ev = _events(spark, sf_dir).select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("value").cast("double").alias("value"),
+        )
+        sentinel = ev.agg(
+            F.expr(
+                "CAST(max(ts) + INTERVAL 400 DAYS AS TIMESTAMP) AS ts"
+            ),
+            F.expr("'__sentinel__' AS event_type"),
+            F.expr("CAST(0.0 AS DOUBLE) AS value"),
+        )
+        ev.unionByName(sentinel).coalesce(1).write.parquet(landing)
+
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(landing)
+        q = (
+            windowed_counts(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(tz_key, prev_tz)
+
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.expr("unix_micros(window_start)").alias("window_start_us"),
+            F.expr("unix_micros(window_end)").alias("window_end_us"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+def _stream_window_counts_sql() -> str:
+    from pdf_extractor_spark.streaming.windows import WINDOW_S
+
+    w = WINDOW_S * 1_000_000
+    return f"""
+SELECT CAST((epoch_us(ts) // {w}) * {w} AS BIGINT) AS window_start_us,
+       CAST((epoch_us(ts) // {w}) * {w} + {w} AS BIGINT) AS window_end_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
 def extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction pipeline (SURVEY.md §4.3) over the committed
     micro corpus: binary payload → content-type dispatch → HTML DOM /
@@ -289,6 +372,11 @@ CATALOG: dict[str, QuerySpec] = {
         "the applyInPandasWithState stateful sessionizer run to "
         "completion as a Trigger.AvailableNow stream — hash-gated "
         "against the SAME SQL oracle as its batch twin"),
+    "stream_window_counts": QuerySpec(
+        stream_window_counts, _stream_window_counts_sql(),
+        "watermarked tumbling-window streaming aggregate (built-in "
+        "stateful op) run AvailableNow, hash-gated against a plain "
+        "GROUP BY oracle"),
     "events_asof_join": QuerySpec(
         temporal.events_asof_join, temporal.EVENTS_ASOF_SQL,
         "as-of join (Spark lacks it): union-and-sweep plan, the event "
