@@ -99,3 +99,43 @@ def test_schemeless_and_empty_doc_edges(spark):
     assert got["not-a-url"] == "not-a-url"
     assert got["example.com/x?utm_s=1"] == "example.com/x?utm_s=1"
     assert got["https://ok.example/a/"] == "https://ok.example/a"
+
+
+def test_seeded_grammar_differential(spark):
+    """2000 grammar-generated URLs (wider than the fixture: userinfo-free
+    but with odd ports, deep paths, duplicate params, mixed tracking
+    positions, fragments with '?') through the Spark expression vs the
+    plain-Python spec, one DataFrame pass."""
+    import random
+
+    rng = random.Random(606)
+    schemes = ["http", "https", "HTTP", "Https", "ftp"]
+    hosts = ["A.Example.COM", "x.example", "news.example.org:8080",
+             "shop.example.net", "WIKI.EXAMPLE.EDU"]
+    segs = ["a", "B", "item7", "2024", "p.q", "x-y"]
+    keys = ["id", "page", "utm_source", "utm_x9", "fbclid", "ref",
+            "utmx", "xutm_source"]  # near-misses must NOT be stripped
+
+    def gen():
+        scheme = rng.choice(schemes)
+        host = rng.choice(hosts)
+        if rng.random() < 0.3:
+            host += ":80" if rng.random() < 0.5 else ":443"
+        path = "".join(
+            "/" + rng.choice(segs) for _ in range(rng.randrange(0, 4))
+        )
+        if rng.random() < 0.4:
+            path += "/" * rng.randrange(1, 3)
+        params = "&".join(
+            f"{rng.choice(keys)}={rng.randrange(100)}"
+            for _ in range(rng.randrange(0, 4))
+        )
+        q = f"?{params}" if params else ("?" if rng.random() < 0.1 else "")
+        frag = f"#s{rng.randrange(9)}?x=1" if rng.random() < 0.3 else ""
+        return f"{scheme}://{host}{path}{q}{frag}"
+
+    urls = list({gen() for _ in range(2000)})
+    got = _canon_map(spark, urls)
+    want = {u: py_canon(u) for u in urls}
+    bad = {u: (got[u], want[u]) for u in urls if got[u] != want[u]}
+    assert not bad, dict(list(bad.items())[:5])
