@@ -1006,11 +1006,22 @@ def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines_of(_docs(spark, sf_dir))
 
 
-def dedup_lines_of(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def dedup_lines_of(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    freq_dir: str | None = None,
+) -> DataFrame:
     """<id_col>, n_segs, n_boiler, text_clean — cross-document repeated
     segments stripped from every document. `id_col` may be any
     equality-comparable column (incl. the corpus job's struct doc key);
-    only distinct-counting touches it."""
+    only distinct-counting touches it.
+
+    ``freq_dir``: when set, pass 1's frequent-hash table is persisted
+    there as parquet and REUSED if already present — the production
+    path: a daily job computes the corpus boilerplate vocabulary once
+    and every downstream run (and every retry) reads the tiny table
+    instead of re-scanning the corpus; it also makes the cleaning pass
+    a SINGLE corpus scan."""
     segd = docs.select(id_col, F.expr(TOKS_S).alias("toks")).select(
         id_col, F.expr(_LINE_SEGS_S).alias("segs")
     )
@@ -1021,7 +1032,15 @@ def dedup_lines_of(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .groupBy("h")
         .count()
         .filter(F.col("count") >= LINE_MIN_DOCS)
+        .select("h")
     )
+    if freq_dir is not None:
+        import os
+
+        spark = docs.sparkSession
+        if not os.path.exists(os.path.join(freq_dir, "_SUCCESS")):
+            freq_rows.write.mode("overwrite").parquet(freq_dir)
+        freq_rows = spark.read.parquet(freq_dir)
     freq = freq_rows.agg(F.sort_array(F.collect_list("h")).alias("freq"))
     return (
         segd.crossJoin(F.broadcast(freq))

@@ -100,3 +100,37 @@ def test_empty_and_whitespace_docs_have_zero_segments(spark):
     assert out[1]["n_segs"] == 0 and out[1]["text_clean"] == ""
     assert out[2]["n_segs"] == 0 and out[2]["n_boiler"] == 0
     assert out[3]["n_boiler"] == 1  # the real boilerplate still flagged
+
+
+def test_freq_dir_staging_equivalent_and_reused(spark, tmp_path):
+    """The persisted-frequency path (production shape) produces the
+    same cleaning as the inline path, and a second run REUSES the
+    staged table (its file set is untouched)."""
+    import os
+
+    from pdf_extractor_spark.queries.dedup import dedup_lines_of
+
+    rows = [
+        (1, _mkdoc(BOILER, "alpha beta gamma")),
+        (2, _mkdoc("delta epsilon", BOILER)),
+        (3, _mkdoc("unique three content here")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fd = str(tmp_path / "freq")
+
+    inline = {r["doc_id"]: r for r in dedup_lines_of(df).collect()}
+    staged = {
+        r["doc_id"]: r for r in dedup_lines_of(df, freq_dir=fd).collect()
+    }
+    assert inline == staged
+
+    mtimes = {
+        f: os.path.getmtime(os.path.join(fd, f)) for f in os.listdir(fd)
+    }
+    again = {
+        r["doc_id"]: r for r in dedup_lines_of(df, freq_dir=fd).collect()
+    }
+    assert again == inline
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(fd, f)) for f in os.listdir(fd)
+    }
