@@ -552,6 +552,12 @@ CATALOG: dict[str, QuerySpec] = {
         "integer-exact PageRank (3 unrolled iterations) over the host "
         "link graph — the domain-reputation filter; floor-per-edge + "
         "BIGINT sums keep both engines bit-identical"),
+    "link_graph_rank": QuerySpec(
+        graph.link_graph_rank, graph._link_graph_rank_sql(),
+        "composed link-graph centrality: pages -> outlink stage -> "
+        "host edges -> integer PageRank, over the committed cross-host "
+        "link corpus; oracle re-derives edges AND ranks in SQL from "
+        "the pure-Python collector's rows"),
     "url_normalize": QuerySpec(
         urlnorm.url_normalize, urlnorm.URL_NORMALIZE_SQL,
         "URL canonicalization (case/port/fragment/tracking-param/"

@@ -115,8 +115,12 @@ r{i + 1} AS (
 )"""
 
 
-GRAPH_PAGERANK_SQL = f"""
-WITH edges AS (SELECT * FROM '{GRAPH_FIXTURE}'),
+def _pagerank_sql(edges_sql: str) -> str:
+    """The full PageRank oracle query over an arbitrary edges
+    subquery (src_host, dst_host) — shared by the fixture entry and
+    the composed links → host-graph entry."""
+    return f"""
+WITH edges AS ({edges_sql}),
 hosts AS (
   SELECT src_host AS host FROM edges
   UNION
@@ -135,3 +139,50 @@ FROM hosts h
 JOIN r{PR_ITER} r ON h.host = r.host
 LEFT JOIN outdeg o ON h.host = o.src_host
 """
+
+
+GRAPH_PAGERANK_SQL = _pagerank_sql(f"SELECT * FROM '{GRAPH_FIXTURE}'")
+
+
+# --------------------------------------------------------------------------
+# The composed end-to-end form: pages → outlink stage → host edges →
+# PageRank, over a committed CROSS-host link corpus (the golden micro
+# corpus's hrefs are all relative, so its host graph is self-edges
+# only). This is the production wiring: extract_links feeds the edge
+# table the centrality filter ranks.
+LINKPAGES_FIXTURE = REPO_ROOT / "fixtures" / "linkpages_micro.parquet"
+_LINKS_EXPECTED = (
+    REPO_ROOT / "fixtures" / "golden" / "expected"
+    / "link_graph_links.parquet"
+)
+
+
+def link_graph_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.operators.links import links_stage
+    from pdf_extractor_spark.queries.links import _HOST_RE
+
+    links = links_stage(spark.read.parquet(str(LINKPAGES_FIXTURE)))
+    page_host = F.regexp_extract("url", _HOST_RE, 1)
+    href_host = F.when(
+        F.col("href").rlike("^[a-z]+://"),
+        F.regexp_extract("href", _HOST_RE, 1),
+    ).otherwise(page_host)
+    edges = (
+        links.select(
+            page_host.alias("src_host"), href_host.alias("dst_host")
+        )
+        .filter("src_host <> dst_host")
+        .distinct()
+    )
+    return graph_pagerank_of(edges)
+
+
+def _link_graph_rank_sql() -> str:
+    from pdf_extractor_spark.queries.links import _HOST_CASE_D, _HOST_RE
+
+    return _pagerank_sql(f"""
+  SELECT DISTINCT regexp_extract(url, '{_HOST_RE}', 1) AS src_host,
+         {_HOST_CASE_D} AS dst_host
+  FROM '{_LINKS_EXPECTED}'
+  WHERE regexp_extract(url, '{_HOST_RE}', 1) <> {_HOST_CASE_D}
+""")

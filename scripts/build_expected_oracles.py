@@ -121,6 +121,36 @@ def expected_extract_links() -> pa.Table:
     )
 
 
+def expected_link_graph_links() -> pa.Table:
+    """Raw (url, seq, href, anchor) anchors of the CROSS-host link
+    corpus (fixtures/linkpages_micro.parquet) — the composed
+    link_graph_rank oracle derives hosts, edges and integer PageRank
+    from these rows in SQL."""
+    from pdf_extractor_spark.ref_extractor.links import collect_links
+
+    pages = pq.read_table(
+        REPO / "fixtures" / "linkpages_micro.parquet"
+    ).to_pylist()
+    rows = []
+    for p in pages:
+        for seq, href, anchor in collect_links(p["html"]):
+            rows.append(
+                {"url": p["url"], "seq": seq, "href": href,
+                 "anchor": anchor}
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("seq", pa.int64()),
+                ("href", pa.string()),
+                ("anchor", pa.string()),
+            ]
+        ),
+    )
+
+
 def _media(kind: str) -> list[dict]:
     tbl = pq.read_table(GOLDEN / "media_micro.parquet")
     return [r for r in tbl.to_pylist() if r["kind"] == kind]
@@ -229,6 +259,7 @@ BUILDERS = {
     "extract_pages": expected_extract_pages,
     "extract_first_block": expected_extract_first_block,
     "extract_links": expected_extract_links,
+    "link_graph_links": expected_link_graph_links,
     "media_image_features": expected_media_image_features,
     "media_audio_features": expected_media_audio_features,
     "media_frame_sample": expected_media_frame_sample,

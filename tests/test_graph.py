@@ -56,3 +56,21 @@ def test_hub_ranks_above_leaf_and_dangling_handled(spark):
     assert got["b"]["out_degree"] == 1 and got["hub"]["out_degree"] == 1
     # leaves receive nothing -> fixed point BASE after >1 iteration
     assert got["b"]["rank"] == PR_BASE
+
+
+def test_link_graph_rank_composition(spark):
+    """End-to-end: pages -> links_stage -> host edges -> PageRank. The
+    cross-host corpus must yield a non-trivial multi-host graph where
+    hub hosts (preferentially linked) outrank leaves."""
+    from pdf_extractor_spark.queries.graph import link_graph_rank
+
+    rows = {r["host"]: r for r in link_graph_rank(spark, "").collect()}
+    assert len(rows) >= 10          # nearly all 12 hosts participate
+    ranks = {h: r["rank"] for h, r in rows.items()}
+    # preferential attachment: h00/h01 are linked most -> top ranks
+    top3 = sorted(ranks, key=ranks.get, reverse=True)[:3]
+    assert "h00.example" in top3
+    # every host has either out-edges or a rank above the base floor
+    assert all(
+        r["out_degree"] > 0 or r["rank"] >= 150_000 for r in rows.values()
+    )
