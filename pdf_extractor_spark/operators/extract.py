@@ -59,6 +59,26 @@ SLIM_SCHEMA = T.StructType(
 )
 
 
+
+def byte_bounded_ranges(batch, col: str = "html"):
+    """Yield (lo, hi) row ranges of an Arrow batch re-chunked by
+    cumulative payload BYTES (skew/memory bound): one batch of giant
+    blobs must not expand into worker memory at once. Shared by every
+    payload-consuming mapInArrow stage (extraction, outlinks)."""
+    n = batch.num_rows
+    payload = batch.column(col)
+    start = 0
+    acc = 0
+    for i in range(n):
+        v = payload[i]
+        acc += len(v.as_buffer()) if v.is_valid else 0
+        if acc >= BATCH_TARGET_BYTES and i + 1 > start:
+            yield start, i + 1
+            start, acc = i + 1, 0
+    if start < n:
+        yield start, n
+
+
 def _make_extract_batches(with_blocks: bool):
     """Build the mapInArrow worker fn: Arrow RecordBatch in → out.
 
@@ -140,23 +160,10 @@ def _make_extract_batches(with_blocks: bool):
             return pa.RecordBatch.from_arrays(arrays, names=names)
 
         for batch in batches:
-            n = batch.num_rows
-            if n == 0:
+            if batch.num_rows == 0:
                 continue
-            # re-chunk by cumulative payload bytes (skew/memory bound): one
-            # Arrow batch of giant blobs must not expand into worker memory
-            # all at once
-            html = batch.column("html")
-            start = 0
-            acc = 0
-            for i in range(n):
-                v = html[i]
-                acc += len(v.as_buffer()) if v.is_valid else 0
-                if acc >= BATCH_TARGET_BYTES and i + 1 > start:
-                    yield process(batch, start, i + 1)
-                    start, acc = i + 1, 0
-            if start < n:
-                yield process(batch, start, n)
+            for lo, hi in byte_bounded_ranges(batch):
+                yield process(batch, lo, hi)
 
     return extract_batches
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-from pdf_extractor_spark.operators.extract import BATCH_TARGET_BYTES
+from pdf_extractor_spark.operators.extract import byte_bounded_ranges
 
 LINKS_SCHEMA = T.StructType(
     [
@@ -55,20 +55,10 @@ def _links_batches(batches):
         )
 
     for batch in batches:
-        n = batch.num_rows
-        if n == 0:
+        if batch.num_rows == 0:
             continue
-        html = batch.column("html")
-        start = 0
-        acc = 0
-        for i in range(n):
-            v = html[i]
-            acc += len(v.as_buffer()) if v.is_valid else 0
-            if acc >= BATCH_TARGET_BYTES and i + 1 > start:
-                yield process(batch, start, i + 1)
-                start, acc = i + 1, 0
-        if start < n:
-            yield process(batch, start, n)
+        for lo, hi in byte_bounded_ranges(batch):
+            yield process(batch, lo, hi)
 
 
 def links_stage(pages: DataFrame) -> DataFrame:
