@@ -134,3 +134,59 @@ def test_freq_dir_staging_equivalent_and_reused(spark, tmp_path):
     assert mtimes == {
         f: os.path.getmtime(os.path.join(fd, f)) for f in os.listdir(fd)
     }
+
+
+def test_seeded_crossengine_differential(spark):
+    """300 seeded random docs — empties, whitespace-only, unicode
+    tokens, injected shared boilerplate, within-doc repeats — through
+    the Spark plan AND the DuckDB oracle SQL on the same table."""
+    import random
+
+    import duckdb
+    import pandas as pd
+
+    from pdf_extractor_spark.queries.dedup import DEDUP_LINES_SQL
+
+    rng = random.Random(31337)
+    vocab = [f"w{i}" for i in range(40)] + ["héllo", "wörld", "日本", "emoji😀"]
+    boiler = " ".join(rng.choice(vocab) for _ in range(LINE_SEG_LEN))
+    rows = []
+    for i in range(300):
+        r = rng.random()
+        if r < 0.05:
+            text = ""
+        elif r < 0.08:
+            text = "   "
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randrange(1, 60))]
+            if rng.random() < 0.3:
+                # splice the shared boilerplate at a segment boundary
+                cut = (rng.randrange(0, len(toks) // LINE_SEG_LEN + 1)
+                       * LINE_SEG_LEN)
+                toks[cut:cut] = boiler.split()
+            text = " ".join(toks)
+        rows.append((i, text))
+
+    got = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .transform(lambda df: __import__(
+            "pdf_extractor_spark.queries.dedup", fromlist=["dedup_lines_of"]
+        ).dedup_lines_of(df))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    con.register("documents", pdf)
+    want = con.sql(DEDUP_LINES_SQL).df()
+
+    def norm(d):
+        d = d[sorted(d.columns)]
+        return d.sort_values(list(d.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(
+        norm(got), norm(want), check_dtype=False
+    )
+    # the spliced boilerplate must actually have been flagged
+    assert want["n_boiler"].sum() > 20
