@@ -48,3 +48,55 @@ def test_mixed_kinds_one_doc_and_cascade_order(spark):
     r = out[0]
     assert (r["n_emails"], r["n_phones"], r["n_ips"]) == (1, 1, 1)
     assert r["text_scrubbed"] == "<EMAIL> <IP> <PHONE>"
+
+
+def test_seeded_crossengine_differential(spark):
+    """A SECOND-seed PII corpus (not the committed fixture) through
+    java.util.regex (Spark) vs RE2 (DuckDB) — the two engines must
+    agree byte-for-byte on counts and scrubbed text."""
+    import duckdb
+    import pandas as pd
+
+    from scripts.build_pii_fixture import build_rows
+    from pdf_extractor_spark.queries.pii import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        _sq,
+        pii_scrub_of,
+    )
+
+    rows = build_rows(seed=777, n=400)
+    got = pii_scrub_of(
+        spark.createDataFrame(
+            [(r["rec_id"], r["text"]) for r in rows],
+            "rec_id long, text string",
+        )
+    ).toPandas()
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows))
+    want = con.sql(f"""
+        SELECT rec_id,
+               CAST(len(regexp_extract_all(text, {_sq(PII_EMAIL)})) AS BIGINT)
+                 AS n_emails,
+               CAST(len(regexp_extract_all(text, {_sq(PII_PHONE)})) AS BIGINT)
+                 AS n_phones,
+               CAST(len(regexp_extract_all(text, {_sq(PII_IPV4)})) AS BIGINT)
+                 AS n_ips,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, {_sq(PII_EMAIL)}, '<EMAIL>', 'g'),
+                   {_sq(PII_PHONE)}, '<PHONE>', 'g'),
+                 {_sq(PII_IPV4)}, '<IP>', 'g') AS text_scrubbed
+        FROM t
+    """).df()
+
+    def norm(d):
+        d = d[sorted(d.columns)]
+        return d.sort_values(list(d.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+
+    pd.testing.assert_frame_equal(norm(got), norm(want), check_dtype=False)
+    assert want["n_emails"].sum() > 50  # the corpus has real signal
