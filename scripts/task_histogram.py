@@ -116,6 +116,13 @@ def main() -> None:
             + " |"
         )
     md.append("")
+    md.append(
+        "Reading: fine scan splits already isolate giant payloads into "
+        "their own tasks, so even `no-rebalance`'s max task is bounded; "
+        "`dispatch` wins with the flattest distribution and no shuffle, "
+        "while `salted` pays a corpus-wide shuffle for a worse tail."
+    )
+    md.append("")
     # keep-best: replace the existing section only if this window's
     # dispatch wall is cleaner (lower) than the recorded one — the same
     # steal-aware retention rule scaling_bench uses
@@ -125,8 +132,14 @@ def main() -> None:
     text = bench.read_text() if bench.exists() else ""
     marker = "\n## Per-task time distribution"
     i = text.find(marker)
+    tail = ""
     if i != -1:
-        prev_section = text[i:]
+        # splice ONLY this section: it ends at the next "## " heading
+        # (the file has sections appended AFTER it — truncating to
+        # text[:i] once destroyed them all)
+        j = text.find("\n## ", i + 1)
+        prev_section = text[i:] if j == -1 else text[i:j]
+        tail = "" if j == -1 else text[j:]
         m = re.search(r"\| dispatch \| ([0-9.]+) \| ([0-9]+) \|", prev_section)
         same_config = m and int(m.group(2)) == results["dispatch"]["n_tasks"]
         if same_config and float(m.group(1)) <= results["dispatch"]["wall_s"]:
@@ -137,7 +150,7 @@ def main() -> None:
             spark.stop()
             return
         text = text[:i]
-    bench.write_text(text + "\n".join(md))
+    bench.write_text(text + "\n".join(md) + tail)
     print("histogram section updated in BENCH.md")
     spark.stop()
 
