@@ -475,7 +475,7 @@ FROM cum
 FILTER_MIN_TOKENS = 20
 
 
-def _filter_flags(size_fn: str, hits: list[str]) -> dict[str, str]:
+def _filter_flags(hits: list[str]) -> dict[str, str]:
     nt = "n_tokens"
     return {
         "f_short": f"CASE WHEN {nt} < {FILTER_MIN_TOKENS} THEN 1 ELSE 0 END",
@@ -517,9 +517,7 @@ def corpus_filter_report_of(docs: DataFrame) -> DataFrame:
     )
     for lg in _LANG_ORDER:
         df = df.withColumn(f"hits_{lg}", F.expr(_hits_spark(lg)))
-    flags = _filter_flags(
-        "size", [f"hits_{lg}" for lg in _LANG_ORDER]
-    )
+    flags = _filter_flags([f"hits_{lg}" for lg in _LANG_ORDER])
     for name, expr in flags.items():
         df = df.withColumn(name, F.expr(expr))
     agg = df.agg(
@@ -551,9 +549,7 @@ def corpus_filter_report_of(docs: DataFrame) -> DataFrame:
 _FILTER_HITS_D = ",\n         ".join(
     f"{_hits_duck(lg)} AS hits_{lg}" for lg in _LANG_ORDER
 )
-_FILTER_FLAGS_D = _filter_flags(
-    "len", [f"hits_{lg}" for lg in _LANG_ORDER]
-)
+_FILTER_FLAGS_D = _filter_flags([f"hits_{lg}" for lg in _LANG_ORDER])
 
 CORPUS_FILTER_REPORT_SQL = f"""
 WITH feat AS (
