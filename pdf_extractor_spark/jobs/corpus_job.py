@@ -5,6 +5,10 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
       → canonicalize (single-space text, 120-bit (hi, lo) md5(url) key)
       → quality/lang features  (queries/corpus_select.features_of)
       → quality + language gate
+      → [optional] line dedup   (queries/dedup.dedup_lines_of:
+                                 --line-dedup strips cross-document
+                                 repeated segments over the gated
+                                 checkpoint; emptied docs dropped)
       → near-dup dedup          (queries/dedup.near_dup_labels_of:
                                  LSH candidates → exact-Jaccard verify
                                  → cluster → keep-one survivors)
