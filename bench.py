@@ -140,6 +140,7 @@ HEADLINE = [
     "corpus_select",
     "corpus_sample_stratified",
     "text_repetition",
+    "text_rarity",
     "text_length_percentiles",
     "corpus_mix_report",
     "corpus_shuffle_shards",

@@ -515,6 +515,11 @@ CATALOG: dict[str, QuerySpec] = {
         "the text-vector SCALE path: engine-produced hashed embeddings "
         "through the learned-centroid IVF bucketing (never exact-scans; "
         "recall vs text_embed_topk test-enforced at bounded scan %)"),
+    "text_rarity": QuerySpec(
+        textstats.text_rarity, textstats.TEXT_RARITY_SQL,
+        "token-rarity quality signal (integer-exact CCNet-perplexity "
+        "stand-in): corpus unigram table joined back to the token "
+        "stream — uniform keys, vocab Heaps-bounded, AQE-broadcastable"),
     "text_length_percentiles": QuerySpec(
         textstats.text_length_percentiles, textstats.TEXT_LENGTH_PCT_SQL,
         "exact per-lang token-count percentiles WITHOUT sorting the "

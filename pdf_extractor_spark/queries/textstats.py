@@ -997,3 +997,74 @@ SELECT lang, MAX(tot) AS n_docs,
        {", ".join(f"MIN(CASE WHEN cum * 100 >= {p} * tot THEN n_tokens END) AS p{p}" for p in _PCTS)}
 FROM cum GROUP BY lang
 """
+
+
+# --------------------------------------------------------------------------
+# Token-rarity quality signal — the integer-exact stand-in for CCNet's
+# LM-perplexity score: a document full of corpus-rare tokens (typos,
+# mojibake, boilerplate IDs) scores low the same way it perplexes an
+# n-gram LM, but the statistic here is exactly oracle-checkable (sums
+# of BIGINT corpus counts; one final division) where a real LM's float
+# log-prob chain is not.
+#
+# Physical shape at 100 TB — deliberately the one join class the rest
+# of the catalog avoids: a corpus-wide UNIGRAM TABLE joined back to the
+# exploded token stream. The vocab table is Heaps'-law bounded (≪
+# corpus), keys are uniform (no skew), and the join input is (doc_id,
+# tok) pairs — never document text; both sides hash-partition on tok.
+# At real scale the vocab often still fits in executor memory and AQE
+# turns this into a broadcast; the plan is written to let it.
+def text_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_rarity_of(_docs(spark, sf_dir))
+
+
+def text_rarity_of(docs: DataFrame) -> DataFrame:
+    """doc_id, n_tokens, sum_tok_freq, n_hapax, mean_tok_freq — per-doc
+    mean corpus-frequency of its tokens (high = common language, low =
+    rare/garbled) and the count of corpus-hapax tokens."""
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(TOKS_S)).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(
+        F.count("*").cast("long").alias("tok_freq")
+    )
+    return (
+        toks.join(vocab, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum("tok_freq").cast("long").alias("sum_tok_freq"),
+            F.sum(F.expr("CASE WHEN tok_freq = 1 THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("n_hapax"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_tok_freq",
+            "n_hapax",
+            F.expr(
+                "round(CAST(sum_tok_freq AS DOUBLE)"
+                " / CAST(n_tokens AS DOUBLE), 5)"
+            ).alias("mean_tok_freq"),
+        )
+    )
+
+
+TEXT_RARITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_D}) AS tok FROM documents
+),
+vocab AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS tok_freq FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(v.tok_freq) AS BIGINT) AS sum_tok_freq,
+       CAST(sum(CASE WHEN v.tok_freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hapax,
+       round(CAST(sum(v.tok_freq) AS DOUBLE) / CAST(count(*) AS DOUBLE), 5)
+         AS mean_tok_freq
+FROM toks t JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+"""
