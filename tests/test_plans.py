@@ -184,3 +184,16 @@ def test_pack_sequences_has_no_global_sort(spark):
     plan = plan_of(CATALOG["corpus_pack_sequences"].fn(spark, SF))
     assert "rangepartitioning" not in plan.lower()
     assert "hashpartitioning(shard" in plan
+
+
+def test_text_rarity_text_never_shuffles(spark):
+    """The unigram join-back may exchange only (doc_id, tok) pairs and
+    the vocab table — never document text; the vocab side must be
+    joinable (broadcast at this size, hash exchange at scale), never a
+    cartesian."""
+    plan = plan_of(CATALOG["text_rarity"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head, head
