@@ -39,3 +39,29 @@ def test_arrow_batch_size_is_irrelevant(spark):
         else:
             spark.conf.unset(key)
     assert tiny == one_batch
+
+
+def test_links_stage_partitioning_and_batch_size_irrelevant(spark):
+    """The outlink stage rides the same execution knobs as extraction:
+    neither input partitioning nor Arrow batch size may change one
+    output row."""
+    from pdf_extractor_spark.operators.links import links_stage
+
+    pages = spark.read.parquet(str(GOLDEN_DIR / "pages_micro.parquet"))
+
+    def rset(df):
+        return {(r.url, r.seq, r.href, r.anchor) for r in df.collect()}
+
+    base = rset(links_stage(pages))
+    assert rset(links_stage(pages.repartition(64))) == base
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "7")
+        assert rset(links_stage(pages)) == base
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
+    assert len(base) > 1000
