@@ -400,6 +400,13 @@ CATALOG: dict[str, QuerySpec] = {
         temporal.sketch_distinct_kmv, temporal.SKETCH_KMV_SQL,
         "KMV distinct-count sketch: deterministic k-minimum md5 "
         "fractions, exactly oracle-checkable unlike HLL"),
+    "sketch_distinct_hll": QuerySpec(
+        temporal.sketch_distinct_hll, temporal.SKETCH_HLL_SQL,
+        "HyperLogLog distinct sketch in exactly-oracle-checkable form: "
+        "integer register maxima via plain groupBy max (map-side "
+        "partials, NO distinct pre-pass), exact scaled harmonic sum, "
+        "pre-rounded literal linear-counting table — the cheapest "
+        "10^12-row distinct-count shape"),
     "sketch_distinct_kmv_partial": QuerySpec(
         temporal.sketch_distinct_kmv_partial,
         f"SELECT event_type, est_distinct FROM ({temporal.SKETCH_KMV_SQL})",

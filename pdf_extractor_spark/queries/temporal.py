@@ -17,6 +17,9 @@ lineage/metrics machinery introduced.
 
 from __future__ import annotations
 
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -378,6 +381,116 @@ SELECT event_type,
        ELSE CAST(COUNT(*) AS DOUBLE) END AS est_distinct
 FROM ranked
 GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch — the OTHER production sketch class
+# (alongside KMV above): Spark's own approx_count_distinct is HLL++, but
+# its binary registers are engine-internal and not oracle-checkable, so
+# this is HLL re-derived relationally in a form BOTH engines compute
+# bit-identically:
+#
+# - register assignment and rho are pure integer expressions over the
+#   shared 32-bit md5 prefix (top 6 bits -> bucket, rho = leading zeros
+#   of the low-26-bit field + 1 via length(bin(w)), identical in Spark
+#   and DuckDB);
+# - the harmonic sum Z = sum(2^-M_j) is kept EXACT by scaling with
+#   2^27 (max rho), so s_scaled = sum(2^(27-M_j)) is a BIGINT — no
+#   float summation order anywhere;
+# - the raw estimate is ONE double division of that exact integer
+#   (alpha_64 * m^2 * 2^27 / s_scaled), and the small-range
+#   linear-counting branch (E <= 2.5m, empty buckets exist) reads a
+#   PRE-ROUNDED literal table of m*ln(m/V) — both engines parse the
+#   same 64 literals, so no transcendental is ever evaluated by either
+#   engine.
+#
+# Why HLL when KMV exists: HLL needs NO distinct pre-pass and no window
+# — register maxima are an ordinary groupBy max, so map-side partial
+# aggregation applies and the shuffle carries <= m rows per group per
+# partition. At 10^12 events that is the cheapest distinct-count shape
+# there is; KMV stays the choice when the sketch itself must support
+# k-minima set operations (intersection estimates).
+HLL_M = 64  # 2^6 registers
+_HLL_FIELD = 1 << 26  # low-26-bit rho field
+_HLL_SCALE = 1 << 27  # 2^(max rho) — makes sum(2^-rho) an exact BIGINT
+_HLL_NUM = repr(0.709 * HLL_M * HLL_M * _HLL_SCALE)  # alpha_64 * m^2 * 2^27
+_HLL_LC = [
+    str(
+        Decimal(repr(HLL_M * math.log(HLL_M / v))).quantize(
+            Decimal("0.01"), ROUND_HALF_UP
+        )
+    )
+    for v in range(1, HLL_M + 1)
+]
+_HLL_RHO = (
+    f"CASE WHEN h % {_HLL_FIELD} = 0 THEN 27 "
+    f"ELSE 27 - length(bin(h % {_HLL_FIELD})) END"
+)
+_HLL_RAW = f"{_HLL_NUM} / CAST(s_scaled AS DOUBLE)"
+
+
+def sketch_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select("event_type", "user_id")
+    regs = (
+        ev.select("event_type", F.expr(_H32_U).alias("h"))
+        .select(
+            "event_type",
+            F.expr(f"h DIV {_HLL_FIELD}").alias("bucket"),
+            F.expr(_HLL_RHO).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("m_rho"))
+    )
+    lc_arr = "array(" + ", ".join(f"{x}D" for x in _HLL_LC) + ")"
+    return (
+        regs.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.sum(
+                F.expr("shiftleft(CAST(1 AS BIGINT), 27 - m_rho)")
+            ).alias("s_present"),
+        )
+        .select(
+            "event_type",
+            F.expr(f"CAST({HLL_M} - n_present AS BIGINT)").alias("v_empty"),
+            F.expr(
+                f"CAST(s_present + ({HLL_M} - n_present) * {_HLL_SCALE} "
+                "AS BIGINT)"
+            ).alias("s_scaled"),
+        )
+        .select(
+            "event_type",
+            "v_empty",
+            "s_scaled",
+            F.expr(
+                f"CASE WHEN v_empty > 0 AND {_HLL_RAW} <= {2.5 * HLL_M} "
+                f"THEN element_at({lc_arr}, CAST(v_empty AS INT)) "
+                f"ELSE round({_HLL_RAW}, 2) END"
+            ).alias("est_distinct"),
+        )
+    )
+
+
+SKETCH_HLL_SQL = f"""
+WITH regs AS (
+  SELECT event_type, h // {_HLL_FIELD} AS bucket,
+         MAX({_HLL_RHO}) AS m_rho
+  FROM (SELECT event_type, {_H32_U_D} AS h FROM events)
+  GROUP BY event_type, h // {_HLL_FIELD}
+),
+agg AS (
+  SELECT event_type,
+         CAST({HLL_M} - COUNT(*) AS BIGINT) AS v_empty,
+         CAST(SUM(CAST(1 AS BIGINT) << (27 - m_rho))
+              + ({HLL_M} - COUNT(*)) * {_HLL_SCALE} AS BIGINT) AS s_scaled
+  FROM regs GROUP BY event_type
+)
+SELECT event_type, v_empty, s_scaled,
+       CASE WHEN v_empty > 0 AND {_HLL_RAW} <= {2.5 * HLL_M}
+            THEN ([{", ".join(f"{x}::DOUBLE" for x in _HLL_LC)}])[v_empty]
+            ELSE round({_HLL_RAW}, 2) END AS est_distinct
+FROM agg
 """
 
 

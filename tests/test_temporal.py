@@ -125,3 +125,44 @@ def test_kmv_partial_form_equals_relational_form(spark):
     assert (
         sketch_distinct_kmv_partial(spark, SF).count() == n_groups
     )
+
+
+def test_hll_estimate_accuracy_and_branches(spark):
+    """HLL accuracy bound per SF plus coverage of BOTH estimator
+    branches: small SFs sit in the linear-counting regime (empty
+    registers exist), sf0.1 saturates all 64 registers and exercises
+    the raw bias-corrected branch. Cross-engine bit-parity is covered
+    by the catalog oracle suite."""
+    from pdf_extractor_spark.queries.temporal import sketch_distinct_hll
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = sketch_distinct_hll(spark, SF).collect()
+    assert set(r["event_type"] for r in rows) == set(exact)
+    for r in rows:
+        assert r["v_empty"] > 0  # linear-counting regime at sf0.01
+        rel = abs(r["est_distinct"] - exact[r["event_type"]]) / exact[
+            r["event_type"]
+        ]
+        # m=64 -> ~13% stderr; the LC/raw crossover is the worst spot
+        assert rel < 0.3, (r, exact[r["event_type"]], rel)
+
+    big = sketch_distinct_hll(spark, "/root/testdata/sf0.1").collect()
+    ex_big = {
+        r["event_type"]: r["n"]
+        for r in spark.read.parquet("/root/testdata/sf0.1/events.parquet")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for r in big:
+        assert r["v_empty"] == 0  # raw branch: all registers hit
+        rel = abs(r["est_distinct"] - ex_big[r["event_type"]]) / ex_big[
+            r["event_type"]
+        ]
+        assert rel < 0.15, (r, ex_big[r["event_type"]], rel)
