@@ -437,6 +437,18 @@ CATALOG: dict[str, QuerySpec] = {
         "corpus index (exact 128-bit hash layer + LSH band probe + "
         "Jaccard verify) — the daily-crawl-vs-kept-corpus production "
         "shape; corpus text mass is touched only via index projections"),
+    "dedup_bloom_probe": QuerySpec(
+        dedup.dedup_bloom_probe, dedup.DEDUP_BLOOM_SQL,
+        "seen-n-gram Bloom gate (CCNet/Dolma-style), relational form: "
+        "corpus shingle filter as a distinct-position table, "
+        "all-K-positions membership per batch shingle, per-doc seen "
+        "report with the false positives VISIBLE (exact layer refutes) "
+        "— no false negatives by construction"),
+    "dedup_bloom_probe_bitmap": QuerySpec(
+        dedup.dedup_bloom_probe_bitmap, dedup.DEDUP_BLOOM_SQL,
+        "the production Bloom shape: per-partition Arrow-batch bitmap "
+        "partials OR-merged at plan build, vectorized numpy bit-test "
+        "probe — bit-identical to the relational form, same oracle"),
     "dedup_lines": QuerySpec(
         dedup.dedup_lines, dedup.DEDUP_LINES_SQL,
         "CCNet-style line/segment boilerplate dedup: cross-document "

@@ -1078,3 +1078,247 @@ FROM (
   FROM segd, freq
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Seen-n-gram Bloom gate — the cheap membership layer real web pipelines
+# put in front of substring/paragraph dedup (CCNet/Dolma-style Bloom
+# dedup): build a Bloom filter over every word-2-gram shingle the KEPT
+# corpus contains, probe each new-batch document's shingles, and report
+# per document how much of its content the corpus has already seen. A
+# bloom-negative shingle is PROVABLY unseen (no false negatives), so at
+# 10^12 docs the expensive exact/near layers only ever receive the
+# bloom-positive mass; the false-positive rate is a sizing choice
+# ((1-e^(-kn/m))^k — BLOOM_M=2^20 holds it under ~1% at the test
+# corpus's ~10^5 distinct shingles).
+#
+# Two implementations, proven bit-identical (tests/test_bloom.py),
+# mirroring the KMV sketch's dual shape:
+#
+# - dedup_bloom_probe: relational form — the "set bits" are a DISTINCT
+#   position table (<= BLOOM_M rows regardless of corpus size) and
+#   shingle membership is "all K positions present". Exactly
+#   oracle-checkable, and the false positives are VISIBLE (n_false_pos
+#   counts bloom-positive shingles the exact set refutes).
+# - dedup_bloom_probe_bitmap: the production shape — per-partition
+#   bitmap partials from an Arrow-batch stage (one BLOOM_M/8-byte row
+#   per input partition), OR-merged at plan-build time (O(partitions)
+#   driver work, the learned-centroid precedent), and the merged 128 KB
+#   bitmap shipped to a vectorized numpy probe. No shuffle ever carries
+#   positions; at a production 2^36 bits the filter is still one
+#   broadcast, never a join.
+#
+# Hash parity: one md5 per shingle — the SAME digest discipline as
+# MinHash — split Kirsch-Mitzenmacher-style into two 32-bit halves,
+# position_j = (h1 + j*h2) mod BLOOM_M; both engines and the numpy twin
+# compute identical bits, and the bitmap twin does NO Python-side
+# hashing (positions are relational; only the bit test is numpy).
+BLOOM_M = 1 << 20  # filter bits (catalog default; _of forms take m_bits)
+BLOOM_K = 4  # hash functions
+
+
+def _bloom_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, kh): one md5 per DISTINCT word-2-gram shingle per doc."""
+    return (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .select("doc_id", F.explode(F.expr(SHINGLES_S)).alias("sh"))
+        .select("doc_id", F.md5("sh").alias("kh"))
+    )
+
+
+def _bloom_pos_arr(keyed: DataFrame, m_bits: int) -> DataFrame:
+    return keyed.withColumn(
+        "pos_arr",
+        F.expr(
+            f"transform(sequence(0, {BLOOM_K - 1}), j -> "
+            "(CAST(conv(substr(kh, 1, 8), 16, 10) AS BIGINT) + "
+            f"j * CAST(conv(substr(kh, 9, 8), 16, 10) AS BIGINT)) "
+            f"% {m_bits})"
+        ),
+    )
+
+
+def _bloom_split(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    corpus = docs.filter(F.col("doc_id") % BATCH_MOD < BATCH_MIN)
+    batch = docs.filter(F.col("doc_id") % BATCH_MOD >= BATCH_MIN)
+    return corpus, batch
+
+
+def _bloom_out(per_shingle: DataFrame, corpus_kh: DataFrame) -> DataFrame:
+    """Shared tail: per-shingle verdicts -> per-document report. The
+    exact layer joins the corpus's distinct shingle-hash set; at scale
+    its input could be pre-filtered to bloom-positive shingles (bloom's
+    no-false-negative guarantee makes that lossless) — kept unfiltered
+    here so n_false_pos is self-evident."""
+    return (
+        per_shingle.join(
+            corpus_kh.withColumn("ex", F.lit(1)), on="kh", how="left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.expr(f"CASE WHEN n_hit = {BLOOM_K} THEN 1 ELSE 0 END")
+            ).alias("n_bloom_hit"),
+            F.sum(F.expr("coalesce(ex, 0)")).alias("n_exact"),
+            F.sum(
+                F.expr(
+                    f"CASE WHEN n_hit = {BLOOM_K} AND ex IS NULL "
+                    "THEN 1 ELSE 0 END"
+                )
+            ).alias("n_false_pos"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(n_shingles AS BIGINT)").alias("n_shingles"),
+            F.expr("CAST(n_bloom_hit AS BIGINT)").alias("n_bloom_hit"),
+            F.expr("CAST(n_exact AS BIGINT)").alias("n_exact"),
+            F.expr("CAST(n_false_pos AS BIGINT)").alias("n_false_pos"),
+            F.expr("n_exact * 1000 DIV n_shingles").alias("seen_pm"),
+        )
+    )
+
+
+def dedup_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_bloom_probe_of(_docs(spark, sf_dir))
+
+
+def dedup_bloom_probe_of(docs: DataFrame, m_bits: int = BLOOM_M) -> DataFrame:
+    corpus, batch = _bloom_split(docs)
+    ckeys = _bloom_shingles(corpus).select("kh").distinct()
+    bits = (
+        _bloom_pos_arr(ckeys, m_bits)
+        .select(F.explode("pos_arr").alias("pos"))
+        .distinct()
+    )
+    per_shingle = (
+        _bloom_pos_arr(_bloom_shingles(batch), m_bits)
+        .select("doc_id", "kh", F.explode("pos_arr").alias("pos"))
+        .join(
+            F.broadcast(bits.withColumn("hit", F.lit(1))),
+            on="pos",
+            how="left",
+        )
+        .groupBy("doc_id", "kh")
+        .agg(F.sum(F.expr("coalesce(hit, 0)")).alias("n_hit"))
+    )
+    return _bloom_out(per_shingle, ckeys)
+
+
+def dedup_bloom_probe_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_bloom_probe_bitmap_of(_docs(spark, sf_dir))
+
+
+def dedup_bloom_probe_bitmap_of(
+    docs: DataFrame, m_bits: int = BLOOM_M
+) -> DataFrame:
+    """The broadcast-bitmap twin: same output as dedup_bloom_probe,
+    bit-for-bit (test-enforced), but the filter is a real bitmap built
+    by per-partition Arrow-batch partials, OR-merged driver-side at
+    plan-build time (one job over the corpus POSITIONS projection —
+    never the text), and probed by a vectorized numpy bit test."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    n_bytes = m_bits // 8
+    corpus, batch = _bloom_split(docs)
+    ckeys = _bloom_shingles(corpus).select("kh").distinct()
+
+    def build(batches):
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            p = pdf["pos"].to_numpy()
+            if len(p):
+                seen = True
+                np.bitwise_or.at(
+                    bm, p >> 3, (1 << (p & 7)).astype(np.uint8)
+                )
+        if seen:
+            yield pd.DataFrame({"bitmap": [bm.tobytes()]})
+
+    partials = (
+        _bloom_pos_arr(ckeys, m_bits)
+        .select(F.explode("pos_arr").alias("pos"))
+        .mapInPandas(
+            build,
+            T.StructType([T.StructField("bitmap", T.BinaryType())]),
+        )
+        .collect()
+    )
+    merged = np.zeros(n_bytes, dtype=np.uint8)
+    for r in partials:
+        merged |= np.frombuffer(r["bitmap"], dtype=np.uint8)
+    bm_bytes = merged.tobytes()
+
+    def probe(batches):
+        bm = np.frombuffer(bm_bytes, dtype=np.uint8)
+        for pdf in batches:
+            p = pdf["pos"].to_numpy()
+            hit = (bm[p >> 3] & (1 << (p & 7)).astype(np.uint8)) != 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "kh": pdf["kh"],
+                    "hit": hit.astype("int64"),
+                }
+            )
+
+    per_shingle = (
+        _bloom_pos_arr(_bloom_shingles(batch), m_bits)
+        .select("doc_id", "kh", F.explode("pos_arr").alias("pos"))
+        .mapInPandas(probe, "doc_id bigint, kh string, hit bigint")
+        .groupBy("doc_id", "kh")
+        .agg(F.sum("hit").alias("n_hit"))
+    )
+    return _bloom_out(per_shingle, ckeys)
+
+
+_BLOOM_POS_D = ", ".join(
+    f"(h1 + {j} * h2) % {BLOOM_M}" for j in range(BLOOM_K)
+)
+DEDUP_BLOOM_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, md5(sh) AS kh FROM (
+    SELECT doc_id, unnest({SHINGLES_D}) AS sh
+    FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
+  )
+),
+ckeys AS (
+  SELECT DISTINCT kh FROM sh WHERE doc_id % {BATCH_MOD} < {BATCH_MIN}
+),
+pos AS (
+  SELECT kh, unnest([{_BLOOM_POS_D}]) AS pos FROM (
+    SELECT kh, ('0x' || substr(kh, 1, 8))::BIGINT AS h1,
+               ('0x' || substr(kh, 9, 8))::BIGINT AS h2
+    FROM ckeys
+  )
+),
+bits AS (SELECT DISTINCT pos FROM pos),
+bpos AS (
+  SELECT doc_id, kh, unnest([{_BLOOM_POS_D}]) AS pos FROM (
+    SELECT doc_id, kh, ('0x' || substr(kh, 1, 8))::BIGINT AS h1,
+               ('0x' || substr(kh, 9, 8))::BIGINT AS h2
+    FROM sh WHERE doc_id % {BATCH_MOD} >= {BATCH_MIN}
+  )
+),
+per_shingle AS (
+  SELECT p.doc_id, p.kh,
+         SUM(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END) AS n_hit
+  FROM bpos p LEFT JOIN bits b ON p.pos = b.pos
+  GROUP BY p.doc_id, p.kh
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN n_hit = {BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_hit,
+       CAST(SUM(CASE WHEN c.kh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_exact,
+       CAST(SUM(CASE WHEN n_hit = {BLOOM_K} AND c.kh IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+       CAST(SUM(CASE WHEN c.kh IS NULL THEN 0 ELSE 1 END) * 1000
+            // COUNT(*) AS BIGINT) AS seen_pm
+FROM per_shingle s LEFT JOIN ckeys c ON s.kh = c.kh
+GROUP BY s.doc_id
+"""
