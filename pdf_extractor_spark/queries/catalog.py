@@ -534,6 +534,12 @@ CATALOG: dict[str, QuerySpec] = {
         "the text-vector SCALE path: engine-produced hashed embeddings "
         "through the learned-centroid IVF bucketing (never exact-scans; "
         "recall vs text_embed_topk test-enforced at bounded scan %)"),
+    "text_tfidf_topk": QuerySpec(
+        textstats.text_tfidf_topk, textstats.TEXT_TFIDF_TOPK_SQL,
+        "per-document top-K characteristic terms: tf x integer-exact "
+        "idf (n_docs DIV df) — tf agg on uniform (doc, tok) keys, df "
+        "over the Heaps-bounded vocab, broadcast 1-row n_docs, per-doc "
+        "window top-K; the keyword/topic-signal extraction stage"),
     "text_rarity": QuerySpec(
         textstats.text_rarity, textstats.TEXT_RARITY_SQL,
         "token-rarity quality signal (integer-exact CCNet-perplexity "

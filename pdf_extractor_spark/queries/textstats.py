@@ -1068,3 +1068,85 @@ SELECT t.doc_id,
 FROM toks t JOIN vocab v ON t.tok = v.tok
 GROUP BY t.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Per-document top-K characteristic terms — tf-idf with the catalog's
+# integer-exact idf stand-in (idf = n_docs DIV df, the same discipline
+# as text_rarity's frequency join: a float log-idf ranks by a
+# transcendental both engines compute in libm, which the cross-engine
+# hash gate cannot pin; integer idf ranks deterministically and
+# preserves the rare-term-heavy ordering).
+#
+# Physical shape at 100 TB: tf is a (doc_id, tok) hash agg on uniform
+# keys (map-side partials), df aggregates the ALREADY-collapsed tf
+# table (vocab-sized, Heaps-bounded), n_docs rides in as a broadcast
+# 1-row crossJoin (the corpus_mix_report pattern — never a global
+# window), and the per-doc top-K window partitions on doc_id — uniform
+# by construction, state bounded by the doc's distinct-token count.
+# Document text crosses the wire once, as (doc_id, tok) pairs.
+TFIDF_K = 3
+
+
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_tfidf_topk_of(_docs(spark, sf_dir))
+
+
+def text_tfidf_topk_of(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", F.explode(F.expr(TOKS_S)).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count("*").cast("long").alias("df_docs")
+    )
+    n = docs.select(F.count("*").cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score", F.expr("tf * (n_docs DIV df_docs)"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("df_docs"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TFIDF_K)
+        .select(
+            "doc_id",
+            F.col("rk").cast("int").alias("rk"),
+            "tok",
+            "tf",
+            "df_docs",
+            "score",
+        )
+    )
+
+
+TEXT_TFIDF_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({TOKS_D}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, tok
+),
+dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY tok
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf, d.df_docs,
+         CAST(t.tf * (n.n_docs // d.df_docs) AS BIGINT) AS score
+  FROM tf t JOIN dfreq d ON t.tok = d.tok, n
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, tok, tf, df_docs, score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, df_docs ASC, tok ASC) AS rk
+  FROM scored
+)
+WHERE rk <= {TFIDF_K}
+"""
