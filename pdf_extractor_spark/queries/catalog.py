@@ -634,6 +634,12 @@ CATALOG: dict[str, QuerySpec] = {
         "outlink extraction (mapInArrow anchor collector) + relational "
         "host resolution; oracle re-derives hosts in SQL over the "
         "pure-Python expected-output rows"),
+    "link_anchor_topk": QuerySpec(
+        links.link_anchor_topk, links._link_anchor_topk_sql(),
+        "inbound anchor-text aggregation: per target host, top-K "
+        "external anchor strings (count + distinct source hosts, "
+        "deterministic tie-breaks) over the composed pages -> outlink "
+        "-> external-edge path; the document-expansion side feature"),
     "link_host_degree": QuerySpec(
         links.link_host_degree, links.LINK_HOST_DEGREE_SQL,
         "host-level link degree over the outlink stage — the "

@@ -96,3 +96,93 @@ SELECT {_HOST_CASE_D} AS href_host,
 FROM '{_EXPECTED}'
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Inbound anchor-text aggregation — the classic web-search /
+# document-expansion signal (what OTHER sites call a page is a
+# higher-precision topic label than the page's own text; production
+# pipelines join top inbound anchors back onto the document as side
+# features). Runs over the committed CROSS-host link corpus
+# (fixtures/linkpages_micro — the golden corpus's hrefs are all
+# relative, so it has no external anchors), composed end to end:
+# pages -> outlink stage -> external edges -> per-target-host top-K
+# anchors.
+#
+# Physical shape at 100 TB: the (dst_host, anchor) agg shuffles
+# host+short-string rows only (never page text); the per-host top-K
+# window partitions on dst_host — bounded by each host's distinct
+# anchor vocabulary, with the hot-host tail capped by the same window
+# discipline as the LSH bucket cap if one host dominates a crawl.
+ANCHOR_TOPK = 3
+
+
+def link_anchor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from pdf_extractor_spark.operators.links import links_stage
+    from pdf_extractor_spark.queries.graph import LINKPAGES_FIXTURE
+
+    links = links_stage(
+        spark.read.parquet(str(LINKPAGES_FIXTURE))
+    )
+    page_host = F.regexp_extract("url", _HOST_RE, 1)
+    href_host = F.when(
+        F.col("href").rlike("^[a-z]+://"),
+        F.regexp_extract("href", _HOST_RE, 1),
+    ).otherwise(page_host)
+    ext = (
+        links.select(
+            page_host.alias("src_host"),
+            href_host.alias("dst_host"),
+            F.lower(F.trim(F.col("anchor"))).alias("anchor_norm"),
+        )
+        .filter("src_host <> dst_host AND anchor_norm <> ''")
+    )
+    counts = ext.groupBy("dst_host", "anchor_norm").agg(
+        F.count("*").cast("long").alias("n_links"),
+        F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
+    )
+    w = Window.partitionBy("dst_host").orderBy(
+        F.desc("n_links"), F.desc("n_src_hosts"), F.asc("anchor_norm")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANCHOR_TOPK)
+        .select(
+            "dst_host",
+            F.col("rk").cast("int").alias("rk"),
+            "anchor_norm",
+            "n_links",
+            "n_src_hosts",
+        )
+    )
+
+
+def _link_anchor_topk_sql() -> str:
+    from pdf_extractor_spark.queries.graph import _LINKS_EXPECTED
+
+    return f"""
+WITH ext AS (
+  SELECT regexp_extract(url, '{_HOST_RE}', 1) AS src_host,
+         {_HOST_CASE_D} AS dst_host,
+         lower(trim(anchor)) AS anchor_norm
+  FROM '{_LINKS_EXPECTED}'
+  WHERE regexp_extract(url, '{_HOST_RE}', 1) <> {_HOST_CASE_D}
+    AND lower(trim(anchor)) <> ''
+),
+counts AS (
+  SELECT dst_host, anchor_norm,
+         CAST(count(*) AS BIGINT) AS n_links,
+         CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+  FROM ext GROUP BY dst_host, anchor_norm
+)
+SELECT dst_host, CAST(rk AS INT) AS rk, anchor_norm, n_links, n_src_hosts
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY dst_host
+    ORDER BY n_links DESC, n_src_hosts DESC, anchor_norm ASC) AS rk
+  FROM counts
+)
+WHERE rk <= {ANCHOR_TOPK}
+"""

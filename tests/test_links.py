@@ -68,3 +68,47 @@ def test_spark_stage_equals_pure_loop_on_micro_corpus(spark):
         ).collect()
     }
     assert got == expected and len(got) > 1000
+
+
+def test_anchor_topk_matches_python_recount(spark):
+    """link_anchor_topk vs a plain-Python recount from the pure-Python
+    collector's expected rows (independent of both SQL engines)."""
+    import collections
+    import re
+
+    import duckdb
+
+    from pdf_extractor_spark.queries.graph import _LINKS_EXPECTED
+    from pdf_extractor_spark.queries.links import (
+        ANCHOR_TOPK,
+        link_anchor_topk,
+    )
+
+    rows = duckdb.sql(f"SELECT * FROM '{_LINKS_EXPECTED}'").fetchall()
+    host = lambda u: re.match(r"^[a-z]+://([^/]+)", u).group(1)  # noqa: E731
+    counts = collections.Counter()
+    srcs = collections.defaultdict(set)
+    for url, _seq, href, anchor in rows:
+        src = host(url)
+        dst = host(href) if re.match(r"^[a-z]+://", href) else src
+        a = anchor.strip().lower()
+        if src != dst and a:
+            counts[(dst, a)] += 1
+            srcs[(dst, a)].add(src)
+    want = {}
+    per_host = collections.defaultdict(list)
+    for (dst, a), n in counts.items():
+        per_host[dst].append((-n, -len(srcs[(dst, a)]), a))
+    for dst, lst in per_host.items():
+        for rk, (nn, ns, a) in enumerate(sorted(lst)[:ANCHOR_TOPK], 1):
+            want[(dst, rk)] = (a, -nn, -ns)
+
+    got = link_anchor_topk(spark, "unused").collect()
+    assert len(got) == len(want)
+    for r in got:
+        assert 1 <= r["rk"] <= ANCHOR_TOPK
+        assert want[(r["dst_host"], r["rk"])] == (
+            r["anchor_norm"],
+            r["n_links"],
+            r["n_src_hosts"],
+        )
