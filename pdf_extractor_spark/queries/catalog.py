@@ -75,6 +75,47 @@ def extract_first_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (Dolma/C4-style): zlib level 6
+    over the extracted text, composed as extraction stage -> Arrow-batch
+    compress stage. ratio_pm = compressed*1000 DIV utf-8 bytes; LOW
+    flags repetitive/boilerplate documents. Not SQL-expressible (DuckDB
+    has no deflate), so the oracle is the expected-output fixture from
+    the pure-Python path — the same zlib, byte-for-byte."""
+    from pdf_extractor_spark.operators.extract import extract_stage
+
+    pages = spark.read.parquet(
+        str(REPO_ROOT / "fixtures" / "golden" / "pages_micro.parquet")
+    )
+    ext = extract_stage(pages, with_blocks=False).select(
+        "url", "extracted_text"
+    )
+
+    def comp(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["extracted_text"]]
+            nb = [len(x) for x in raw]
+            nc = [len(zlib.compress(x, 6)) for x in raw]
+            yield pd.DataFrame(
+                {"url": pdf["url"], "n_bytes": nb, "n_compressed": nc}
+            )
+
+    return ext.mapInPandas(
+        comp, "url string, n_bytes bigint, n_compressed bigint"
+    ).select(
+        "url",
+        "n_bytes",
+        "n_compressed",
+        F.expr("n_compressed * 1000 DIV greatest(n_bytes, 1)").alias(
+            "ratio_pm"
+        ),
+    )
+
+
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BUILT-IN stateful streaming operator inside the hash gate
     (complementing the custom applyInPandasWithState sessionizer):
@@ -644,6 +685,15 @@ CATALOG: dict[str, QuerySpec] = {
         links.link_host_degree, links.LINK_HOST_DEGREE_SQL,
         "host-level link degree over the outlink stage — the "
         "crawl-frontier / centrality-filter input aggregation"),
+    "text_compress_ratio": QuerySpec(
+        text_compress_ratio,
+        _expected_sql(
+            "text_compress_ratio",
+            "url, n_bytes, n_compressed, ratio_pm",
+        ),
+        "compression-ratio quality signal: extraction stage -> Arrow-"
+        "batch zlib stage; low per-mille ratio flags repetitive/"
+        "boilerplate docs (expected-output oracle, same zlib bytes)"),
     "extract_pages": QuerySpec(
         extract_pages,
         _expected_sql(

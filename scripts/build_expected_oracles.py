@@ -255,6 +255,45 @@ def expected_media_frame_sample(every_k: int = 4) -> pa.Table:
     )
 
 
+def expected_text_compress_ratio() -> pa.Table:
+    """Compression-ratio quality signal over the extracted text of the
+    golden corpus: zlib level 6 (the bundled zlib pins the bytes;
+    tests/test_expected_oracles.py recomputes in-memory, so an
+    interpreter/zlib upgrade that changes the stream is caught, not
+    silently compared stale). ratio_pm is integer per-mille —
+    compressed size relative to utf-8 size; LOW means repetitive/
+    boilerplate text, the Dolma/C4-style gate signal."""
+    import zlib
+
+    from pdf_extractor_spark.ref_extractor import extract
+
+    pages = pq.read_table(GOLDEN / "pages_micro.parquet").to_pylist()
+    rows = []
+    for p in pages:
+        res = extract(p["html"])
+        raw = res.text.encode("utf-8")
+        comp = zlib.compress(raw, 6)
+        rows.append(
+            {
+                "url": p["url"],
+                "n_bytes": len(raw),
+                "n_compressed": len(comp),
+                "ratio_pm": len(comp) * 1000 // max(len(raw), 1),
+            }
+        )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("n_bytes", pa.int64()),
+                ("n_compressed", pa.int64()),
+                ("ratio_pm", pa.int64()),
+            ]
+        ),
+    )
+
+
 BUILDERS = {
     "extract_pages": expected_extract_pages,
     "extract_first_block": expected_extract_first_block,
@@ -263,6 +302,7 @@ BUILDERS = {
     "media_image_features": expected_media_image_features,
     "media_audio_features": expected_media_audio_features,
     "media_frame_sample": expected_media_frame_sample,
+    "text_compress_ratio": expected_text_compress_ratio,
 }
 
 
