@@ -608,6 +608,13 @@ CATALOG: dict[str, QuerySpec] = {
         "per-(source, lang) corpus composition: doc/token counts, mean "
         "quality and token share from exact BIGINT sums (order-free, "
         "bit-identical); grand total broadcast back, no global window"),
+    "corpus_mix_weights": QuerySpec(
+        cs.corpus_mix_weights, cs.CORPUS_MIX_WEIGHTS_SQL,
+        "T5/PaLM temperature-smoothed mixture weights (T=0.5 — IEEE "
+        "sqrt, bit-identical cross-engine): per-source sampling "
+        "probability + token allocation from one hash agg; the "
+        "normalizing total is an ordered left fold, never an unordered "
+        "double SUM"),
     "corpus_filter_report": QuerySpec(
         cs.corpus_filter_report, cs.CORPUS_FILTER_REPORT_SQL,
         "per-rule filter dashboard (too_short / lang_unknown / low_ttr "

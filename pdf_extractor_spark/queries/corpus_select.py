@@ -585,3 +585,81 @@ UNION ALL SELECT 'dup_2grams', n_dup_2grams FROM sums
 UNION ALL SELECT 'fail_any', n_total - n_pass FROM sums
 UNION ALL SELECT 'pass_all', n_pass FROM sums
 """
+
+
+# --------------------------------------------------------------------------
+# Temperature-smoothed training-mixture weights — the T5/PaLM mixture
+# computation: per-source sampling probability proportional to
+# (token count)^T, which up-weights small high-value sources relative
+# to raw token share. T = 0.5 is deliberate: x^0.5 is IEEE-754 sqrt,
+# correctly rounded in BOTH engines, so the weights are bit-identical
+# cross-engine where a pow(x, 0.7) would pin a libm transcendental the
+# hash gate can't trust. The normalizing total is a LEFT FOLD over the
+# per-source weights ordered by source (Spark aggregate HOF == DuckDB
+# list_reduce == a plain Python loop — the STATE.md float discipline),
+# never an unordered SUM of doubles.
+#
+# Physical shape at 100 TB: one hash agg to O(sources) rows, then all
+# remaining arithmetic happens on that tiny table (checkpointed once,
+# the corpus_mix_report pattern, so the corpus is scanned exactly
+# once); the fold and the broadcast total are O(sources).
+MIX_TOKEN_BUDGET = 1_000_000
+
+
+def corpus_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_mix_weights_of(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def corpus_mix_weights_of(docs: DataFrame) -> DataFrame:
+    per = (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.expr("size(toks)")).cast("long").alias("n_tokens"),
+        )
+        .withColumn("w", F.expr("sqrt(CAST(n_tokens AS DOUBLE))"))
+        .localCheckpoint(eager=True)
+    )
+    total = per.agg(
+        F.sort_array(F.collect_list(F.struct("source", "w"))).alias("sw")
+    ).select(
+        F.expr(
+            "aggregate(sw, CAST(0.0 AS DOUBLE), (a, x) -> a + x.w)"
+        ).alias("total_w")
+    )
+    return per.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("round(w, 5)").alias("weight"),
+        F.expr("round(w / total_w, 6)").alias("p_sample"),
+        F.expr(
+            f"CAST(floor({MIX_TOKEN_BUDGET}.0 * w / total_w) AS BIGINT)"
+        ).alias("alloc_tokens"),
+    )
+
+
+CORPUS_MIX_WEIGHTS_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+         sqrt(CAST(sum(len(toks)) AS DOUBLE)) AS w
+  FROM (SELECT source, {TOKS_D} AS toks FROM documents)
+  GROUP BY source
+),
+tot AS (
+  SELECT list_reduce(list(w ORDER BY source), (a, b) -> a + b)
+    AS total_w
+  FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(w, 5) AS weight,
+       round(w / total_w, 6) AS p_sample,
+       CAST(floor({MIX_TOKEN_BUDGET}.0 * w / total_w) AS BIGINT)
+         AS alloc_tokens
+FROM per, tot
+"""

@@ -89,3 +89,25 @@ def test_small_strata_taken_whole_large_strata_filled(spark):
             assert got[k] == n_total, (k, got[k], n_total)
         else:
             assert got[k] == SAMPLE_BUDGET, (k, got[k], n_total)
+
+
+def test_mix_weights_semantics(spark):
+    """Temperature weighting invariants: probabilities sum to ~1, the
+    allocation never exceeds the budget, and T=0.5 compresses the
+    spread — a source with 4x the tokens gets only ~2x the probability
+    (exact sqrt ratio)."""
+    import math
+
+    from pdf_extractor_spark.queries.corpus_select import (
+        MIX_TOKEN_BUDGET,
+        corpus_mix_weights,
+    )
+
+    rows = corpus_mix_weights(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert abs(sum(r["p_sample"] for r in rows) - 1.0) < 1e-4
+    assert sum(r["alloc_tokens"] for r in rows) <= MIX_TOKEN_BUDGET
+    tot_w = sum(math.sqrt(r["n_tokens"]) for r in rows)
+    for r in rows:
+        expect = math.sqrt(r["n_tokens"]) / tot_w
+        assert abs(r["p_sample"] - expect) < 1e-4, (r, expect)
