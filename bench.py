@@ -124,6 +124,9 @@ HEADLINE = [
     "events_sliding_window",
     "sketch_distinct_kmv",
     "sketch_distinct_kmv_partial",
+    "sketch_distinct_hll",
+    "dedup_bloom_probe",
+    "dedup_bloom_probe_bitmap",
     "embedding_topk",
     "embedding_multiprobe_clustered",
     "embedding_ivf_topk",
@@ -141,8 +144,10 @@ HEADLINE = [
     "corpus_sample_stratified",
     "text_repetition",
     "text_rarity",
+    "text_tfidf_topk",
     "text_length_percentiles",
     "corpus_mix_report",
+    "corpus_mix_weights",
     "corpus_shuffle_shards",
     "corpus_pack_sequences",
     "corpus_filter_report",

@@ -1099,6 +1099,12 @@ def text_tfidf_topk_of(docs: DataFrame) -> DataFrame:
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count("*").cast("long").alias("tf")
     )
+    # df aggregates the COLLAPSED tf table, and the scored join reads
+    # tf again — Spark shares no subplans, so without materializing tf
+    # the explode + (doc, tok) agg pipeline executes twice (caught by
+    # tests/test_plans.py FileScan count). At production scale this is
+    # a staged table; here localCheckpoint is the same one-scan shape.
+    tf = tf.localCheckpoint(eager=True)
     dfreq = tf.groupBy("tok").agg(
         F.count("*").cast("long").alias("df_docs")
     )

@@ -197,3 +197,30 @@ def test_text_rarity_text_never_shuffles(spark):
     for frag in plan.split("Exchange")[1:]:
         head = frag.split("\n", 1)[0]
         assert "text" not in head, head
+
+
+def test_hll_has_no_window_and_no_distinct_prepass(spark):
+    """The HLL sketch's whole point vs KMV: register maxima are plain
+    hash aggregates (map-side partials apply), so the plan must contain
+    NO Window and NO Sort — and only the two grouping shuffles."""
+    plan = plan_of(CATALOG["sketch_distinct_hll"].fn(spark, SF))
+    assert "Window" not in plan
+    assert "Sort" not in plan.replace("SortAggregate", "")
+    assert plan.count("Exchange") <= 2
+
+
+def test_tfidf_broadcasts_corpus_total(spark):
+    """n_docs rides in as a broadcast 1-row crossJoin, never a global
+    window over the (doc, tok) mass."""
+    plan = plan_of(CATALOG["text_tfidf_topk"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    # tf is checkpointed once; only the n_docs count branch re-scans
+    assert plan.count("FileScan") == 1
+
+
+def test_mix_weights_single_scan(spark):
+    """After the per-source agg is checkpointed, the weight/total
+    arithmetic must not re-scan the corpus."""
+    plan = plan_of(CATALOG["corpus_mix_weights"].fn(spark, SF))
+    assert plan.count("FileScan") == 0  # checkpointed aggregate only
+    assert "BroadcastNestedLoopJoin" in plan
