@@ -9,6 +9,14 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
                                  --line-dedup strips cross-document
                                  repeated segments over the gated
                                  checkpoint; emptied docs dropped)
+      → [optional] seen-index gate
+                                (queries/dedup.bloom_seen_of:
+                                 --seen-index probes a persisted Bloom
+                                 bitmap of every previously exported
+                                 shingle and drops already-kept docs
+                                 BEFORE near-dup; the index advances by
+                                 OR-merging the new export — the daily
+                                 incremental-crawl shape)
       → near-dup dedup          (queries/dedup.near_dup_labels_of:
                                  LSH candidates → exact-Jaccard verify
                                  → cluster → keep-one survivors)
@@ -109,6 +117,8 @@ def build_corpus(
     mix_shards: int | None = None,
     contam_ngram: int | None = None,
     line_dedup: bool = False,
+    seen_index: str | None = None,
+    seen_drop_pm: int = 800,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -206,6 +216,51 @@ def build_corpus(
         else:
             n_gated_clean = n_gated
 
+        # optional incremental seen-index (the daily-crawl production
+        # shape): a persisted Bloom bitmap remembers every shingle the
+        # PREVIOUSLY EXPORTED corpus contained; docs whose shingles are
+        # >= seen_drop_pm/1000 already-seen are dropped BEFORE the
+        # (expensive) near-dup stage — they are re-crawls or trivial
+        # variants of kept content. Bloom has no false negatives, so a
+        # genuinely-new doc can only be over-counted (false-positive
+        # rate sized by BLOOM_M); at the default 80% threshold a
+        # spurious drop needs ~all shingles to false-positive at once.
+        n_seen_dropped = 0
+        seen_state = None
+        _old_bm = None
+        if seen_index is not None:
+            from pdf_extractor_spark.queries.dedup import (
+                BLOOM_K,
+                BLOOM_M,
+                bloom_seen_of,
+            )
+
+            idx = pathlib.Path(seen_index)
+            bm_path = idx / "bloom.bin"
+            if bm_path.exists():
+                meta = json.loads((idx / "_META.json").read_text())
+                if meta["m_bits"] != BLOOM_M or meta["k"] != BLOOM_K:
+                    raise RuntimeError(
+                        f"seen-index {seen_index} was built with "
+                        f"m_bits={meta['m_bits']}, k={meta['k']} — "
+                        f"incompatible with BLOOM_M={BLOOM_M}, "
+                        f"BLOOM_K={BLOOM_K}"
+                    )
+                _old_bm = bm_path.read_bytes()
+                seen = bloom_seen_of(
+                    gated.select("doc_id", "text"), _old_bm
+                )
+                gated = gated.join(
+                    seen.filter(
+                        F.col("seen_pm") < seen_drop_pm
+                    ).select("doc_id"),
+                    on="doc_id",
+                ).localCheckpoint(eager=True)
+                n_seen_dropped = n_gated_clean - gated.count()
+                seen_state = "updated"
+            else:
+                seen_state = "created"
+
         labels = near_dup_labels_of(gated.select("doc_id", "text"))
         survivors = gated.join(
             labels.filter("keep = 1").select("doc_id"), on="doc_id"
@@ -280,12 +335,53 @@ def build_corpus(
         # (legit when a partition range has no surviving docs)
         n_out = spark.read.schema(final.schema).json(out).count()
 
+        # create/advance the seen-index AFTER export: the bitmap's
+        # contract is "shingles of everything this index's corpus has
+        # ever exported", so the new export's shingles are OR-merged
+        # into the previous bitmap (never rebuilt — O(new batch) work
+        # per day, the whole point) and the file replaced atomically.
+        if seen_index is not None:
+            import os
+
+            import numpy as np
+
+            from pdf_extractor_spark.queries.dedup import (
+                bloom_bitmap_bytes,
+                shingle_keys_of,
+            )
+
+            idx = pathlib.Path(seen_index)
+            idx.mkdir(parents=True, exist_ok=True)
+            exported = spark.read.schema(final.schema).json(out)
+            new_bm = np.frombuffer(
+                bloom_bitmap_bytes(
+                    shingle_keys_of(exported.select("text"))
+                ),
+                dtype=np.uint8,
+            )
+            if _old_bm is not None:
+                new_bm = new_bm | np.frombuffer(_old_bm, dtype=np.uint8)
+            tmp = idx / "bloom.bin.tmp"
+            tmp.write_bytes(new_bm.tobytes())
+            os.replace(tmp, idx / "bloom.bin")
+            from pdf_extractor_spark.queries.dedup import BLOOM_K, BLOOM_M
+
+            (idx / "_META.json").write_text(
+                json.dumps(
+                    {"m_bits": BLOOM_M, "k": BLOOM_K,
+                     "seen_drop_pm": seen_drop_pm},
+                    sort_keys=True,
+                )
+            )
+
         summary = {
             "rows_in": n_in,
             "rows_clean": n_docs,
             "rows_gated": n_gated,
             "rows_line_cleaned": n_gated_clean,
             "boiler_segments_removed": n_boiler_segs,
+            "rows_seen_dropped": n_seen_dropped,
+            "seen_index": seen_state,
             "rows_survivors": n_survivors,
             "rows_decontaminated": n_decontaminated,
             "rows_exported": n_out,
@@ -330,6 +426,18 @@ def main(argv: list[str] | None = None) -> None:
         help="n-gram length for --benchmark decontamination "
         "(default: the production setting N_CONTAM_PROD=8)",
     )
+    ap.add_argument(
+        "--seen-index", default=None,
+        help="directory holding the incremental seen-index (Bloom "
+        "bitmap of every previously-exported shingle); first run "
+        "creates it, later runs drop >= --seen-drop-pm/1000-seen docs "
+        "before near-dup and advance the bitmap",
+    )
+    ap.add_argument(
+        "--seen-drop-pm", type=int, default=800,
+        help="per-mille seen-shingle threshold above which a doc is "
+        "dropped as already-kept content (default 800)",
+    )
     ap.add_argument("--partitions", nargs="*", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
@@ -341,6 +449,7 @@ def main(argv: list[str] | None = None) -> None:
         args.min_chars, args.shards, args.partitions,
         benchmark=args.benchmark, mix_shards=args.mix_shards,
         contam_ngram=args.contam_ngram, line_dedup=args.line_dedup,
+        seen_index=args.seen_index, seen_drop_pm=args.seen_drop_pm,
     )
     print(json.dumps(summary))
     spark.stop()

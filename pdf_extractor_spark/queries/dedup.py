@@ -1205,25 +1205,17 @@ def dedup_bloom_probe_of(docs: DataFrame, m_bits: int = BLOOM_M) -> DataFrame:
     return _bloom_out(per_shingle, ckeys)
 
 
-def dedup_bloom_probe_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_bloom_probe_bitmap_of(_docs(spark, sf_dir))
-
-
-def dedup_bloom_probe_bitmap_of(
-    docs: DataFrame, m_bits: int = BLOOM_M
-) -> DataFrame:
-    """The broadcast-bitmap twin: same output as dedup_bloom_probe,
-    bit-for-bit (test-enforced), but the filter is a real bitmap built
-    by per-partition Arrow-batch partials, OR-merged driver-side at
-    plan-build time (one job over the corpus POSITIONS projection —
-    never the text), and probed by a vectorized numpy bit test."""
+def bloom_bitmap_bytes(keys: DataFrame, m_bits: int = BLOOM_M) -> bytes:
+    """OR-merged Bloom bitmap over a `kh` md5-hex key column: positions
+    are computed relationally (never in Python), per-partition bitmap
+    partials come back through an Arrow-batch stage (one m/8-byte row
+    per input partition), and the driver ORs O(partitions) buffers.
+    Deterministic — a pure function of the key set and m_bits."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     n_bytes = m_bits // 8
-    corpus, batch = _bloom_split(docs)
-    ckeys = _bloom_shingles(corpus).select("kh").distinct()
 
     def build(batches):
         bm = np.zeros(n_bytes, dtype=np.uint8)
@@ -1239,7 +1231,7 @@ def dedup_bloom_probe_bitmap_of(
             yield pd.DataFrame({"bitmap": [bm.tobytes()]})
 
     partials = (
-        _bloom_pos_arr(ckeys, m_bits)
+        _bloom_pos_arr(keys, m_bits)
         .select(F.explode("pos_arr").alias("pos"))
         .mapInPandas(
             build,
@@ -1250,7 +1242,84 @@ def dedup_bloom_probe_bitmap_of(
     merged = np.zeros(n_bytes, dtype=np.uint8)
     for r in partials:
         merged |= np.frombuffer(r["bitmap"], dtype=np.uint8)
-    bm_bytes = merged.tobytes()
+    return merged.tobytes()
+
+
+def bloom_seen_of(
+    docs: DataFrame,
+    bm_bytes: bytes,
+    m_bits: int = BLOOM_M,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document seen report against a GIVEN Bloom bitmap (the
+    incremental-index probe — no exact layer, the index IS the
+    approximate memory of the kept corpus): id, n_shingles, n_seen,
+    seen_pm. seen_pm is bloom-based, so it can only OVERestimate
+    (false positives, rate sized by m_bits) — a doc is never wrongly
+    reported unseen."""
+    import numpy as np
+    import pandas as pd
+
+    sh = (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .select(F.col(id_col).alias("_bid"),
+                F.explode(F.expr(SHINGLES_S)).alias("sh"))
+        .select("_bid", F.md5("sh").alias("kh"))
+    )
+
+    def probe(batches):
+        # vectorized per-SHINGLE test: all K positions of one shingle
+        # are in the same row's pos_arr, so the AND happens inside the
+        # batch — no (doc, shingle) shuffle is ever needed
+        bm = np.frombuffer(bm_bytes, dtype=np.uint8)
+        for pdf in batches:
+            flat = np.concatenate(pdf["pos_arr"].to_numpy()).astype(
+                np.int64
+            ) if len(pdf) else np.empty(0, dtype=np.int64)
+            hit = (
+                (bm[flat >> 3] & (1 << (flat & 7)).astype(np.uint8)) != 0
+            ).reshape(-1, BLOOM_K)
+            out = pdf[["_bid"]].copy()
+            out["seen"] = hit.all(axis=1).astype("int64")
+            yield out
+
+    schema = sh.select("_bid").schema.add("seen", "long")
+    return (
+        _bloom_pos_arr(sh, m_bits)
+        .select("_bid", "pos_arr")
+        .mapInPandas(probe, schema)
+        .groupBy("_bid")
+        .agg(
+            F.count("*").cast("long").alias("n_shingles"),
+            F.sum("seen").cast("long").alias("n_seen"),
+        )
+        .select(
+            F.col("_bid").alias(id_col),
+            "n_shingles",
+            "n_seen",
+            F.expr("n_seen * 1000 DIV n_shingles").alias("seen_pm"),
+        )
+    )
+
+
+def dedup_bloom_probe_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_bloom_probe_bitmap_of(_docs(spark, sf_dir))
+
+
+def dedup_bloom_probe_bitmap_of(
+    docs: DataFrame, m_bits: int = BLOOM_M
+) -> DataFrame:
+    """The broadcast-bitmap twin: same output as dedup_bloom_probe,
+    bit-for-bit (test-enforced), but the filter is a real bitmap built
+    by per-partition Arrow-batch partials, OR-merged driver-side at
+    plan-build time (one job over the corpus POSITIONS projection —
+    never the text), and probed by a vectorized numpy bit test."""
+    import numpy as np
+    import pandas as pd
+
+    corpus, batch = _bloom_split(docs)
+    ckeys = _bloom_shingles(corpus).select("kh").distinct()
+    bm_bytes = bloom_bitmap_bytes(ckeys, m_bits)
 
     def probe(batches):
         bm = np.frombuffer(bm_bytes, dtype=np.uint8)
@@ -1322,3 +1391,15 @@ SELECT s.doc_id,
 FROM per_shingle s LEFT JOIN ckeys c ON s.kh = c.kh
 GROUP BY s.doc_id
 """
+
+
+def shingle_keys_of(docs: DataFrame) -> DataFrame:
+    """Distinct md5 shingle keys of an arbitrary (…, text) DataFrame —
+    the bitmap-builder input for the incremental seen-index
+    (jobs/corpus_job.py --seen-index)."""
+    return (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .select(F.explode(F.expr(SHINGLES_S)).alias("sh"))
+        .select(F.md5("sh").alias("kh"))
+        .distinct()
+    )

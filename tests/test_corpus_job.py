@@ -235,3 +235,44 @@ def test_corpus_job_line_dedup(spark, tmp_path):
     s3 = build_corpus(spark, wh, out3, budget=10)
     assert s3["rows_line_cleaned"] == s3["rows_gated"]
     assert s3["boiler_segments_removed"] == 0
+
+
+def test_corpus_job_incremental_seen_index(spark, tmp_path):
+    """The daily-incremental shape: run 1 creates the seen-index from
+    its export; run 2 over the SAME warehouse drops every previously
+    exported doc via the Bloom probe (no false negatives -> every
+    re-crawl is caught) and exports only previously-unkept survivors;
+    run 3 (index now covers both exports) keeps dropping monotonically
+    and never re-exports a url."""
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=23, n_rows=150, n_days=3)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+    idx = str(tmp_path / "seen_idx")
+
+    s1 = build_corpus(
+        spark, wh, str(tmp_path / "c1"), budget=10, seen_index=idx
+    )
+    assert s1["seen_index"] == "created"
+    assert s1["rows_seen_dropped"] == 0
+    assert (pathlib.Path(idx) / "bloom.bin").exists()
+    u1 = {r["url"] for r in _read_jsonl(str(tmp_path / "c1"))}
+    assert u1
+
+    s2 = build_corpus(
+        spark, wh, str(tmp_path / "c2"), budget=10, seen_index=idx
+    )
+    assert s2["seen_index"] == "updated"
+    # every run-1 export is shingle-identical to itself -> seen_pm =
+    # 1000 -> dropped before near-dup; nothing exported twice
+    assert s2["rows_seen_dropped"] >= len(u1)
+    u2 = {r["url"] for r in _read_jsonl(str(tmp_path / "c2"))}
+    assert not (u1 & u2)
+
+    s3 = build_corpus(
+        spark, wh, str(tmp_path / "c3"), budget=10, seen_index=idx
+    )
+    u3 = {r["url"] for r in _read_jsonl(str(tmp_path / "c3"))}
+    assert s3["rows_seen_dropped"] >= s2["rows_seen_dropped"]
+    assert not (u3 & (u1 | u2))
