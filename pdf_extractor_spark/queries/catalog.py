@@ -495,6 +495,12 @@ CATALOG: dict[str, QuerySpec] = {
         "CCNet-style line/segment boilerplate dedup: cross-document "
         "repeated segments stripped; frequency pass shuffles only md5 "
         "hashes, cleaning pass is a broadcast-set projection"),
+    "dedup_substring_spans": QuerySpec(
+        dedup.dedup_substring_spans, dedup.DEDUP_SUBSTRING_SQL,
+        "exact-substring duplicated spans (Lee et al. 2022): "
+        "overlapping W-token window hashes, cross-doc frequency, and "
+        "the LONGEST duplicated run per doc via a one-pass running-sum "
+        "islands trick — text never shuffles, nothing executes twice"),
     "dedup_simhash": QuerySpec(
         dedup.dedup_simhash, dedup.DEDUP_SIMHASH_SQL,
         "SimHash: 16-bit majority-vote fingerprint, pure projection"),

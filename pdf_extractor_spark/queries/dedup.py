@@ -1403,3 +1403,140 @@ def shingle_keys_of(docs: DataFrame) -> DataFrame:
         .select(F.md5("sh").alias("kh"))
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplicated spans (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better") — the OVERLAPPING-window
+# generalization of dedup_lines: every W-token window (stride 1) is
+# hashed; a window seen in >= 2 DISTINCT docs is a duplicated span
+# member, and consecutive duplicated windows chain into maximal
+# duplicated substrings. Per doc: window counts, duplicated-window
+# per-mille, and the LONGEST duplicated run in tokens (run of R
+# windows = substring of R + W - 1 tokens). The reference suffix-array
+# construction is single-machine; this is the shuffle-disciplined
+# relational equivalent for bounded W.
+#
+# Plan shape at 100 TB: windows are (doc_id, idx, md5) projections —
+# text never shuffles; the frequency pass aggregates DISTINCT
+# (doc, hash) pairs on uniform md5 keys; the flag join is hash-on-hash;
+# islands (consecutive-run detection) use ONE window pass per doc
+# (running sum of flags — island key = idx - running, constant within a
+# run) followed by a two-level hash agg, so nothing in the pipeline
+# executes twice and no per-doc state exceeds the doc's window count.
+# Cost vs dedup_lines is the stride (W windows per token instead of
+# 1/W segments) — that IS the method's price; production crawls pick
+# stride > 1 or the suffix-array batch job when W-granularity exactness
+# isn't needed.
+SUBSTR_W = 8  # window length in tokens
+SUBSTR_MIN_DOCS = 2
+
+_WINS_S = (
+    f"CASE WHEN size(toks) >= {SUBSTR_W} THEN "
+    f"transform(sequence(0, size(toks) - {SUBSTR_W}), i -> "
+    f"named_struct('idx', CAST(i AS BIGINT), "
+    f"'h', md5(array_join(slice(toks, i + 1, {SUBSTR_W}), ' ')))) "
+    "ELSE CAST(array() AS ARRAY<STRUCT<idx: BIGINT, h: STRING>>) END"
+)
+_WINS_D = (
+    f"CASE WHEN len(toks) >= {SUBSTR_W} THEN "
+    f"list_transform(range(len(toks) - {SUBSTR_W} + 1), i -> "
+    f"{{'idx': CAST(i AS BIGINT), "
+    f"'h': md5(array_to_string(toks[i + 1:i + {SUBSTR_W}], ' '))}}) "
+    "ELSE [] END"
+)
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_substring_spans_of(_docs(spark, sf_dir))
+
+
+def dedup_substring_spans_of(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    wins = (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .select("doc_id", F.explode(F.expr(_WINS_S)).alias("w"))
+        .select("doc_id", "w.idx", "w.h")
+    )
+    dup = (
+        wins.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= SUBSTR_MIN_DOCS)
+        .select("h", F.lit(1).alias("dup"))
+    )
+    run_w = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    flagged = (
+        wins.join(dup, on="h", how="left")
+        .withColumn("is_dup", F.expr("coalesce(dup, 0)"))
+        .withColumn("run", F.sum("is_dup").over(run_w))
+        # island key: constant exactly over a consecutive dup run
+        # (the running sum INCLUDES the current row, so idx - run + 1
+        # — the unshifted form is -1 for a run starting at window 0,
+        # which would merge into the non-dup park island; caught by
+        # the plain-Python differential in tests/test_substring.py);
+        # non-dup rows park in island -1
+        .withColumn(
+            "isl",
+            F.expr("CASE WHEN is_dup = 1 THEN idx - run + 1 ELSE -1 END"),
+        )
+    )
+    per_island = flagged.groupBy("doc_id", "isl").agg(
+        F.count("*").alias("cnt"),
+        F.sum("is_dup").alias("nd"),
+    )
+    return per_island.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_windows"),
+        F.sum("nd").cast("long").alias("n_dup_windows"),
+        F.expr(
+            "CAST(sum(nd) * 1000 DIV sum(cnt) AS BIGINT)"
+        ).alias("dup_pm"),
+        F.expr(
+            f"CAST(coalesce(max(CASE WHEN isl >= 0 THEN cnt END) "
+            f"+ {SUBSTR_W} - 1, 0) AS BIGINT)"
+        ).alias("max_dup_run_tokens"),
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH wins AS (
+  SELECT doc_id, w['idx'] AS idx, w['h'] AS h FROM (
+    SELECT doc_id, unnest({_WINS_D}) AS w
+    FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
+  )
+),
+dup AS (
+  SELECT h, 1 AS dup FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd
+    FROM (SELECT DISTINCT doc_id, h FROM wins)
+    GROUP BY h
+  ) WHERE nd >= {SUBSTR_MIN_DOCS}
+),
+flagged AS (
+  SELECT w.doc_id, w.idx, coalesce(d.dup, 0) AS is_dup,
+         SUM(coalesce(d.dup, 0)) OVER (
+           PARTITION BY w.doc_id ORDER BY w.idx
+           ROWS UNBOUNDED PRECEDING) AS run
+  FROM wins w LEFT JOIN dup d ON w.h = d.h
+),
+per_island AS (
+  SELECT doc_id,
+         CASE WHEN is_dup = 1 THEN idx - run + 1 ELSE -1 END AS isl,
+         count(*) AS cnt, SUM(is_dup) AS nd
+  FROM flagged GROUP BY doc_id,
+       CASE WHEN is_dup = 1 THEN idx - run + 1 ELSE -1 END
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_windows,
+       CAST(SUM(nd) AS BIGINT) AS n_dup_windows,
+       CAST(SUM(nd) * 1000 // SUM(cnt) AS BIGINT) AS dup_pm,
+       CAST(coalesce(MAX(CASE WHEN isl >= 0 THEN cnt END)
+            + {SUBSTR_W} - 1, 0) AS BIGINT) AS max_dup_run_tokens
+FROM per_island GROUP BY doc_id
+"""
