@@ -549,6 +549,12 @@ CATALOG: dict[str, QuerySpec] = {
         similarity.EMBEDDING_CENTROID_CLUSTERED_SQL,
         "learned-centroid IVF on the clustered fixture: recall >= 0.9 "
         "at <= 25% scan with NO per-dataset knob (test-enforced)"),
+    "embedding_quantize_int8": QuerySpec(
+        similarity.embedding_quantize_int8,
+        similarity.EMBEDDING_QUANTIZE_SQL,
+        "int8 scalar quantization report (faiss-SQ8 shape): per-vector "
+        "scale, integer code checksums (exact hash-gate material) and "
+        "reconstruction MSE — pure projection, zero shuffles"),
     # --- training-data pipeline: text analysis ---
     "text_lang_id": QuerySpec(
         textstats.text_lang_id, textstats.TEXT_LANG_ID_SQL,

@@ -728,3 +728,84 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
   FROM pairs
 ) WHERE rank <= {TOP_K}
 """
+
+
+# --------------------------------------------------------------------------
+# int8 vector quantization report — the storage/transport compression
+# step a production vector pipeline runs before indexing (4x smaller
+# than float32; scalar per-vector quantization, the faiss SQ8 shape):
+# q_i = round(x_i * 127 / max|x|), reconstruction x̂_i = q_i * max|x|/127.
+# Pure projection (zero shuffles, trivially linear at 10^12 vectors).
+#
+# Oracle discipline: the quantized codes are INTEGERS, so the gate
+# compares exact integer checksums (signed sum + L1 norm of q) rather
+# than float arrays; max|x| comes from an ordered fold (greatest is
+# order-free anyway) and the reconstruction MSE follows the module's
+# round(·, 9) float convention.
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "v", F.expr(_VEC_S)
+    )
+    return (
+        emb.withColumn(
+            "ma",
+            F.expr(
+                "aggregate(v, CAST(0 AS DOUBLE), "
+                "(a, x) -> greatest(a, abs(x)))"
+            ),
+        )
+        .withColumn(
+            "q",
+            F.expr(
+                "CASE WHEN ma = 0 THEN transform(v, x -> 0) "
+                "ELSE transform(v, x -> "
+                "CAST(round(x * 127.0 / ma) AS INT)) END"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.expr("CAST(size(q) AS BIGINT)").alias("n_dims"),
+            F.expr(
+                "CAST(aggregate(q, 0L, (a, x) -> a + x) AS BIGINT)"
+            ).alias("q_sum"),
+            F.expr(
+                "CAST(aggregate(q, 0L, (a, x) -> a + abs(x)) AS BIGINT)"
+            ).alias("q_l1"),
+            F.expr("round(ma, 5)").alias("max_abs"),
+            F.expr(
+                "CASE WHEN ma = 0 THEN CAST(0.0 AS DOUBLE) ELSE round("
+                "aggregate(zip_with(v, q, (x, c) -> "
+                "(x - c * ma / 127.0) * (x - c * ma / 127.0)), "
+                "CAST(0 AS DOUBLE), (a, x) -> a + x) / size(q), 9) END"
+            ).alias("mse"),
+        )
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, {_VEC_D} AS v FROM embeddings
+),
+ma AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS ma
+  FROM base
+),
+q AS (
+  SELECT vec_id, v, ma,
+         CASE WHEN ma = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(round(x * 127.0 / ma)
+                   AS INT)) END AS q
+  FROM ma
+)
+SELECT vec_id,
+       CAST(len(q) AS BIGINT) AS n_dims,
+       CAST(list_sum(q) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT) AS q_l1,
+       round(ma, 5) AS max_abs,
+       CASE WHEN ma = 0 THEN CAST(0.0 AS DOUBLE) ELSE round(
+         list_sum(list_transform(list_zip(v, q), z ->
+           (z[1] - z[2] * ma / 127.0) * (z[1] - z[2] * ma / 127.0)))
+         / len(q), 9) END AS mse
+FROM q
+"""

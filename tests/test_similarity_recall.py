@@ -182,3 +182,37 @@ def test_rounding_parity_fuzz_three_engines(spark):
         for v, a, b in zip(vals[n_pipe:], py[n_pipe:], dk[n_pipe:]):
             if a != b:
                 assert abs(a - b) < 1.5 * ulp, (n, v, a, b)
+
+
+def test_quantize_int8_roundtrip(spark):
+    """Quantization invariants (cross-engine parity is the catalog
+    gate): codes stay in [-127, 127], the max-|x| dimension maps to
+    ±127 exactly, and reconstruction error is bounded by half a
+    quantization step per dimension."""
+    from pdf_extractor_spark.queries.similarity import (
+        embedding_quantize_int8,
+    )
+
+    rows = embedding_quantize_int8(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).collect()
+    }
+    for r in rows:
+        v = [float(x) for x in emb[r["vec_id"]]]
+        ma = max(abs(x) for x in v)
+        assert abs(r["max_abs"] - ma) < 1e-5
+        assert r["q_l1"] <= 127 * r["n_dims"]
+        assert abs(r["q_sum"]) <= r["q_l1"]
+        if ma > 0:
+            # worst-case per-dim error is (ma/127)/2 -> mse bound
+            step = ma / 127.0
+            assert r["mse"] <= (step / 2) ** 2 + 1e-12, r
+            # round-trip beats 1% relative RMS on these vectors
+            rms = (sum(x * x for x in v) / len(v)) ** 0.5
+            assert r["mse"] ** 0.5 <= 0.02 * max(rms, 1e-9) + step
