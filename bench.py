@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_incremental",
     "dedup_lines",
+    "dedup_substring_spans",
     "decontaminate",
     "event_sessions",
     "events_asof_join",
@@ -133,6 +134,7 @@ HEADLINE = [
     "embedding_ivf_multiprobe",
     "embedding_centroid_topk",
     "embedding_centroid_clustered",
+    "embedding_quantize_int8",
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
