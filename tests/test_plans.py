@@ -224,3 +224,19 @@ def test_mix_weights_single_scan(spark):
     plan = plan_of(CATALOG["corpus_mix_weights"].fn(spark, SF))
     assert plan.count("FileScan") == 0  # checkpointed aggregate only
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_substring_spans_text_never_shuffles(spark):
+    """All Exchanges in the exact-substring plan may carry only
+    (doc_id, idx, hash)-shaped rows — window strings and document text
+    must stay projection-local."""
+    plan = plan_of(CATALOG["dedup_substring_spans"].fn(spark, SF))
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head and "toks" not in head, head
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_quantize_is_pure_projection(spark):
+    plan = plan_of(CATALOG["embedding_quantize_int8"].fn(spark, SF))
+    assert "Exchange" not in plan
