@@ -43,6 +43,17 @@ GIANT_HTML = 6
 GIANT_PDF = 2
 N_PASSES = 3
 WARC_FILES = 32  # file = the WARC parallel unit; files ≫ is the real shape
+# Row-group size bounds the MINIMUM scan-split unit (parquet readers
+# cannot split inside a row group). The default 5000-row groups gave the
+# 50k-doc corpus only 16 splits — the dispatch plan's zero-shuffle small
+# branch was capped at 16 tasks on 32 cores, and the salted full-shuffle
+# plan LOOKED faster purely by buying back parallelism the scan should
+# have had (caught session 4: salted 4.2 s vs dispatch 5.7 s, both
+# windows). 500-row groups + 512 KB maxPartitionBytes put the bench in
+# the splits ≫ cores regime a real 100 TB scan is always in — the same
+# methodology scripts/scaling_bench.py has used since round 2.
+BENCH_BATCH_ROWS = 500
+MAX_PARTITION_BYTES = 512 * 1024
 
 
 def bench_corpus(n_rows: int) -> str:
@@ -50,11 +61,13 @@ def bench_corpus(n_rows: int) -> str:
 
     path = pathlib.Path(
         f"/tmp/spark_graft_bench/pages_s{BENCH_SEED}_n{n_rows}"
-        f"_d{BENCH_DAYS}_g{GIANT_HTML}x{GIANT_PDF}.parquet"
+        f"_d{BENCH_DAYS}_g{GIANT_HTML}x{GIANT_PDF}"
+        f"_b{BENCH_BATCH_ROWS}.parquet"
     )
     if not path.exists():
         write_pages_parquet(
-            path, BENCH_SEED, n_rows, BENCH_DAYS, GIANT_HTML, GIANT_PDF
+            path, BENCH_SEED, n_rows, BENCH_DAYS, GIANT_HTML, GIANT_PDF,
+            batch_rows=BENCH_BATCH_ROWS,
         )
     return str(path)
 
@@ -90,6 +103,9 @@ def make_spark(cpus: int):
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config(
+            "spark.sql.files.maxPartitionBytes", str(MAX_PARTITION_BYTES)
+        )
         .getOrCreate()
     )
 
