@@ -34,12 +34,18 @@ _CONFS = {
 
 @pytest.fixture()
 def skew_confs(spark):
+    # conf.get(key, None) returns None for keys never explicitly SET
+    # (it bypasses the SQL default), so "restore if not None" silently
+    # leaves the overrides in place and poisons later tests in the
+    # session-scoped SparkSession — unset() restores the default.
     prev = {k: spark.conf.get(k, None) for k in _CONFS}
     for k, v in _CONFS.items():
         spark.conf.set(k, v)
     yield
     for k, v in prev.items():
-        if v is not None:
+        if v is None:
+            spark.conf.unset(k)
+        else:
             spark.conf.set(k, v)
 
 
