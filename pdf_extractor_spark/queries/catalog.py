@@ -75,6 +75,78 @@ def extract_first_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join run to completion as two
+    Trigger.AvailableNow file streams: clicks ⋈ same-user purchases in
+    the trailing 10 minutes. Inner-join matches emit without waiting on
+    the watermark (it only bounds state), so the landed-file run equals
+    the batch inequality join — gated against DuckDB's native IEJoin."""
+    import tempfile
+
+    from pdf_extractor_spark.queries.relational import _events
+    from pdf_extractor_spark.streaming.joins import interval_join
+
+    tmp = tempfile.mkdtemp(prefix="stream_ij_")
+    c_dir, p_dir = f"{tmp}/clicks", f"{tmp}/purchases"
+    out_dir, ck = f"{tmp}/out", f"{tmp}/ck"
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        ev = _events(spark, sf_dir).select(
+            F.col("event_id").cast("long").alias("id"),
+            F.col("user_id").cast("long").alias("user"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+        )
+        ev.filter("event_type = 'click'").selectExpr(
+            "id AS c_id", "user AS c_user", "ts AS c_ts"
+        ).coalesce(1).write.parquet(c_dir)
+        ev.filter("event_type = 'purchase'").selectExpr(
+            "id AS p_id", "user AS p_user", "ts AS p_ts"
+        ).coalesce(1).write.parquet(p_dir)
+
+        clicks = spark.readStream.schema(
+            "c_id long, c_user long, c_ts timestamp"
+        ).parquet(c_dir)
+        purchases = spark.readStream.schema(
+            "p_id long, p_user long, p_ts timestamp"
+        ).parquet(p_dir)
+        q = (
+            interval_join(clicks, purchases)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(tz_key, prev_tz)
+    return spark.read.schema(
+        "click_id long, purchase_id long, user_id long, "
+        "click_us long, purchase_us long, gap_us long"
+    ).parquet(out_dir)
+
+
+def _stream_interval_join_sql() -> str:
+    from pdf_extractor_spark.streaming.joins import JOIN_WINDOW_S
+
+    w = JOIN_WINDOW_S * 1_000_000
+    return f"""
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       CAST(c.user_id AS BIGINT) AS user_id,
+       epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+       epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch_us(p.ts) <= epoch_us(c.ts)
+ AND epoch_us(c.ts) < epoch_us(p.ts) + {w}
+"""
+
+
 def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal (Dolma/C4-style): zlib level 6
     over the extracted text, composed as extraction stage -> Arrow-batch
@@ -418,6 +490,12 @@ CATALOG: dict[str, QuerySpec] = {
         "watermarked tumbling-window streaming aggregate (built-in "
         "stateful op) run AvailableNow, hash-gated against a plain "
         "GROUP BY oracle"),
+    "stream_interval_join": QuerySpec(
+        stream_interval_join, _stream_interval_join_sql(),
+        "watermarked stream-stream interval join (clicks x same-user "
+        "purchases in the trailing 10 min) run AvailableNow — the "
+        "state-bounded two-stream operator class; gated against "
+        "DuckDB's native IEJoin"),
     "events_asof_join": QuerySpec(
         temporal.events_asof_join, temporal.EVENTS_ASOF_SQL,
         "as-of join (Spark lacks it): union-and-sweep plan, the event "
