@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from pdf_extractor_spark.queries import (
     contamination,
+    robots,
     corpus_select as cs,
     dedup,
     graph,
@@ -733,6 +734,12 @@ CATALOG: dict[str, QuerySpec] = {
         "TakeOrderedAndProject — composes the outlink stage, the "
         "host-graph centrality and the left-anti resume shape end to "
         "end"),
+    "frontier_robots_filter": QuerySpec(
+        robots.frontier_robots_filter, robots._frontier_robots_sql(),
+        "crawl politeness: robots.txt first-match verdict per frontier "
+        "candidate (CPython robotparser semantics, cross-verified "
+        "against robotparser itself) — broadcast rule table, prefix "
+        "theta-join, candidate mass never shuffles for the verdict"),
     "url_normalize": QuerySpec(
         urlnorm.url_normalize, urlnorm.URL_NORMALIZE_SQL,
         "URL canonicalization (case/port/fragment/tracking-param/"
