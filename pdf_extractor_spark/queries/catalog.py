@@ -189,6 +189,71 @@ def text_compress_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX random-access index of the committed WARC corpus: one row per
+    response record with the byte offset/length of its gzip member —
+    the Common Crawl artifact that lets a fetcher pull ONE document out
+    of a 1 GB archive with a ranged read. Same file-parallel
+    binaryFile -> mapInArrow shape as the reader; the seek round-trip
+    (raw[offset:offset+length] gunzips to exactly that record) is
+    proven in tests/test_warc_cdx.py."""
+    import datetime as _dt
+
+    from pdf_extractor_spark.sources.warc import iter_warc_cdx
+
+    path = str(REPO_ROOT / "fixtures" / "golden" / "warc_micro")
+    files = spark.read.format("binaryFile").load(f"{path}/*.warc.gz")
+    epoch = _dt.datetime(1970, 1, 1)
+    us = _dt.timedelta(microseconds=1)
+
+    def idx(batches):
+        import os
+
+        import pyarrow as pa
+
+        for batch in batches:
+            paths = batch.column("path")
+            contents = batch.column("content")
+            cols: dict[str, list] = {
+                "file": [], "offset": [], "length": [],
+                "url": [], "ts_us": [], "payload_md5": [],
+            }
+            for i in range(batch.num_rows):
+                fname = os.path.basename(paths[i].as_py())
+                try:
+                    for off, ln, url, ts, dig in iter_warc_cdx(
+                        contents[i].as_py()
+                    ):
+                        cols["file"].append(fname)
+                        cols["offset"].append(off)
+                        cols["length"].append(ln)
+                        cols["url"].append(url)
+                        cols["ts_us"].append((ts - epoch) // us)
+                        cols["payload_md5"].append(dig)
+                except Exception:  # noqa: BLE001 — O23: drop file tail
+                    pass
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["file"], pa.string()),
+                    pa.array(cols["offset"], pa.int64()),
+                    pa.array(cols["length"], pa.int64()),
+                    pa.array(cols["url"], pa.string()),
+                    pa.array(cols["ts_us"], pa.int64()),
+                    pa.array(cols["payload_md5"], pa.string()),
+                ],
+                names=[
+                    "file", "offset", "length", "url", "ts_us",
+                    "payload_md5",
+                ],
+            )
+
+    return files.select("path", "content").mapInArrow(
+        idx,
+        "file string, offset bigint, length bigint, url string, "
+        "ts_us bigint, payload_md5 string",
+    )
+
+
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The BUILT-IN stateful streaming operator inside the hash gate
     (complementing the custom applyInPandasWithState sessionizer):
@@ -811,6 +876,16 @@ CATALOG: dict[str, QuerySpec] = {
             "extract_pages", "url, doc_type, n_blocks, n_chars, text_md5"
         ),
         "HTML/PDF main-content extraction over the micro corpus"),
+    "warc_cdx_index": QuerySpec(
+        warc_cdx_index,
+        _expected_sql(
+            "warc_cdx_index",
+            # offset/length are reserved words in DuckDB — quote them
+            '"file", "offset", "length", url, ts_us, payload_md5',
+        ),
+        "CDX random-access index of the WARC corpus (per-record gzip-"
+        "member offset/length + payload digest) — ranged-read fetch "
+        "support; seek round-trip proven in tests"),
     "warc_extract_pages": QuerySpec(
         warc_extract_pages,
         _expected_sql(

@@ -143,6 +143,15 @@ def iter_warc_records(
     a per-record exception would fail the whole task — the same per-row
     error containment (O23) the extraction stage applies."""
     stream = gzip.GzipFile(fileobj=io.BytesIO(raw))
+    yield from _iter_records_from_stream(stream)
+
+
+def _iter_records_from_stream(
+    stream,
+) -> Iterator[tuple[str, dt.datetime, bytes]]:
+    """The record parser over any file-like of DECOMPRESSED warc bytes
+    (shared by the gzip-stream reader above and the per-member CDX
+    indexer below)."""
     while True:
         try:
             version = stream.readline()
@@ -183,6 +192,50 @@ def iter_warc_records(
         except Exception:  # noqa: BLE001 — skip the record, keep the file
             continue
         yield url, ts, payload
+
+
+
+
+def iter_warc_cdx(
+    raw: bytes,
+) -> Iterator[tuple[int, int, str, dt.datetime, str]]:
+    """CDX index rows — (offset, compressed_length, url, ts,
+    payload_md5) — for each response record of a .warc.gz byte string.
+
+    Offsets/lengths address the per-record GZIP MEMBERS (the Common
+    Crawl layout this module's writer emits): raw[offset : offset +
+    length] gunzips to exactly one record, which is what makes the
+    index a RANDOM-ACCESS structure — a fetcher can pull one document
+    from a 1 GB archive with a ranged read (tests/test_warc_cdx.py
+    proves the seek round-trip). Member boundaries come from
+    zlib.decompressobj (eof + unused_data), never from scanning for
+    gzip magic, which can occur inside compressed data. Truncated or
+    corrupt tails are dropped, matching iter_warc_records."""
+    import zlib
+
+    mv = memoryview(raw)
+    pos, n = 0, len(raw)
+    while pos < n:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            data = d.decompress(mv[pos:])
+            data += d.flush()
+        except zlib.error:
+            return
+        if not d.eof:
+            return  # truncated final member
+        comp_len = (n - pos) - len(d.unused_data)
+        for url, ts, payload in _iter_records_from_stream(
+            io.BytesIO(data)
+        ):
+            yield (
+                pos,
+                comp_len,
+                url,
+                ts,
+                hashlib.md5(payload).hexdigest(),
+            )
+        pos += comp_len
 
 
 # --- Spark reader -----------------------------------------------------------

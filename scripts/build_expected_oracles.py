@@ -294,6 +294,44 @@ def expected_text_compress_ratio() -> pa.Table:
     )
 
 
+def expected_warc_cdx_index() -> pa.Table:
+    """CDX index of the committed WARC corpus, computed by the
+    pure-Python member walker (sources/warc.iter_warc_cdx) — the oracle
+    for the Spark binaryFile -> mapInArrow index stage."""
+    import datetime as dt
+
+    from pdf_extractor_spark.sources.warc import iter_warc_cdx
+
+    epoch = dt.datetime(1970, 1, 1)
+    us = dt.timedelta(microseconds=1)
+    rows = []
+    for f in sorted((GOLDEN / "warc_micro").glob("*.warc.gz")):
+        for off, ln, url, ts, dig in iter_warc_cdx(f.read_bytes()):
+            rows.append(
+                {
+                    "file": f.name,
+                    "offset": off,
+                    "length": ln,
+                    "url": url,
+                    "ts_us": (ts - epoch) // us,
+                    "payload_md5": dig,
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("file", pa.string()),
+                ("offset", pa.int64()),
+                ("length", pa.int64()),
+                ("url", pa.string()),
+                ("ts_us", pa.int64()),
+                ("payload_md5", pa.string()),
+            ]
+        ),
+    )
+
+
 BUILDERS = {
     "extract_pages": expected_extract_pages,
     "extract_first_block": expected_extract_first_block,
@@ -303,6 +341,7 @@ BUILDERS = {
     "media_audio_features": expected_media_audio_features,
     "media_frame_sample": expected_media_frame_sample,
     "text_compress_ratio": expected_text_compress_ratio,
+    "warc_cdx_index": expected_warc_cdx_index,
 }
 
 
