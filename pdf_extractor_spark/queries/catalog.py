@@ -482,6 +482,24 @@ def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(_media(spark).filter(F.col("kind") == "image"))
 
 
+def media_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: thumbnail every image to 32x32 (nearest-neighbor,
+    re-encoded PPM) inside the Arrow-batch stage — the 'resize' verb of
+    the decode/feature/resize/frame-sample family. The binary thumb is
+    hash-compared via md5 so the expected-output oracle stays a plain
+    string table."""
+    from pdf_extractor_spark.operators.multimodal import resize_images
+
+    return resize_images(
+        _media(spark).filter(F.col("kind") == "image")
+    ).select(
+        "media_id",
+        F.expr("CAST(length(thumb) AS BIGINT)").alias("thumb_bytes"),
+        F.expr("coalesce(md5(thumb), '')").alias("thumb_md5"),
+        "error",
+    )
+
+
 def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal: WAV PCM decode → rate/duration/RMS features."""
     from pdf_extractor_spark.operators.multimodal import audio_features
@@ -829,6 +847,15 @@ CATALOG: dict[str, QuerySpec] = {
             "media_id, width, height, channels, mean_luma, error",
         ),
         "image decode + feature extraction (Arrow-batch UDF)"),
+    "media_image_resize": QuerySpec(
+        media_image_resize,
+        _expected_sql(
+            "media_image_resize",
+            "media_id, thumb_bytes, thumb_md5, error",
+        ),
+        "image thumbnail resize (nearest-neighbor, PPM re-encode) via "
+        "the Arrow-batch stage — the 'resize' verb; thumbnails "
+        "hash-compared against the pure-numpy expected output"),
     "media_audio_features": QuerySpec(
         media_audio_features,
         _expected_sql(

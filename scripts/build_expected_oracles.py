@@ -332,6 +332,42 @@ def expected_warc_cdx_index() -> pa.Table:
     )
 
 
+def expected_media_image_resize() -> pa.Table:
+    """32x32 nearest-neighbor thumbnails of the image fixtures, computed
+    by the pure-numpy resize + PPM encoder — md5-compared against the
+    Spark Arrow-batch resize stage."""
+    from pdf_extractor_spark.operators.multimodal import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+
+    rows = []
+    for m in _media("image"):
+        row = {"media_id": m["media_id"], "thumb_bytes": None,
+               "thumb_md5": "", "error": None}
+        try:
+            thumb = encode_ppm(resize_nearest(decode_image(m["payload"]), 32, 32))
+            row.update(
+                thumb_bytes=len(thumb),
+                thumb_md5=hashlib.md5(thumb).hexdigest(),
+            )
+        except Exception as e:  # noqa: BLE001 — mirrors O23 containment
+            row["error"] = f"{type(e).__name__}: {e}"
+        rows.append(row)
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("thumb_bytes", pa.int64()),
+                ("thumb_md5", pa.string()),
+                ("error", pa.string()),
+            ]
+        ),
+    )
+
+
 BUILDERS = {
     "extract_pages": expected_extract_pages,
     "extract_first_block": expected_extract_first_block,
@@ -342,6 +378,7 @@ BUILDERS = {
     "media_frame_sample": expected_media_frame_sample,
     "text_compress_ratio": expected_text_compress_ratio,
     "warc_cdx_index": expected_warc_cdx_index,
+    "media_image_resize": expected_media_image_resize,
 }
 
 
