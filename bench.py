@@ -130,6 +130,8 @@ HEADLINE = [
     "ngram_jaccard",
     "dedup_near_pipeline",
     "dedup_embedding_cosine",
+    "dedup_semantic",
+    "text_semantic_dedup",
     "dedup_incremental",
     "dedup_lines",
     "dedup_substring_spans",

@@ -680,6 +680,16 @@ CATALOG: dict[str, QuerySpec] = {
         "embedding-cosine near-dup pairs: sign-random-projection LSH "
         "bands over the engine-produced hashed embeddings, capped "
         "bucket equi-join, exact-cosine verify on candidates only"),
+    "dedup_semantic": QuerySpec(
+        similarity.dedup_semantic, similarity.DEDUP_SEMANTIC_SQL,
+        "SemDeDup: semantic near-dup pruning scoped to learned-centroid "
+        "cells (pairwise only within a cell = O(N^2/C); keep the "
+        "lowest-id representative per within-cell duplicate group)"),
+    "text_semantic_dedup": QuerySpec(
+        textstats.text_semantic_dedup, textstats.TEXT_SEMANTIC_DEDUP_SQL,
+        "SemDeDup over the engine-produced hashed text embeddings "
+        "(spherical cells; the document-pruning counterpart of "
+        "dedup_embedding_cosine's pair report)"),
     # --- training-data pipeline: similarity search ---
     "embedding_topk": QuerySpec(
         similarity.embedding_topk, similarity.EMBEDDING_TOPK_SQL,

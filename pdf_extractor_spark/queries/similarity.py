@@ -375,8 +375,9 @@ def _learn_centroids(
     vec_col: str = "v",
 ) -> list[list[float]]:
     """Deterministic one-iteration k-means over the sample; returns
-    N_CENTROIDS lists of floats (dim = the data's, means rounded half-up
-    to 6 dp; an empty cell keeps its raw seed). ``emb`` must be
+    min(N_CENTROIDS, |sample|) lists of floats (dim = the data's, means
+    rounded half-up to 6 dp; an empty cell keeps its raw seed). ``emb``
+    must be
     _prep()-ed. ``sample_where`` filters the sample universe (None =
     whole table; the default excludes the fixture tables' query ids).
     ``vec_col`` picks the clustering space (``u`` = the L2-normalized
@@ -389,18 +390,22 @@ def _learn_centroids(
         .collect()
     )
     sample = [list(r["v"]) for r in rows]  # already vec_id-ascending
-    cents: list[list[float]] = sample[:N_CENTROIDS]  # seeds
+    # fewer sample vectors than N_CENTROIDS just means fewer cells —
+    # exactly what the relational oracle's `seeds ... LIMIT 16` yields
+    # on a tiny input (the SQL side never had the 16-cell assumption)
+    n_c = min(N_CENTROIDS, len(sample))
+    cents: list[list[float]] = sample[:n_c]  # seeds
     for _ in range(LLOYD_ITERS):
         prev = cents
-        members: list[list[list[float]]] = [[] for _ in range(N_CENTROIDS)]
+        members: list[list[list[float]]] = [[] for _ in range(n_c)]
         for v in sample:
             best = min(
-                range(N_CENTROIDS),
+                range(n_c),
                 key=lambda c: (_roundn(_sqdist_py(v, prev[c]), 9), c),
             )
             members[best].append(v)  # appended in vec_id order
         cents = []
-        for c in range(N_CENTROIDS):
+        for c in range(n_c):
             if not members[c]:
                 cents.append(prev[c])  # empty cell keeps its previous seat
                 continue
@@ -430,6 +435,42 @@ def _cdist_expr(c: int, cents: list[list[float]], vec: str = "v") -> str:
     )
 
 
+def _assign_buckets(
+    emb: DataFrame,
+    sample_where: str | None,
+    normalize: bool = False,
+) -> DataFrame:
+    """Learn N_CENTROIDS centroids (deterministic k-means, see
+    _learn_centroids) and add (dists, rd, bucket) columns to a
+    _prep()-ed (vec_id, v, nrm) DataFrame. ``normalize=True`` clusters
+    and assigns on the L2-normalized copy ``u`` (spherical k-means).
+
+    ONE array column holds all 16 centroid distances, so every
+    downstream use references `dists`/`rd` instead of re-inlining the
+    16×64-literal folds (a least()+CASE argmin expanded each fold
+    ~270× after projection collapse — enough to OOM the driver during
+    optimization). argmin = array_position of the min, which returns
+    the FIRST match — the lowest-centroid-id tie-break for free."""
+    vec_col = "v"
+    if normalize:
+        vec_col = "u"
+        emb = emb.withColumn("u", F.expr("transform(v, x -> x / nrm)"))
+    cents = _learn_centroids(emb, sample_where, vec_col)
+    dists_expr = "array(" + ", ".join(
+        _cdist_expr(c, cents, vec_col) for c in range(len(cents))
+    ) + ")"
+    return (
+        emb.withColumn("dists", F.expr(dists_expr))
+        .withColumn("rd", F.expr("transform(dists, x -> round(x, 9))"))
+        .withColumn(
+            "bucket",
+            F.expr(
+                "CAST(array_position(rd, array_min(rd)) - 1 AS BIGINT)"
+            ),
+        )
+    )
+
+
 def _centroid_search(
     emb: DataFrame,
     n_probes: int,
@@ -454,30 +495,7 @@ def _centroid_search(
     raw vectors (identical values either way)."""
     from pyspark.sql import Window
 
-    vec_col = "v"
-    if normalize:
-        vec_col = "u"
-        emb = emb.withColumn("u", F.expr("transform(v, x -> x / nrm)"))
-    cents = _learn_centroids(emb, sample_where, vec_col)
-    # ONE array column holds all 16 centroid distances, so every
-    # downstream use references `dists`/`rd` instead of re-inlining the
-    # 16×64-literal folds (a least()+CASE argmin expanded each fold
-    # ~270× after projection collapse — enough to OOM the driver during
-    # optimization). argmin = array_position of the min, which returns
-    # the FIRST match — the lowest-centroid-id tie-break for free.
-    dists_expr = "array(" + ", ".join(
-        _cdist_expr(c, cents, vec_col) for c in range(N_CENTROIDS)
-    ) + ")"
-    emb = (
-        emb.withColumn("dists", F.expr(dists_expr))
-        .withColumn("rd", F.expr("transform(dists, x -> round(x, 9))"))
-        .withColumn(
-            "bucket",
-            F.expr(
-                "CAST(array_position(rd, array_min(rd)) - 1 AS BIGINT)"
-            ),
-        )
-    )
+    emb = _assign_buckets(emb, sample_where, normalize)
     pw = Window.partitionBy("query_id").orderBy(
         F.expr("round(pc.dist, 9)").asc(), F.col("pc.cid").asc()
     )
@@ -497,7 +515,9 @@ def _centroid_search(
             "pc",
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, {N_CENTROIDS - 1}), "
+                    # size(dists), not the N_CENTROIDS literal: a tiny
+                    # input learns fewer cells (see _learn_centroids)
+                    "transform(sequence(0, size(dists) - 1), "
                     "c -> struct(CAST(c AS BIGINT) AS cid, "
                     "element_at(dists, c + 1) AS dist))"
                 )
@@ -574,6 +594,42 @@ def _centroid_sql_body(
     (the Spark side's ``normalize=True``). Returns the WITH-chain
     remainder + final SELECT — same float discipline as the Spark
     side."""
+    return f"""{_centroid_assign_sql(dim, sample_where, vec)},
+qids AS ({qids_sql}),
+qp AS (
+  SELECT vec_id, cid AS qb FROM (
+    SELECT eq.vec_id, c.cid, row_number() OVER (
+      PARTITION BY eq.vec_id
+      ORDER BY round({_SQD_D.format(a=f"eq.{vec}", b="c.v")}, 9), c.cid
+    ) AS rn
+    FROM (SELECT e.* FROM e JOIN qids USING (vec_id)) eq
+    CROSS JOIN cent c
+  ) WHERE rn <= {n_probes}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT_D.replace("qv", "q.v").replace("cv", "c.v")}
+           / (q.nrm * c.nrm) AS cos
+  FROM (SELECT e.*, qp.qb FROM e JOIN qp USING (vec_id)) q
+  JOIN (SELECT e.*, assign.bucket FROM e JOIN assign USING (vec_id)) c
+    ON q.qb = c.bucket AND q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id
+  ) AS BIGINT) AS rank
+  FROM pairs
+) WHERE rank <= {k}
+"""
+
+
+def _centroid_assign_sql(dim: int, sample_where: str, vec: str = "v") -> str:
+    """The sample→seeds→Lloyd→cent→assign WITH-chain fragment, generic
+    over a caller-defined CTE ``e(vec_id, v, nrm[, u])`` — the relational
+    re-derivation of _learn_centroids + _assign_buckets. Ends after the
+    ``assign`` CTE with NO trailing comma (callers append their own
+    continuation). Shared by the centroid search oracle and the
+    semantic-dedup oracle."""
     # one assign→means→coalesce block per Lloyd iteration, chained:
     # cent{i} refines cent{i-1} (seeds for i=1), exactly mirroring the
     # Python loop in _learn_centroids (empty cell keeps its previous
@@ -626,39 +682,128 @@ assign AS (
     ) AS rn
     FROM e CROSS JOIN cent c
   ) WHERE rn = 1
-),
-qids AS ({qids_sql}),
-qp AS (
-  SELECT vec_id, cid AS qb FROM (
-    SELECT eq.vec_id, c.cid, row_number() OVER (
-      PARTITION BY eq.vec_id
-      ORDER BY round({_SQD_D.format(a=f"eq.{vec}", b="c.v")}, 9), c.cid
-    ) AS rn
-    FROM (SELECT e.* FROM e JOIN qids USING (vec_id)) eq
-    CROSS JOIN cent c
-  ) WHERE rn <= {n_probes}
-),
-pairs AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         {_DOT_D.replace("qv", "q.v").replace("cv", "c.v")}
-           / (q.nrm * c.nrm) AS cos
-  FROM (SELECT e.*, qp.qb FROM e JOIN qp USING (vec_id)) q
-  JOIN (SELECT e.*, assign.bucket FROM e JOIN assign USING (vec_id)) c
-    ON q.qb = c.bucket AND q.vec_id <> c.vec_id
-)
-SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
-  SELECT *, CAST(row_number() OVER (
-    PARTITION BY query_id ORDER BY round(cos, 9) DESC, neighbor_id
-  ) AS BIGINT) AS rank
-  FROM pairs
-) WHERE rank <= {k}
-"""
+)"""
 
 
 EMBEDDING_CENTROID_TOPK_SQL = _centroid_sql("embeddings", CENTROID_PROBES)
 EMBEDDING_CENTROID_CLUSTERED_SQL = _centroid_sql(
     f"'{CLUSTERED_PATH}'", CENTROID_PROBES
 )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public paper): semantic
+# near-duplicate PRUNING scoped to learned-centroid cells. Cluster the
+# corpus with the same deterministic k-means as the IVF search, then
+# compare pairs ONLY within a cell and keep one representative per
+# semantic-duplicate group (lowest id — deterministic, matching the
+# paper's "keep one random point per group" up to the choice rule).
+#
+# Scale shape: the all-pairs comparison is confined to cells — O(N²/C)
+# work with C grown ~N/cell_target at deployment (standard IVF sizing),
+# i.e. LINEAR total work, never a global O(N²); the cell self-join is a
+# plain bucket equi-join (shuffle keyed on bucket; at production C the
+# key space is wide, at the 16-cell test scale AQE coalesces it). Cross-
+# cell near-dups are invisible by design — that approximation IS the
+# algorithm (the paper reports the within-cluster restriction loses
+# almost nothing on web corpora because semantic dups co-cluster).
+SEMANTIC_TAU = 0.9  # measured on the clustered fixture: 5,697 of the
+# ~2M pairs sit at raw cosine >= 0.9 (max 0.9444, p99.9 0.9089) — the
+# threshold catches the genuinely-clustered mass with non-trivial but
+# bounded drop counts; 0.95 would drop nothing on this fixture.
+
+
+def semantic_dedup_of(
+    emb: DataFrame,
+    tau: float,
+    normalize: bool = False,
+    sample_where: str | None = None,
+) -> DataFrame:
+    """SemDeDup over a _prep()-ed (vec_id, v, nrm) DataFrame: returns
+    (vec_id, bucket, keep) for EVERY vector — keep=0 iff a same-cell
+    vector with a SMALLER id has raw cosine ≥ tau (the greedy
+    keep-lowest-id representative rule; precision is exact by
+    construction since every drop is justified by a verified cosine).
+
+    ``normalize=True`` clusters on the L2-normalized copy (spherical
+    k-means — use for all-positive count vectors, see _centroid_search);
+    the cosine test always uses the RAW vectors. The assigned table is
+    materialized once (localCheckpoint — at deployment scale this is a
+    staged parquet write) so the self-join's two sides don't re-run the
+    centroid folds."""
+    assigned = (
+        _assign_buckets(emb, sample_where, normalize)
+        .select("vec_id", "v", "nrm", "bucket")
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "bucket",
+    )
+    b = assigned.select(
+        "vec_id",
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        "bucket",
+    )
+    dropped = (
+        b.join(a, on="bucket")
+        .filter(F.col("a_id") < F.col("vec_id"))
+        .withColumn("cos", F.expr(f"{_DOT_S} / (qn * cn)"))
+        .filter(F.expr(f"round(cos, 9) >= {tau}"))
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return assigned.join(dropped, on="vec_id", how="left").select(
+        "vec_id",
+        "bucket",
+        F.expr(
+            "CAST(CASE WHEN is_dup IS NULL THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("keep"),
+    )
+
+
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the clustered embedding fixture (the corpus with
+    genuine semantic structure; the sf-dir embeddings are random — no
+    pair reaches cosine 0.52). `sf_dir` ignored (fixture-backed, like
+    the other `_clustered` entries)."""
+    return semantic_dedup_of(_clustered_emb(spark), SEMANTIC_TAU)
+
+
+def _semantic_sql_body(
+    dim: int, tau: float, vec: str = "v", id_col: str = "vec_id"
+) -> str:
+    """WITH-chain remainder + final SELECT for SemDeDup, generic over a
+    caller-defined CTE ``e(vec_id, v, nrm[, u])`` — mirrors
+    semantic_dedup_of exactly (same assign chain as the centroid search
+    oracle, raw-cosine pair test, keep-lowest-id)."""
+    dot = _DOT_D.replace("qv", "a.v").replace("cv", "b.v")
+    return f"""{_centroid_assign_sql(dim, "", vec)},
+ab AS (
+  SELECT e.vec_id, e.v, e.nrm, asg.bucket
+  FROM e JOIN assign asg ON asg.vec_id = e.vec_id
+),
+drops AS (
+  SELECT DISTINCT b.vec_id
+  FROM ab a JOIN ab b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round({dot} / (a.nrm * b.nrm), 9) >= {tau}
+)
+SELECT ab.vec_id AS {id_col}, ab.bucket,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM ab LEFT JOIN drops d ON d.vec_id = ab.vec_id
+"""
+
+
+DEDUP_SEMANTIC_SQL = f"""
+WITH e AS (
+  SELECT vec_id, v, {_NORM_D} AS nrm
+  FROM (SELECT vec_id, {_VEC_D} AS v FROM '{CLUSTERED_PATH}')
+),
+{_semantic_sql_body(DIM, SEMANTIC_TAU)}"""
 
 
 _BUCKET_D = _bucket_exprs("duck", "v")

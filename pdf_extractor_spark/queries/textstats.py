@@ -776,6 +776,55 @@ DEDUP_EMBEDDING_COSINE_SQL = _dedup_embedding_cosine_sql()
 
 
 # --------------------------------------------------------------------------
+# SemDeDup over the ENGINE-PRODUCED hashed text embeddings — the
+# document-pruning counterpart of dedup_embedding_cosine (which reports
+# pairs): cluster the corpus into learned-centroid cells (spherical, the
+# text_embed_centroid_topk discipline) and keep one representative per
+# within-cell semantic-duplicate group. See similarity.semantic_dedup_of
+# for the algorithm + scale shape (O(N²/C) confined to cells).
+TEXT_SEMANTIC_TAU = 0.95  # measured on the hashed embeddings: ~1.1k of
+# 125k pairs at cosine >= 0.95 (p99.9 ≈ 0.969) at sf0.001/sf0.01 — real
+# signal from the corpus's templated sentences without dropping the
+# merely-similar mass that 0.9 (≈13k pairs) would take.
+
+
+def text_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.queries.similarity import semantic_dedup_of
+
+    return semantic_dedup_of(
+        _nz_text_embeddings(spark, sf_dir),
+        TEXT_SEMANTIC_TAU,
+        normalize=True,  # all-positive count vectors: cluster on the
+        # sphere or k-means buckets by document length (see
+        # text_embed_centroid_topk)
+    ).withColumnRenamed("vec_id", "doc_id")
+
+
+def _text_semantic_sql() -> str:
+    from pdf_extractor_spark.queries.similarity import _semantic_sql_body
+
+    dims = ", ".join(f"e_{d}" for d in range(EMBED_DIMS))
+    body = _semantic_sql_body(
+        EMBED_DIMS, TEXT_SEMANTIC_TAU, vec="u", id_col="doc_id"
+    )
+    return f"""
+WITH he AS ({_text_embed_sql()}),
+emb0 AS (
+  SELECT doc_id AS vec_id, v,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+  FROM (SELECT doc_id, [{dims}]::DOUBLE[] AS v FROM he)
+),
+e AS (
+  SELECT vec_id, v, nrm, list_transform(v, x -> x / nrm) AS u
+  FROM emb0 WHERE nrm > 0
+),
+{body}"""
+
+
+TEXT_SEMANTIC_DEDUP_SQL = _text_semantic_sql()
+
+
+# --------------------------------------------------------------------------
 # O11 — the structured-extraction driver (pdf_processor.py:418-446): one
 # projection stage assembling every per-document field. This is the
 # `entry()` flagship as an oracle-checked catalog query.
