@@ -630,6 +630,12 @@ CATALOG: dict[str, QuerySpec] = {
         dedup.dedup_clusters, dedup.DEDUP_CLUSTERS_SQL,
         "duplicate clusters: iterative min-label propagation over LSH "
         "pairs (connected components); oracle via recursive CTE"),
+    "dedup_clusters_star": QuerySpec(
+        dedup.dedup_clusters_star, dedup.DEDUP_CLUSTERS_SQL,
+        "the same connected components via alternating large-star/"
+        "small-star (Kiveris et al.): O(log n) rounds vs LP's "
+        "O(diameter) — chain-shaped graphs converge exponentially "
+        "faster; gated against the SAME recursive-CTE oracle"),
     "dedup_near_pipeline": QuerySpec(
         dedup.dedup_near_pipeline, dedup.DEDUP_NEAR_PIPELINE_SQL,
         "composed near-dup pipeline: LSH candidates → exact-Jaccard "
@@ -657,6 +663,16 @@ CATALOG: dict[str, QuerySpec] = {
         "CCNet-style line/segment boilerplate dedup: cross-document "
         "repeated segments stripped; frequency pass shuffles only md5 "
         "hashes, cleaning pass is a broadcast-set projection"),
+    "dedup_intradoc": QuerySpec(
+        dedup.dedup_intradoc, dedup.DEDUP_INTRADOC_SQL,
+        "within-document repeated-segment removal (keep first "
+        "occurrence): a pure zero-shuffle projection — map-only over "
+        "the scan at any scale"),
+    "dedup_substring_strided": QuerySpec(
+        dedup.dedup_substring_strided, dedup.DEDUP_SUBSTRING_STRIDED_SQL,
+        "the stride>1 production form of substring spans: 1/stride of "
+        "the windows hashed and shuffled; long runs still caught via "
+        "phase-aligned matches"),
     "dedup_substring_spans": QuerySpec(
         dedup.dedup_substring_spans, dedup.DEDUP_SUBSTRING_SQL,
         "exact-substring duplicated spans (Lee et al. 2022): "

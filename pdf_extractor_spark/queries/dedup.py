@@ -452,6 +452,118 @@ def _min_label_propagation(pairs: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# Alternating-star connected components (Kiveris et al. 2014, "Connected
+# Components in MapReduce and Beyond" — public paper): the O(log n)-round
+# alternative to min-label propagation. LP converges in graph-DIAMETER
+# rounds — fine for near-dup graphs (unions of small cliques) but O(n)
+# on chain-shaped graphs (e.g. the candidate graph of substring/segment
+# dedup, where doc A overlaps B overlaps C ...). The two-phase
+# large-star/small-star alternation contracts any component to a star
+# around its minimum in O(log n) rounds regardless of diameter; each
+# round is two groupBy-min + join passes over the CURRENT edge set,
+# which only shrinks toward one edge per non-root node.
+MAX_STAR_ROUNDS = 32  # 2^32 nodes of diameter — a backstop, not a knob
+
+
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment over the SAME LSH candidate-pair
+    graph as dedup_clusters, computed by the alternating-star algorithm
+    instead of min-label propagation — two independent implementations
+    gated against one oracle. Output: (doc_id, cluster_id = min doc_id
+    reachable), identical to dedup_clusters by construction."""
+    pairs = dedup_minhash_lsh_pairs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return _alternating_star_cc(pairs, docs)
+
+
+def _alternating_star_cc(
+    pairs: DataFrame, docs: DataFrame, max_rounds: int = MAX_STAR_ROUNDS
+) -> DataFrame:
+    """Connected components over an undirected pair list (doc_a, doc_b)
+    via alternating large-star/small-star rounds. Key-type generic like
+    _min_label_propagation (greatest/least/min are field-ordered on
+    struct keys). Edges are kept in the canonical down orientation
+    (u = greater endpoint, v = smaller); self-loops never enter.
+
+    large-star: every neighbor LARGER than u is re-pointed at the
+    minimum of u's closed neighborhood. small-star: u and its SMALLER
+    neighbors all point at that minimum. Each round strictly decreases
+    the paper's potential function until every component is a star
+    around its minimum; convergence is a set-equality check on the
+    canonical edge set (cheap: the edge table is O(nodes-in-components)
+    by then, and rounds are O(log n) total)."""
+    pairs = pairs.localCheckpoint(eager=True)
+    edges = (
+        pairs.filter(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pairs.unpersist()
+
+    for _ in range(max_rounds):
+        # large-star over the symmetric view: m(u) = min(Γ(u) ∪ {u});
+        # emit (w, m(u)) for the strictly-larger neighbors w of u
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("mv", "u").alias("m"))
+        )
+        large = (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star on the down orientation: u and all its smaller
+        # neighbors point at m(u) = min(Γ_small(u) ∪ {u}) (= min
+        # neighbor, since every stored neighbor is < u)
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        joined = large.join(smins, on="u")
+        new_edges = (
+            joined.select(F.col("u"), F.col("m").alias("nv"))
+            .union(
+                joined.select(
+                    F.col("v").alias("u"), F.col("m").alias("nv")
+                )
+            )
+            .filter(F.col("u") != F.col("nv"))
+            .select("u", F.col("nv").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_edges.exceptAll(edges).isEmpty()
+            and edges.exceptAll(new_edges).isEmpty()
+        )
+        edges.unpersist()
+        edges = new_edges
+        if converged:
+            break
+    else:
+        raise RuntimeError(
+            f"alternating-star CC did not converge in {max_rounds} rounds"
+        )
+
+    # final edge set = stars (child u -> component min v); roots and
+    # singletons label themselves via the left-join coalesce
+    labels = edges.groupBy(F.col("u").alias("doc_id")).agg(
+        F.min("v").alias("cluster_id")
+    )
+    return docs.join(labels, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE
 pairs AS ({DEDUP_LSH_PAIRS_SQL}),
@@ -987,19 +1099,96 @@ LINE_MIN_DOCS = 2
 # The empty-doc guard is load-bearing: Spark's sequence(0, -1) DESCENDS
 # ([0, -1]) instead of returning [], so an empty token list would grow
 # two phantom segments (and DuckDB's range(0, 0) correctly yields []).
-_LINE_SEGS_S = (
-    f"CASE WHEN size(toks) = 0 THEN array() ELSE "
-    f"transform(sequence(0, CAST((size(toks) + {LINE_SEG_LEN - 1}) "
-    f"DIV {LINE_SEG_LEN} AS INT) - 1), "
-    f"i -> array_join(slice(toks, i * {LINE_SEG_LEN} + 1, "
-    f"{LINE_SEG_LEN}), ' ')) END"
+def _segs_expr_spark(seg_len: int) -> str:
+    return (
+        f"CASE WHEN size(toks) = 0 THEN array() ELSE "
+        f"transform(sequence(0, CAST((size(toks) + {seg_len - 1}) "
+        f"DIV {seg_len} AS INT) - 1), "
+        f"i -> array_join(slice(toks, i * {seg_len} + 1, "
+        f"{seg_len}), ' ')) END"
+    )
+
+
+def _segs_expr_duck(seg_len: int) -> str:
+    return (
+        f"list_transform(range(0, CAST((len(toks) + {seg_len - 1}) "
+        f"// {seg_len} AS INT)), "
+        f"i -> array_to_string(toks[(i * {seg_len} + 1):"
+        f"(i * {seg_len} + {seg_len})], ' '))"
+    )
+
+
+_LINE_SEGS_S = _segs_expr_spark(LINE_SEG_LEN)
+_LINE_SEGS_D = _segs_expr_duck(LINE_SEG_LEN)
+
+
+INTRADOC_SEG_LEN = 2  # see docstring: the window length with actual
+# within-doc repetition signal on this corpus
+
+
+def dedup_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repeated-segment removal (keep the FIRST
+    occurrence) — the intra-doc counterpart of dedup_lines' cross-doc
+    boilerplate strip; RefinedWeb/Dolma run both. A repeated segment
+    inside one document (navigation blocks, pagination echoes,
+    scraper stutter) survives cross-doc dedup because frequency is
+    counted per-document there.
+
+    Pure projection — ZERO shuffles, no joins: the keep-first test is
+    `array_position(segs, s) == index` inside a filter HOF, O(k²) per
+    doc on the SEGMENT count k (tens for web docs), entirely inside
+    whole-stage codegen. At 100 TB this runs as a map-only stage over
+    the scan, the cheapest possible plan shape. Same segmenter family
+    as dedup_lines but at INTRADOC_SEG_LEN=2 — measured on this
+    corpus: 8-token windows repeat within a doc exactly never, 2-token
+    windows in 181 of 500 docs at sf0.01 (templated sentences); on
+    real extracted text swap the segmenter for split('\\n'), the
+    dedup_lines note."""
+    return dedup_intradoc_of(_docs(spark, sf_dir))
+
+
+def dedup_intradoc_of(
+    docs: DataFrame, seg_len: int = INTRADOC_SEG_LEN
+) -> DataFrame:
+    """The operator form over any (doc_id, text) DataFrame."""
+    segd = docs.select("doc_id", F.expr(TOKS_S).alias("toks")).select(
+        "doc_id", F.expr(_segs_expr_spark(seg_len)).alias("segs")
+    )
+    # Spark HOF lambda index is 0-based; array_position is 1-based
+    # first-match — keep s at position i iff its first occurrence IS i
+    return segd.select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_segs"),
+        F.expr(
+            "filter(segs, (s, i) -> array_position(segs, s) = i + 1)"
+        ).alias("kept"),
+    ).select(
+        "doc_id",
+        "n_segs",
+        (F.col("n_segs") - F.size("kept")).cast("long").alias("n_dup"),
+        F.array_join("kept", " ").alias("text_clean"),
+    )
+
+
+# DuckDB's lambda index is 1-based (Spark's is 0-based); its
+# array_to_string([]) yields NULL where Spark's array_join yields ''
+# (the documented gotcha) — hence the coalesce.
+DEDUP_INTRADOC_SQL = f"""
+WITH segd AS (
+  SELECT doc_id, {_segs_expr_duck(INTRADOC_SEG_LEN)} AS segs
+  FROM (SELECT doc_id, {TOKS_D} AS toks FROM documents)
+),
+kept AS (
+  SELECT doc_id, len(segs) AS n_segs,
+         list_filter(segs, (s, i) -> list_position(segs, s) = i) AS k
+  FROM segd
 )
-_LINE_SEGS_D = (
-    f"list_transform(range(0, CAST((len(toks) + {LINE_SEG_LEN - 1}) "
-    f"// {LINE_SEG_LEN} AS INT)), "
-    f"i -> array_to_string(toks[(i * {LINE_SEG_LEN} + 1):"
-    f"(i * {LINE_SEG_LEN} + {LINE_SEG_LEN})], ' '))"
-)
+SELECT doc_id,
+       CAST(n_segs AS BIGINT) AS n_segs,
+       CAST(n_segs - len(k) AS BIGINT) AS n_dup,
+       coalesce(array_to_string(k, ' '), '') AS text_clean
+FROM kept
+"""
 
 
 def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1431,32 +1620,68 @@ def shingle_keys_of(docs: DataFrame) -> DataFrame:
 SUBSTR_W = 8  # window length in tokens
 SUBSTR_MIN_DOCS = 2
 
-_WINS_S = (
-    f"CASE WHEN size(toks) >= {SUBSTR_W} THEN "
-    f"transform(sequence(0, size(toks) - {SUBSTR_W}), i -> "
-    f"named_struct('idx', CAST(i AS BIGINT), "
-    f"'h', md5(array_join(slice(toks, i + 1, {SUBSTR_W}), ' ')))) "
-    "ELSE CAST(array() AS ARRAY<STRUCT<idx: BIGINT, h: STRING>>) END"
-)
-_WINS_D = (
-    f"CASE WHEN len(toks) >= {SUBSTR_W} THEN "
-    f"list_transform(range(len(toks) - {SUBSTR_W} + 1), i -> "
-    f"{{'idx': CAST(i AS BIGINT), "
-    f"'h': md5(array_to_string(toks[i + 1:i + {SUBSTR_W}], ' '))}}) "
-    "ELSE [] END"
-)
+# stride parameterization (round-4): production crawls run stride > 1
+# — W-token windows only at positions 0, s, 2s, … — trading the
+# guarantee of catching EVERY duplicated W-window for a 1/s cost cut
+# in windows hashed AND shuffled. The approximation is alignment: a
+# cross-doc span match is seen only when both docs window it at the
+# same phase mod s, so long runs are still caught (a run of L tokens
+# yields ~(L - W)/s strided windows) while isolated borderline-W spans
+# can slip. idx stays the STRIDE-SPACE index (0, 1, 2, …) so the
+# island chain (consecutive duplicated windows) works unchanged; a
+# run of R windows covers (R - 1)·s + W tokens.
+def _wins_expr_spark(stride: int) -> str:
+    return (
+        f"CASE WHEN size(toks) >= {SUBSTR_W} THEN "
+        f"transform(sequence(0, CAST((size(toks) - {SUBSTR_W}) "
+        f"DIV {stride} AS INT)), i -> "
+        f"named_struct('idx', CAST(i AS BIGINT), "
+        f"'h', md5(array_join(slice(toks, i * {stride} + 1, "
+        f"{SUBSTR_W}), ' ')))) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<idx: BIGINT, h: STRING>>) END"
+    )
+
+
+def _wins_expr_duck(stride: int) -> str:
+    return (
+        f"CASE WHEN len(toks) >= {SUBSTR_W} THEN "
+        f"list_transform(range(CAST((len(toks) - {SUBSTR_W}) "
+        f"// {stride} AS INT) + 1), i -> "
+        f"{{'idx': CAST(i AS BIGINT), "
+        f"'h': md5(array_to_string(toks[i * {stride} + 1:"
+        f"i * {stride} + {SUBSTR_W}], ' '))}}) "
+        "ELSE [] END"
+    )
+
+
+_WINS_S = _wins_expr_spark(1)
+_WINS_D = _wins_expr_duck(1)
+
+
+SUBSTR_STRIDE = 4  # the strided catalog entry's stride (the
+# production-cost form; stride 1 remains the exactness contract)
 
 
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_substring_spans_of(_docs(spark, sf_dir))
 
 
-def dedup_substring_spans_of(docs: DataFrame) -> DataFrame:
+def dedup_substring_strided(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stride > 1 production form: 1/stride of the windows hashed
+    and shuffled; cross-doc matches require phase alignment mod stride
+    (see _wins_expr_spark). Same plan shape as the stride-1 entry."""
+    return dedup_substring_spans_of(_docs(spark, sf_dir), SUBSTR_STRIDE)
+
+
+def dedup_substring_spans_of(docs: DataFrame, stride: int = 1) -> DataFrame:
     from pyspark.sql import Window
 
     wins = (
         docs.withColumn("toks", F.expr(TOKS_S))
-        .select("doc_id", F.explode(F.expr(_WINS_S)).alias("w"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(_wins_expr_spark(stride))).alias("w"),
+        )
         .select("doc_id", "w.idx", "w.h")
     )
     dup = (
@@ -1498,16 +1723,17 @@ def dedup_substring_spans_of(docs: DataFrame) -> DataFrame:
             "CAST(sum(nd) * 1000 DIV sum(cnt) AS BIGINT)"
         ).alias("dup_pm"),
         F.expr(
-            f"CAST(coalesce(max(CASE WHEN isl >= 0 THEN cnt END) "
-            f"+ {SUBSTR_W} - 1, 0) AS BIGINT)"
+            f"CAST(coalesce((max(CASE WHEN isl >= 0 THEN cnt END) - 1) "
+            f"* {stride} + {SUBSTR_W}, 0) AS BIGINT)"
         ).alias("max_dup_run_tokens"),
     )
 
 
-DEDUP_SUBSTRING_SQL = f"""
+def _substring_sql(stride: int) -> str:
+    return f"""
 WITH wins AS (
   SELECT doc_id, w['idx'] AS idx, w['h'] AS h FROM (
-    SELECT doc_id, unnest({_WINS_D}) AS w
+    SELECT doc_id, unnest({_wins_expr_duck(stride)}) AS w
     FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
   )
 ),
@@ -1536,7 +1762,11 @@ SELECT doc_id,
        CAST(SUM(cnt) AS BIGINT) AS n_windows,
        CAST(SUM(nd) AS BIGINT) AS n_dup_windows,
        CAST(SUM(nd) * 1000 // SUM(cnt) AS BIGINT) AS dup_pm,
-       CAST(coalesce(MAX(CASE WHEN isl >= 0 THEN cnt END)
-            + {SUBSTR_W} - 1, 0) AS BIGINT) AS max_dup_run_tokens
+       CAST(coalesce((MAX(CASE WHEN isl >= 0 THEN cnt END) - 1)
+            * {stride} + {SUBSTR_W}, 0) AS BIGINT) AS max_dup_run_tokens
 FROM per_island GROUP BY doc_id
 """
+
+
+DEDUP_SUBSTRING_SQL = _substring_sql(1)
+DEDUP_SUBSTRING_STRIDED_SQL = _substring_sql(SUBSTR_STRIDE)
