@@ -5,6 +5,11 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
       → canonicalize (single-space text, 120-bit (hi, lo) md5(url) key)
       → quality/lang features  (queries/corpus_select.features_of)
       → quality + language gate
+      → [optional] intra-doc dedup
+                                (queries/dedup.dedup_intradoc_of:
+                                 --intradoc strips WITHIN-document
+                                 repeated segments before any
+                                 cross-document pass)
       → [optional] line dedup   (queries/dedup.dedup_lines_of:
                                  --line-dedup strips cross-document
                                  repeated segments over the gated
@@ -117,6 +122,7 @@ def build_corpus(
     mix_shards: int | None = None,
     contam_ngram: int | None = None,
     line_dedup: bool = False,
+    intradoc: bool = False,
     seen_index: str | None = None,
     seen_drop_pm: int = 800,
 ) -> dict:
@@ -187,6 +193,38 @@ def build_corpus(
         # export, and docs reduced to nothing are dropped. Quality was
         # scored on the original text (gate-then-clean order,
         # documented); n_boiler rides the funnel summary.
+        # optional WITHIN-document repeated-segment strip (scraper
+        # stutter, pagination echoes) — runs BEFORE the cross-document
+        # line-dedup frequency pass so intra-doc repeats can't inflate
+        # the corpus boilerplate counts. Pure projection + rejoin on
+        # the gated checkpoint; emptied docs are dropped like the
+        # line-dedup stage's.
+        n_intradoc_segs = 0
+        n_gated_intra = n_gated
+        if intradoc:
+            from pdf_extractor_spark.queries.dedup import dedup_intradoc_of
+
+            cleaned = dedup_intradoc_of(gated.select("doc_id", "text"))
+            gated = (
+                gated.drop("text")
+                .join(
+                    cleaned.filter(F.length("text_clean") > 0).select(
+                        "doc_id",
+                        F.col("text_clean").alias("text"),
+                        "n_dup",
+                    ),
+                    on="doc_id",
+                )
+                .localCheckpoint(eager=True)
+            )
+            agg = gated.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_dup").alias("d"),
+            ).collect()[0]
+            n_gated_intra = int(agg["n"])
+            n_intradoc_segs = int(agg["d"] or 0)
+            gated = gated.drop("n_dup")
+
         n_boiler_segs = 0
         if line_dedup:
             from pdf_extractor_spark.queries.dedup import dedup_lines_of
@@ -214,7 +252,7 @@ def build_corpus(
             n_boiler_segs = int(agg["b"] or 0)
             gated = gated.drop("n_boiler")
         else:
-            n_gated_clean = n_gated
+            n_gated_clean = n_gated_intra
 
         # optional incremental seen-index (the daily-crawl production
         # shape): a persisted Bloom bitmap remembers every shingle the
@@ -378,6 +416,8 @@ def build_corpus(
             "rows_in": n_in,
             "rows_clean": n_docs,
             "rows_gated": n_gated,
+            "rows_intradoc_cleaned": n_gated_intra,
+            "intradoc_segments_removed": n_intradoc_segs,
             "rows_line_cleaned": n_gated_clean,
             "boiler_segments_removed": n_boiler_segs,
             "rows_seen_dropped": n_seen_dropped,
@@ -410,6 +450,11 @@ def main(argv: list[str] | None = None) -> None:
         help="path to eval-set docs (parquet or jsonl with a `text` "
         "column); survivors sharing word n-grams with it are dropped "
         "before sampling",
+    )
+    ap.add_argument(
+        "--intradoc", action="store_true",
+        help="strip WITHIN-document repeated segments (scraper stutter) "
+        "after gating, before the cross-document passes",
     )
     ap.add_argument(
         "--line-dedup", action="store_true",
@@ -449,6 +494,7 @@ def main(argv: list[str] | None = None) -> None:
         args.min_chars, args.shards, args.partitions,
         benchmark=args.benchmark, mix_shards=args.mix_shards,
         contam_ngram=args.contam_ngram, line_dedup=args.line_dedup,
+        intradoc=args.intradoc,
         seen_index=args.seen_index, seen_drop_pm=args.seen_drop_pm,
     )
     print(json.dumps(summary))

@@ -237,6 +237,43 @@ def test_corpus_job_line_dedup(spark, tmp_path):
     assert s3["boiler_segments_removed"] == 0
 
 
+def test_corpus_job_intradoc(spark, tmp_path):
+    """--intradoc: the within-document strip stage composes with (and
+    runs before) the cross-document passes; funnel stays monotone,
+    deterministic, and the flag off keeps the legacy shape."""
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=29, n_rows=120, n_days=2)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out1 = str(tmp_path / "c1")
+    out2 = str(tmp_path / "c2")
+    s1 = build_corpus(
+        spark, wh, out1, budget=10, intradoc=True, line_dedup=True
+    )
+    assert (
+        s1["rows_gated"]
+        >= s1["rows_intradoc_cleaned"]
+        >= s1["rows_line_cleaned"]
+        >= s1["rows_survivors"]
+    )
+    assert s1["intradoc_segments_removed"] >= 0
+    assert s1["rows_exported"] > 0
+
+    s2 = build_corpus(
+        spark, wh, out2, budget=10, intradoc=True, line_dedup=True
+    )
+    r1 = {(r["url"], r["text"]) for r in _read_jsonl(out1)}
+    r2 = {(r["url"], r["text"]) for r in _read_jsonl(out2)}
+    assert r1 == r2
+
+    out3 = str(tmp_path / "c3")
+    s3 = build_corpus(spark, wh, out3, budget=10)
+    assert s3["rows_intradoc_cleaned"] == s3["rows_gated"]
+    assert s3["intradoc_segments_removed"] == 0
+
+
 def test_corpus_job_incremental_seen_index(spark, tmp_path):
     """The daily-incremental shape: run 1 creates the seen-index from
     its export; run 2 over the SAME warehouse drops every previously
