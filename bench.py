@@ -129,12 +129,15 @@ HEADLINE = [
     "dedup_simhash",
     "ngram_jaccard",
     "dedup_near_pipeline",
+    "dedup_clusters_star",
     "dedup_embedding_cosine",
     "dedup_semantic",
     "text_semantic_dedup",
     "dedup_incremental",
     "dedup_lines",
+    "dedup_intradoc",
     "dedup_substring_spans",
+    "dedup_substring_strided",
     "decontaminate",
     "event_sessions",
     "events_asof_join",

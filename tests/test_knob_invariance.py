@@ -22,8 +22,11 @@ SF = "/root/testdata/sf0.001"
 
 ENTRIES = [
     "dedup_near_pipeline",
+    "dedup_clusters_star",
+    "dedup_semantic",
     "dedup_bloom_probe_bitmap",
     "dedup_substring_spans",
+    "dedup_substring_strided",
     "sketch_distinct_kmv_partial",
     "text_tfidf_topk",
     "corpus_pack_sequences",
