@@ -706,7 +706,10 @@ EMBEDDING_CENTROID_CLUSTERED_SQL = _centroid_sql(
 # key space is wide, at the 16-cell test scale AQE coalesces it). Cross-
 # cell near-dups are invisible by design — that approximation IS the
 # algorithm (the paper reports the within-cluster restriction loses
-# almost nothing on web corpora because semantic dups co-cluster).
+# almost nothing on web corpora because semantic dups co-cluster; on
+# the clustered fixture the loss is exactly ZERO — all 5,697 global
+# cos >= 0.9 pairs land within one cell, test-pinned in
+# tests/test_semantic_dedup.py::test_within_cell_coverage_is_total_...).
 SEMANTIC_TAU = 0.9  # measured on the clustered fixture: 5,697 of the
 # ~2M pairs sit at raw cosine >= 0.9 (max 0.9444, p99.9 0.9089) — the
 # threshold catches the genuinely-clustered mass with non-trivial but

@@ -72,6 +72,27 @@ def test_drop_justification_and_completeness(spark):
     assert expected.sum() > 0 and (expected == 0).sum() > 0
 
 
+def test_within_cell_coverage_is_total_on_fixture(spark):
+    """The algorithm's one approximation is ignoring cross-cell pairs;
+    on the clustered fixture the learned cells capture EVERY global
+    cos >= tau pair (coverage 1.000, measured and pinned) — the
+    SemDeDup paper's semantic-dups-co-cluster claim, demonstrated."""
+    out = dedup_semantic(spark, SF_DIR).toPandas()
+    bk = dict(zip(out.vec_id, out.bucket))
+    emb = _prep(spark.read.parquet(str(CLUSTERED_PATH))).select(
+        "vec_id", "v"
+    ).toPandas()
+    V = np.array([np.array(v, dtype=float) for v in emb.v])
+    U = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = np.round(U @ U.T, 9)
+    ids = emb.vec_id.to_numpy()
+    iu = np.triu_indices(len(ids), 1)
+    hit = S[iu] >= SEMANTIC_TAU
+    ga, gb = ids[iu[0][hit]], ids[iu[1][hit]]
+    assert hit.sum() > 1000  # the fixture has real signal
+    assert all(bk[a] == bk[b] for a, b in zip(ga, gb))
+
+
 def test_no_cartesian_plan(spark):
     plan = dedup_semantic(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
