@@ -143,6 +143,8 @@ HEADLINE = [
     "events_asof_join",
     "events_range_join",
     "events_rollup",
+    "events_cohort_retention",
+    "events_funnel",
     "events_sliding_window",
     "sketch_distinct_kmv",
     "sketch_distinct_kmv_partial",

@@ -599,6 +599,17 @@ CATALOG: dict[str, QuerySpec] = {
         "hypertable-style rollup: hour + day grains from ONE scan via "
         "GROUPING SETS (map-side partials, one shuffle) — replaces "
         "N per-grain jobs; exact-integer metrics"),
+    "events_cohort_retention": QuerySpec(
+        temporal.events_cohort_retention,
+        temporal.EVENTS_COHORT_RETENTION_SQL,
+        "cohort retention matrix: first-seen day per user x day "
+        "offset, distinct-active counts + integer per-mille rate; "
+        "user-key co-partitioned join, O(days) sizes broadcast"),
+    "events_funnel": QuerySpec(
+        temporal.events_funnel, temporal.EVENTS_FUNNEL_SQL,
+        "ordered funnel view>click>purchase: three chained per-user "
+        "min-aggs (strict ts ordering between steps), joins only on "
+        "one-row-per-user sides; integer per-mille conversion"),
     "sketch_distinct_kmv": QuerySpec(
         temporal.sketch_distinct_kmv, temporal.SKETCH_KMV_SQL,
         "KMV distinct-count sketch: deterministic k-minimum md5 "

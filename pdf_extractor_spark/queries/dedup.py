@@ -516,12 +516,16 @@ def _alternating_star_cc(
             .agg(F.min("v").alias("mv"))
             .select("u", F.least("mv", "u").alias("m"))
         )
+        # materialized once per round: referenced twice below (smins +
+        # joined) and Spark shares no subplans — unmaterialized, the
+        # sym⋈mins join would execute twice per round
         large = (
             sym.join(mins, on="u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         # small-star on the down orientation: u and all its smaller
         # neighbors point at m(u) = min(Γ_small(u) ∪ {u}) (= min
@@ -544,6 +548,7 @@ def _alternating_star_cc(
             new_edges.exceptAll(edges).isEmpty()
             and edges.exceptAll(new_edges).isEmpty()
         )
+        large.unpersist()
         edges.unpersist()
         edges = new_edges
         if converged:

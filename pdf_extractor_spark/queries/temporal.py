@@ -682,3 +682,197 @@ GROUP BY GROUPING SETS (
   (bucket_day, event_type)
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Cohort retention — the warehouse analytics class the temporal family
+# still lacked: users bucketed by FIRST-seen day (naive-epoch days, the
+# family's TZ-independent integer time base), then the distinct-user
+# count active at each day offset per cohort, with an integer per-mille
+# retention rate.
+#
+# Plan shape at scale: first-seen = one groupBy(user_id) min; the
+# activity join is user_id ⋈ user_id (the same key both sides shuffle
+# on — co-partitioned, no extra exchange beyond the two aggs); cohort
+# sizes are O(days) rows and broadcast for the rate. Nothing touches
+# event payloads; distinct-activity is deduped BEFORE the matrix agg so
+# the final shuffle carries (cohort, offset, user) at most once per
+# user-day.
+US_PER_DAY = 86_400_000_000
+
+
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.expr(f"CAST({TS_US_S} DIV {US_PER_DAY} AS BIGINT)").alias("day"),
+    ).distinct()
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        ev.join(first, on="user_id")
+        .select(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    sizes = first.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_users")
+    )
+    return (
+        act.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sizes), on="cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_users",
+            F.expr("n_active * 1000 DIV cohort_users").alias(
+                "retention_pm"
+            ),
+        )
+    )
+
+
+EVENTS_COHORT_RETENTION_SQL = f"""
+WITH ev AS (
+  SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id,
+         CAST({TS_US_D} // {US_PER_DAY} AS BIGINT) AS day
+  FROM events
+),
+first AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+act AS (
+  SELECT DISTINCT f.cohort_day, ev.day - f.cohort_day AS day_offset,
+         ev.user_id
+  FROM ev JOIN first f USING (user_id)
+),
+sizes AS (
+  SELECT cohort_day, count(*) AS cohort_users FROM first GROUP BY cohort_day
+)
+SELECT a.cohort_day, a.day_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       s.cohort_users,
+       CAST(count(*) * 1000 // s.cohort_users AS BIGINT) AS retention_pm
+FROM act a JOIN sizes s USING (cohort_day)
+GROUP BY a.cohort_day, a.day_offset, s.cohort_users
+"""
+
+
+# --------------------------------------------------------------------------
+# Ordered funnel — the second classic the events family lacked: of the
+# users who ever 'view', how many 'click' within the step window after
+# it, and 'purchase' within the window after THAT (strict ts ordering,
+# earliest qualifying event per step per user). Three chained per-user
+# min-aggregations; every join is user_id ⋈ user_id on already-grouped
+# (one row per user) sides, so after the first groupBy the data is
+# tiny and co-partitioned — event payloads are touched once. Counts +
+# integer per-mille conversion vs the step-1 population. The 24 h step
+# window is what gives the funnel decay on this corpus (measured at
+# sf0.01: unbounded = 1000/1000/1000 trivially — every user does
+# everything eventually; 24 h = 150 -> 60 -> 25 users).
+FUNNEL_STEPS = ["view", "click", "purchase"]
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.expr(TS_US_S).alias("ts_us"),
+    )
+    t1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(t1, on="user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t1"))
+            & (F.col("ts_us") <= F.col("t1") + F.lit(FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(t2, on="user_id")
+        .filter(
+            (F.col("ts_us") > F.col("t2"))
+            & (F.col("ts_us") <= F.col("t2") + F.lit(FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t3"))
+    )
+    counts = (
+        t1.agg(F.count("*").alias("n")).select(
+            F.lit(1).cast("long").alias("step"),
+            F.lit(FUNNEL_STEPS[0]).alias("event_type"),
+            "n",
+        )
+        .union(
+            t2.agg(F.count("*").alias("n")).select(
+                F.lit(2).cast("long").alias("step"),
+                F.lit(FUNNEL_STEPS[1]).alias("event_type"),
+                "n",
+            )
+        )
+        .union(
+            t3.agg(F.count("*").alias("n")).select(
+                F.lit(3).cast("long").alias("step"),
+                F.lit(FUNNEL_STEPS[2]).alias("event_type"),
+                "n",
+            )
+        )
+    )
+    base = t1.agg(F.count("*").alias("n_base"))
+    return counts.crossJoin(F.broadcast(base)).select(
+        "step",
+        "event_type",
+        F.col("n").cast("long").alias("n_users"),
+        F.expr("CAST(n * 1000 DIV n_base AS BIGINT)").alias(
+            "conversion_pm"
+        ),
+    )
+
+
+EVENTS_FUNNEL_SQL = f"""
+WITH ev AS (
+  SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+         {TS_US_D} AS ts_us
+  FROM events
+),
+t1 AS (
+  SELECT user_id, min(ts_us) AS t1 FROM ev
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT ev.user_id, min(ts_us) AS t2
+  FROM ev JOIN t1 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[1]}'
+    AND ts_us > t1 AND ts_us <= t1 + {FUNNEL_WINDOW_US}
+  GROUP BY ev.user_id
+),
+t3 AS (
+  SELECT ev.user_id, min(ts_us) AS t3
+  FROM ev JOIN t2 USING (user_id)
+  WHERE event_type = '{FUNNEL_STEPS[2]}'
+    AND ts_us > t2 AND ts_us <= t2 + {FUNNEL_WINDOW_US}
+  GROUP BY ev.user_id
+),
+counts AS (
+  SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+         (SELECT count(*) FROM t1) AS n
+  UNION ALL
+  SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM t2)
+  UNION ALL
+  SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM t3)
+)
+SELECT CAST(step AS BIGINT) AS step, event_type,
+       CAST(n AS BIGINT) AS n_users,
+       CAST(n * 1000 // (SELECT count(*) FROM t1) AS BIGINT)
+         AS conversion_pm
+FROM counts
+"""
