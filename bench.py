@@ -151,6 +151,7 @@ HEADLINE = [
     "sketch_distinct_hll",
     "dedup_bloom_probe",
     "dedup_bloom_probe_bitmap",
+    "dedup_cms_hot",
     "embedding_topk",
     "embedding_multiprobe_clustered",
     "embedding_ivf_topk",

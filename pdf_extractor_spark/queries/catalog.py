@@ -669,6 +669,15 @@ CATALOG: dict[str, QuerySpec] = {
         "the production Bloom shape: per-partition Arrow-batch bitmap "
         "partials OR-merged at plan build, vectorized numpy bit-test "
         "probe — bit-identical to the relational form, same oracle"),
+    "dedup_cms_hot": QuerySpec(
+        dedup.dedup_cms_hot, dedup.DEDUP_CMS_HOT_SQL,
+        "Count-Min sketch hot-shingle gate: the counting analog of the "
+        "Bloom layer — batch shingles probed against a d×m CMS of "
+        "corpus shingle document frequencies (map-side-combined "
+        "groupBy, shuffle <= d×m rows/partition regardless of "
+        "vocabulary); one-sided error gives the hot gate NO false "
+        "negatives, threshold relative (per-mille of corpus docs) so "
+        "the gate survives 100× corpus growth"),
     "dedup_lines": QuerySpec(
         dedup.dedup_lines, dedup.DEDUP_LINES_SQL,
         "CCNet-style line/segment boilerplate dedup: cross-document "

@@ -1600,6 +1600,150 @@ def shingle_keys_of(docs: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Count-Min sketch boilerplate-frequency gate — the COUNTING analog of
+# the Bloom gate above (Cormode & Muthukrishnan 2005). The Bloom layer
+# answers "was this shingle seen at all"; production boilerplate removal
+# (CCNet's frequency pass, dedup_lines here) additionally needs "in HOW
+# MANY documents" — and the exact document-frequency table is
+# O(vocabulary) state, which at 10^12 docs is itself a petabyte-class
+# shuffle. The CMS replaces it with a fixed d×m integer counter table:
+#
+# - build: every (doc, distinct-shingle) occurrence increments d=CMS_D
+#   counters (one per hash row) — relationally a groupBy((j, pos))
+#   count, so map-side partial aggregation bounds the shuffle at
+#   d×m rows per input partition REGARDLESS of vocabulary size, and
+#   the finished sketch is d×m ≤ 8K BIGINTs: broadcastable forever.
+# - probe: a shingle's estimated df = min over its d counters. The CMS
+#   theorem gives one-sided error: est_df >= true df ALWAYS (collisions
+#   only add mass), so a hot-shingle gate built on the estimate has NO
+#   FALSE NEGATIVES — every truly-frequent shingle is flagged; the only
+#   cost is occasional false-hots, bounded by E[overflow] <= N/m per
+#   row and the min over d rows (tests pin both properties).
+#
+# Hash parity: the Bloom discipline exactly — one md5 per shingle,
+# Kirsch-Mitzenmacher (h1 + j*h2) mod CMS_M positions, pure BIGINT
+# arithmetic in both engines.
+#
+# The hot threshold is RELATIVE (per-mille of corpus doc count), so the
+# gate is scale-invariant: a shingle is boilerplate when it appears in
+# >= CMS_HOT_PM per-mille of corpus documents, not at some absolute df
+# that stops meaning anything when the corpus grows 100x.
+CMS_D = 4  # hash rows
+CMS_M = 2048  # counters per row
+CMS_HOT_PM = 65  # hot if est_df * 1000 >= CMS_HOT_PM * n_corpus_docs
+
+
+def _cms_rowpos(m: int = CMS_M) -> str:
+    """d (row, position) pairs per md5 key `kh` — KM double hashing."""
+    return (
+        f"transform(sequence(0, {CMS_D - 1}), j -> named_struct("
+        "'j', j, 'pos', "
+        "(CAST(conv(substr(kh, 1, 8), 16, 10) AS BIGINT) + "
+        "j * CAST(conv(substr(kh, 9, 8), 16, 10) AS BIGINT)) "
+        f"% {m}))"
+    )
+
+
+def dedup_cms_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_cms_hot_of(_docs(spark, sf_dir))
+
+
+def dedup_cms_hot_of(docs: DataFrame, m: int = CMS_M) -> DataFrame:
+    """Probe the NEW batch slice's distinct shingles against a Count-Min
+    sketch of the corpus slice's shingle document frequencies (the
+    dedup_incremental / bloom-gate split). Output per batch shingle:
+    (shingle, est_df, is_hot) — est_df >= true corpus df by the CMS
+    one-sided-error theorem, so is_hot=1 covers every truly-frequent
+    shingle (tests/test_cms.py pins both).
+    """
+    corpus, batch = _bloom_split(docs)
+    n_docs = corpus.select(F.countDistinct("doc_id").alias("n_docs"))
+    counters = (
+        _bloom_shingles(corpus)  # one (doc_id, kh) per distinct shingle/doc
+        .select(F.explode(F.expr(_cms_rowpos(m))).alias("rp"))
+        .select("rp.j", "rp.pos")
+        .groupBy("j", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probe = (
+        batch.withColumn("toks", F.expr(TOKS_S))
+        .select(F.explode(F.expr(SHINGLES_S)).alias("shingle"))
+        .distinct()
+        .withColumn("kh", F.md5("shingle"))
+        .select("shingle", F.explode(F.expr(_cms_rowpos(m))).alias("rp"))
+        .select("shingle", "rp.j", "rp.pos")
+    )
+    est = (
+        probe.join(F.broadcast(counters), on=["j", "pos"], how="left")
+        .groupBy("shingle")
+        .agg(
+            F.expr("CAST(min(coalesce(cnt, 0)) AS BIGINT)").alias("est_df")
+        )
+    )
+    return est.crossJoin(F.broadcast(n_docs)).select(
+        "shingle",
+        "est_df",
+        F.expr(
+            f"CAST(CASE WHEN est_df * 1000 >= {CMS_HOT_PM} * n_docs "
+            "THEN 1 ELSE 0 END AS INT)"
+        ).alias("is_hot"),
+    )
+
+
+_CMS_POS_D = (
+    "(('0x' || substr(kh, 1, 8))::BIGINT "
+    f"+ j * ('0x' || substr(kh, 9, 8))::BIGINT) % {CMS_M}"
+)
+
+DEDUP_CMS_HOT_SQL = f"""
+WITH corpus AS (
+  SELECT * FROM documents WHERE doc_id % {BATCH_MOD} < {BATCH_MIN}
+),
+batch AS (
+  SELECT * FROM documents WHERE doc_id % {BATCH_MOD} >= {BATCH_MIN}
+),
+occ AS (
+  SELECT doc_id, md5(shingle) AS kh FROM (
+    SELECT doc_id, unnest(shingles) AS shingle FROM (
+      SELECT doc_id, {SHINGLES_D} AS shingles FROM (
+        SELECT doc_id, text, {TOKS_D} AS toks FROM corpus
+      )
+    )
+  )
+),
+counters AS (
+  SELECT j, {_CMS_POS_D} AS pos, COUNT(*) AS cnt
+  FROM occ CROSS JOIN range({CMS_D}) r(j)
+  GROUP BY 1, 2
+),
+bsh AS (
+  SELECT DISTINCT shingle FROM (
+    SELECT unnest(shingles) AS shingle FROM (
+      SELECT {SHINGLES_D} AS shingles FROM (
+        SELECT text, {TOKS_D} AS toks FROM batch
+      )
+    )
+  )
+),
+probe AS (
+  SELECT shingle, j, {_CMS_POS_D} AS pos
+  FROM (SELECT shingle, md5(shingle) AS kh FROM bsh)
+  CROSS JOIN range({CMS_D}) r(j)
+),
+est AS (
+  SELECT shingle, CAST(MIN(coalesce(cnt, 0)) AS BIGINT) AS est_df
+  FROM probe LEFT JOIN counters USING (j, pos)
+  GROUP BY shingle
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM corpus)
+SELECT shingle, est_df,
+       CAST(CASE WHEN est_df * 1000 >= {CMS_HOT_PM} * n_docs
+            THEN 1 ELSE 0 END AS INT) AS is_hot
+FROM est CROSS JOIN nd
+"""
+
+
+# --------------------------------------------------------------------------
 # Exact-substring duplicated spans (Lee et al. 2022, "Deduplicating
 # Training Data Makes Language Models Better") — the OVERLAPPING-window
 # generalization of dedup_lines: every W-token window (stride 1) is
