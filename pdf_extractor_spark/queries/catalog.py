@@ -337,6 +337,85 @@ GROUP BY 1, 2, 3
 """
 
 
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup inside the hash gate: the events
+    fixture is landed TWICE — the full table, then a replayed slice
+    (event_id % 3 = 0) — as two single-file micro-batches, and
+    `dropDuplicatesWithinWatermark` (streaming/dedup.py) must suppress
+    every replay ACROSS the batch boundary (state carried between
+    micro-batches, not within-batch distinct). Watermark delay is far
+    (4000 days) so no key evicts during the run; the eviction trade is
+    pinned separately in tests/test_stream_dedup.py. Oracle: the
+    deduped stream equals the original events table."""
+    import os
+    import tempfile
+    import time
+
+    from pdf_extractor_spark.queries.relational import _events
+    from pdf_extractor_spark.streaming.dedup import dedup_stream
+
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    landing, out_dir, ck = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ck"
+    os.makedirs(landing)
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        ev = _events(spark, sf_dir).select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_type").cast("string").alias("event_type"),
+        )
+        now = time.time()
+        for i, (name, batch) in enumerate(
+            [("a", ev), ("b", ev.filter(F.col("event_id") % 3 == 0))]
+        ):
+            d = f"{landing}/{name}.parquet"
+            batch.coalesce(1).write.parquet(d)
+            mt = now - 300 + i * 60  # batch order follows mtime
+            for f_ in os.listdir(d):
+                os.utime(os.path.join(d, f_), (mt, mt))
+            os.utime(d, (mt, mt))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{landing}/*.parquet")
+        )
+        q = (
+            dedup_stream(stream, ["event_id"], watermark="4000 days")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(tz_key, prev_tz)
+
+    return spark.read.parquet(out_dir).select(
+        "event_id",
+        F.expr("unix_micros(ts)").alias("ts_us"),
+        "user_id",
+        "event_type",
+    )
+
+
+STREAM_DEDUP_SQL = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       epoch_us(ts) AS ts_us,
+       CAST(user_id AS BIGINT) AS user_id,
+       event_type
+FROM events
+"""
+
+
 def extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship extraction pipeline (SURVEY.md §4.3) over the committed
     micro corpus: binary payload → content-type dispatch → HTML DOM /
@@ -569,6 +648,13 @@ CATALOG: dict[str, QuerySpec] = {
         "the applyInPandasWithState stateful sessionizer run to "
         "completion as a Trigger.AvailableNow stream — hash-gated "
         "against the SAME SQL oracle as its batch twin"),
+    "stream_dedup": QuerySpec(
+        stream_dedup, STREAM_DEDUP_SQL,
+        "streaming exactly-once dedup: dropDuplicatesWithinWatermark "
+        "over an at-least-once landing (full table + replayed slice as "
+        "separate micro-batches) — cross-batch state suppresses every "
+        "replay; watermark eviction bounds state at 10^12-event scale "
+        "(the beyond-delay trade is pinned by test)"),
     "stream_window_counts": QuerySpec(
         stream_window_counts, _stream_window_counts_sql(),
         "watermarked tumbling-window streaming aggregate (built-in "
@@ -647,6 +733,14 @@ CATALOG: dict[str, QuerySpec] = {
         "small-star (Kiveris et al.): O(log n) rounds vs LP's "
         "O(diameter) — chain-shaped graphs converge exponentially "
         "faster; gated against the SAME recursive-CTE oracle"),
+    "dedup_jaccard_prefix": QuerySpec(
+        dedup.dedup_jaccard_prefix, dedup.DEDUP_JACCARD_PREFIX_SQL,
+        "exact-recall threshold Jaccard join (AllPairs/PPJoin prefix "
+        "filter): global rare-first shingle order, per-doc prefix of "
+        "n - ceil(tau*n) + 1, equi-join on prefix shingles + integer "
+        "size filter, exact hash-intersect verify — recall AND "
+        "precision 1.0 by theorem (differential-tested vs brute "
+        "force), the deterministic complement to MinHash-LSH"),
     "dedup_near_pipeline": QuerySpec(
         dedup.dedup_near_pipeline, dedup.DEDUP_NEAR_PIPELINE_SQL,
         "composed near-dup pipeline: LSH candidates → exact-Jaccard "

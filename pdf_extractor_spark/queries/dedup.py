@@ -699,6 +699,214 @@ WHERE CAST(n_inter AS DOUBLE) / (na.n_sh + nb.n_sh - n_inter)
 
 
 # --------------------------------------------------------------------------
+# Prefix-filtered exact-threshold Jaccard join (AllPairs / PPJoin family:
+# Bayardo et al. 2007, Chaudhuri et al. 2006) — the EXACT-RECALL
+# candidate generator, complementing MinHash-LSH above:
+#
+# - LSH banding is probabilistic: a true near-dup pair can miss every
+#   band (recall < 1 by construction, tunable but never guaranteed).
+# - Prefix filtering is a THEOREM: order every shingle by a global total
+#   order (df ascending, shingle as tie-break — rarest first), and any
+#   two sets with |A∩B| >= alpha must share an element within their
+#   first |X| - alpha + 1 shingles. Proof: the globally-smallest element
+#   x of A∩B cannot sit in A's last alpha-1 positions (all of A∩B would
+#   have to fit after it — alpha elements in alpha-1 slots), so x is in
+#   A's prefix, and symmetrically in B's. Jaccard >= tau implies
+#   |A∩B| >= ceil(tau·|X|) for each side, so the per-doc prefix of
+#   length n - ceil(tau·n) + 1 is sufficient: candidate recall is
+#   EXACTLY 1.0 (differential-tested against all-pairs brute force).
+#
+# Scale shape: prefixes prefer globally-RARE shingles, so the equi-join
+# fan-out per shingle key is its prefix-occurrence count, far below raw
+# df for frequent shingles; the size filter (tau·|A| <= |B| <= |A|/tau,
+# cross-multiplied integers) prunes length-incompatible pairs inside
+# the join. Cost is output-sensitive: a corpus that is one giant
+# duplicate class produces quadratic OUTPUT, and only then quadratic
+# work. The exact verify is the near-dup pipeline's O(|A|+|B|)
+# hash-intersect on semi-join-pruned shingle arrays.
+PREFIX_TAU_PM = 500  # Jaccard threshold, per-mille (= NEAR_DUP_JACCARD)
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_prefix_pairs_of(_docs(spark, sf_dir))
+
+
+def _prefix_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs via the prefix filter — a strict
+    superset of the true >= tau pairs (theorem above), far below the
+    all-pairs cross product (test-pinned)."""
+    from pyspark.sql import Window
+
+    sh = (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .select("doc_id", F.explode(F.expr(SHINGLES_S)).alias("shingle"))
+        .distinct()  # the ReusedExchange materialization point
+    )
+    dfw = Window.partitionBy("shingle")
+    docw = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    sizew = Window.partitionBy("doc_id")
+    pref = (
+        sh.withColumn("df", F.count("*").over(dfw))
+        .withColumn("rn", F.row_number().over(docw))
+        .withColumn("n_sh", F.count("*").over(sizew))
+        .filter(
+            F.expr(
+                f"rn <= n_sh - (({PREFIX_TAU_PM} * n_sh + 999) DIV 1000) + 1"
+            )
+        )
+        .select("doc_id", "shingle", "n_sh", "rn")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    # PPJoin positional filter: a match at positions (rn_a, rn_b) caps
+    # the possible overlap at 1 + min(n_a - rn_a, n_b - rn_b) (every
+    # common element sorts at or after the FIRST common one); the pair's
+    # required overlap is alpha = ceil(tau·(n_a+n_b)/(1+tau)). A
+    # qualifying pair always survives through its first common token's
+    # match row (recall stays 1.0 — differential-tested); late-position
+    # matches that cannot reach alpha are dropped before the distinct.
+    # Measured at sf0.1: candidates 5.49M -> 3.54M, end-to-end 105 s ->
+    # 68 s (this corpus's FIXED 916-shingle vocabulary is the filter's
+    # worst case — df grows linearly with corpus size, so the rare-first
+    # order prunes proportionally less than on Heaps-law webtext).
+    alpha = (
+        f"(({PREFIX_TAU_PM} * (a.n_sh + b.n_sh) + {1000 + PREFIX_TAU_PM} "
+        f"- 1) DIV {1000 + PREFIX_TAU_PM})"
+    )
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.shingle") == F.col("b.shingle"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+                F.expr(f"a.n_sh * {PREFIX_TAU_PM} <= b.n_sh * 1000"),
+                F.expr(f"b.n_sh * {PREFIX_TAU_PM} <= a.n_sh * 1000"),
+                F.expr(
+                    "1 + least(a.n_sh - a.rn, b.n_sh - b.rn) "
+                    f">= {alpha}"
+                ),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_prefix_pairs_of(docs: DataFrame) -> DataFrame:
+    """ALL pairs with word-2-gram Jaccard >= PREFIX_TAU_PM/1000 —
+    exact recall AND precision (prefix-filter candidates, then exact
+    verify). Output integer counts + one rounded division."""
+    cand = _prefix_candidates(docs).localCheckpoint(eager=True)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shs = (
+        docs.join(cand_ids, on="doc_id", how="left_semi")
+        .withColumn("toks", F.expr(TOKS_S))
+        .select("doc_id", F.expr(SHINGLES_S).alias("shingles"))
+    )
+    return (
+        cand.join(
+            shs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("shingles").alias("sh_a"),
+            ),
+            on="doc_a",
+        )
+        .join(
+            shs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)"
+            ).alias("n_inter"),
+            F.expr("CAST(size(sh_a) AS BIGINT)").alias("n_a"),
+            F.expr("CAST(size(sh_b) AS BIGINT)").alias("n_b"),
+        )
+        .filter(
+            F.expr(
+                f"n_inter * 1000 >= {PREFIX_TAU_PM} * (n_a + n_b - n_inter)"
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr(
+                "round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 5)"
+            ).alias("jaccard"),
+        )
+    )
+
+
+DEDUP_JACCARD_PREFIX_SQL = f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS shingle FROM (
+    SELECT doc_id, {SHINGLES_D} AS shingles FROM (
+      SELECT doc_id, text, {TOKS_D} AS toks FROM documents
+    )
+  )
+),
+wdf AS (
+  SELECT doc_id, shingle,
+         COUNT(*) OVER (PARTITION BY shingle) AS df
+  FROM sh
+),
+pref AS (
+  SELECT doc_id, shingle, n_sh, rn FROM (
+    SELECT doc_id, shingle,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY df, shingle)
+             AS rn,
+           COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+    FROM wdf
+  )
+  WHERE rn <= n_sh - (({PREFIX_TAU_PM} * n_sh + 999) // 1000) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+   AND a.n_sh * {PREFIX_TAU_PM} <= b.n_sh * 1000
+   AND b.n_sh * {PREFIX_TAU_PM} <= a.n_sh * 1000
+   AND 1 + least(a.n_sh - a.rn, b.n_sh - b.rn)
+       >= (({PREFIX_TAU_PM} * (a.n_sh + b.n_sh)
+            + {1000 + PREFIX_TAU_PM} - 1) // {1000 + PREFIX_TAU_PM})
+),
+full_sh AS (
+  SELECT doc_id, {SHINGLES_D} AS shingles FROM (
+    SELECT doc_id, text, {TOKS_D} AS toks FROM documents
+  )
+),
+ver AS (
+  SELECT doc_a, doc_b,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+           AS n_inter,
+         CAST(len(a.shingles) AS BIGINT) AS n_a,
+         CAST(len(b.shingles) AS BIGINT) AS n_b
+  FROM cand
+  JOIN full_sh a ON cand.doc_a = a.doc_id
+  JOIN full_sh b ON cand.doc_b = b.doc_id
+)
+SELECT doc_a, doc_b, n_inter, n_a, n_b,
+       round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 5) AS jaccard
+FROM ver
+WHERE n_inter * 1000 >= {PREFIX_TAU_PM} * (n_a + n_b - n_inter)
+"""
+
+
+# --------------------------------------------------------------------------
 # The composed near-dup pipeline — the query a 100 TB training-data run
 # actually executes, end to end: LSH candidate generation → exact-Jaccard
 # verification ON THOSE CANDIDATES (not a same-source proxy) → connected-

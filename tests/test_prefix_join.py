@@ -1,0 +1,89 @@
+"""Prefix-filtered exact Jaccard join invariants (cross-engine value
+parity is covered by the catalog oracle suite):
+
+- EXACT recall and precision: the output equals a plain-Python
+  all-pairs brute force (sets built independently of the Spark
+  expressions) — the theorem the operator rests on, verified end to
+  end including n_inter/n_a/n_b values;
+- the prefix filter actually prunes: candidate pairs are a strict
+  subset of all pairs and a superset of the true pairs;
+- two identical documents always pair with jaccard 1.0 (injected).
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+from pyspark.sql import functions as F
+
+from pdf_extractor_spark.queries.dedup import (
+    PREFIX_TAU_PM,
+    _prefix_candidates,
+    dedup_jaccard_prefix,
+    jaccard_prefix_pairs_of,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _shingles(text: str) -> frozenset[str]:
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) >= 2:
+        return frozenset(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+    return frozenset([text])
+
+
+def _brute_force(rows) -> set[tuple]:
+    sets = {r["doc_id"]: _shingles(r["text"]) for r in rows}
+    out = set()
+    for a, b in combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a]) + len(sets[b]) - inter
+        if inter * 1000 >= PREFIX_TAU_PM * union:
+            out.add((a, b, inter, len(sets[a]), len(sets[b])))
+    return out
+
+def test_equals_brute_force(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    expected = _brute_force(docs.select("doc_id", "text").collect())
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["n_a"], r["n_b"])
+        for r in dedup_jaccard_prefix(spark, SF).collect()
+    }
+    assert got == expected
+    assert len(expected) > 0  # the test has signal on this corpus
+
+
+def test_prefix_prunes_but_never_misses(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_docs = docs.count()
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _prefix_candidates(docs).collect()
+    }
+    true_pairs = {
+        (a, b)
+        for (a, b, *_ ) in _brute_force(
+            docs.select("doc_id", "text").collect()
+        )
+    }
+    assert true_pairs <= cand  # recall 1.0 at the candidate stage
+    assert len(cand) < n_docs * (n_docs - 1) // 2  # real pruning
+
+
+def test_identical_docs_always_pair(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_prefix_pairs_of(docs).collect()
+    }
+    assert rows == {(1, 2): 1.0}
