@@ -2127,3 +2127,160 @@ FROM per_island GROUP BY doc_id
 
 DEDUP_SUBSTRING_SQL = _substring_sql(1)
 DEDUP_SUBSTRING_STRIDED_SQL = _substring_sql(SUBSTR_STRIDE)
+
+
+# --------------------------------------------------------------------------
+# Exact-substring DELETION (the second half of Lee et al. 2022: the
+# spans report above FINDS duplicated substrings; production training
+# runs then CUT them, keeping one occurrence corpus-wide). Rule, exact
+# and deterministic:
+#
+# - every duplicated W-token window (seen in >= SUBSTR_MIN_DOCS
+#   distinct docs) has ONE keeper: the occurrence with the globally
+#   minimal (doc_id, idx) — computed as min(struct(doc_id, idx)) per
+#   hash, a map-side-combinable AGGREGATE, never a per-hash row_number
+#   (a boilerplate window hash occurring in 10^7 docs would make the
+#   rank window a single-key sort bomb; struct-min shuffles one row
+#   per (partition, hash));
+# - every NON-keeper occurrence marks its token range [idx+1, idx+W]
+#   for deletion; consecutive marked windows merge into islands (the
+#   spans report's running-sum trick) so the per-doc deletion list is
+#   O(islands), not O(windows);
+# - cleaning is a pure projection: keep token positions covered by no
+#   deletion range (nested HOF — filter positions by exists-over-
+#   ranges; ranges arrive via ONE join whose small side is the cut-doc
+#   range table, AQE-broadcast). Document text never shuffles.
+#
+# Lee et al.'s documented caveat applies here too: cutting a span
+# joins its neighbors, which can create NEW adjacencies; the pass is
+# idempotent-in-practice, not a fixed-point (re-running post-clean
+# spans is the check, not a guarantee). Differential-tested against a
+# plain-Python implementation of the same rule.
+
+
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_cut_of(_docs(spark, sf_dir))
+
+
+def substring_cut_of(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    wins = (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .select(
+            "doc_id",
+            F.explode(F.expr(_wins_expr_spark(1))).alias("w"),
+        )
+        .select("doc_id", "w.idx", "w.h")
+    )
+    dup = (
+        wins.select("doc_id", "h")
+        .distinct()
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= SUBSTR_MIN_DOCS)
+        .select("h")
+    )
+    dwins = wins.join(dup, on="h", how="left_semi")
+    keeper = dwins.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("k")
+    )
+    cut = (
+        dwins.join(keeper, on="h")
+        .filter(
+            F.expr("NOT (doc_id = k.doc_id AND idx = k.idx)")
+        )
+        .select("doc_id", "idx")
+    )
+    rn_w = Window.partitionBy("doc_id").orderBy("idx")
+    ranges = (
+        cut.withColumn("rn", F.row_number().over(rn_w))
+        .withColumn("isl", F.expr("idx - rn"))
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.expr("min(idx) + 1").alias("s"),
+            F.expr(f"max(idx) + {SUBSTR_W}").alias("e"),
+        )
+    )
+    rng_arr = ranges.groupBy("doc_id").agg(
+        F.expr("sort_array(collect_list(struct(s, e)))").alias("rngs"),
+        F.count("*").cast("long").alias("n_spans_cut"),
+    )
+    kept_pos = (
+        "filter(sequence(1, size(toks)), p -> "
+        "NOT exists(rngs, r -> p >= r.s AND p <= r.e))"
+    )
+    return (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .join(rng_arr, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.expr("CAST(size(toks) AS BIGINT)").alias("n_tokens_before"),
+            F.expr(
+                "CAST(CASE WHEN rngs IS NULL THEN size(toks) "
+                f"ELSE size({kept_pos}) END AS BIGINT)"
+            ).alias("n_tokens_after"),
+            F.expr("coalesce(n_spans_cut, 0)").alias("n_spans_cut"),
+            F.expr(
+                "CASE WHEN rngs IS NULL THEN array_join(toks, ' ') "
+                f"ELSE array_join(transform({kept_pos}, "
+                "p -> element_at(toks, p)), ' ') END"
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+_CUT_KEPT_POS_D = (
+    "list_filter(range(1, len(toks) + 1), p -> "
+    "len(list_filter(rngs, r -> p >= r.s AND p <= r.e)) = 0)"
+)
+
+DEDUP_SUBSTRING_CUT_SQL = f"""
+WITH wins AS (
+  SELECT doc_id, w['idx'] AS idx, w['h'] AS h FROM (
+    SELECT doc_id, unnest({_WINS_D}) AS w
+    FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
+  )
+),
+dup AS (
+  SELECT h FROM (
+    SELECT h, count(DISTINCT doc_id) AS nd
+    FROM (SELECT DISTINCT doc_id, h FROM wins)
+    GROUP BY h
+  ) WHERE nd >= {SUBSTR_MIN_DOCS}
+),
+dwins AS (SELECT w.* FROM wins w WHERE w.h IN (SELECT h FROM dup)),
+keeper AS (
+  SELECT h, min({{'doc_id': doc_id, 'idx': idx}}) AS k
+  FROM dwins GROUP BY h
+),
+cut AS (
+  SELECT d.doc_id, d.idx
+  FROM dwins d JOIN keeper USING (h)
+  WHERE NOT (d.doc_id = k['doc_id'] AND d.idx = k['idx'])
+),
+ranges AS (
+  SELECT doc_id, MIN(idx) + 1 AS s, MAX(idx) + {SUBSTR_W} AS e FROM (
+    SELECT doc_id, idx,
+           idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx)
+             AS isl
+    FROM cut
+  ) GROUP BY doc_id, isl
+),
+rng_arr AS (
+  SELECT doc_id,
+         list({{'s': s, 'e': e}} ORDER BY s, e) AS rngs,
+         CAST(COUNT(*) AS BIGINT) AS n_spans_cut
+  FROM ranges GROUP BY doc_id
+),
+toks_t AS (SELECT doc_id, {TOKS_D} AS toks FROM documents)
+SELECT t.doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens_before,
+       CAST(CASE WHEN rngs IS NULL THEN len(toks)
+            ELSE len({_CUT_KEPT_POS_D}) END AS BIGINT) AS n_tokens_after,
+       coalesce(n_spans_cut, 0) AS n_spans_cut,
+       CASE WHEN rngs IS NULL THEN coalesce(array_to_string(toks, ' '), '')
+            ELSE coalesce(array_to_string(list_transform({_CUT_KEPT_POS_D},
+                 p -> toks[p]), ' '), '') END AS cleaned_text
+FROM toks_t t LEFT JOIN rng_arr r ON t.doc_id = r.doc_id
+"""
