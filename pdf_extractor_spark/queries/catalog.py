@@ -777,6 +777,14 @@ CATALOG: dict[str, QuerySpec] = {
         "CCNet-style line/segment boilerplate dedup: cross-document "
         "repeated segments stripped; frequency pass shuffles only md5 "
         "hashes, cleaning pass is a broadcast-set projection"),
+    "dedup_substring_cut": QuerySpec(
+        dedup.dedup_substring_cut, dedup.DEDUP_SUBSTRING_CUT_SQL,
+        "exact-substring DELETION (Lee et al. second half): every "
+        "duplicated W-token window keeps one global occurrence "
+        "(struct-min aggregate keeper — never a per-hash rank window, "
+        "which a 10^7-doc boilerplate hash would turn into a one-key "
+        "sort bomb); non-keeper ranges merge into islands and cleaning "
+        "is a pure projection — document text never shuffles"),
     "dedup_intradoc": QuerySpec(
         dedup.dedup_intradoc, dedup.DEDUP_INTRADOC_SQL,
         "within-document repeated-segment removal (keep first "
@@ -973,6 +981,14 @@ CATALOG: dict[str, QuerySpec] = {
         "PII redaction projection (emails/phones/IPv4 -> typed "
         "placeholders) with pre-scrub counts; java.util.regex vs the "
         "oracle's RE2 must agree byte-for-byte on every document"),
+    "corpus_budget_alloc": QuerySpec(
+        cs.corpus_budget_alloc, cs.CORPUS_BUDGET_ALLOC_SQL,
+        "exact-integer budget waterfill: fill a global token budget "
+        "proportionally to source weight with per-source capacity caps "
+        "— saturated set is a prefix of the cap/weight order (chain "
+        "condition in DECIMAL(38,0)/HUGEINT: budget x weight overflows "
+        "BIGINT at the 10^12-token design scale), floor shares for the "
+        "rest; the per-source table is O(#sources), driver-sized"),
     "corpus_shuffle_shards": QuerySpec(
         cs.corpus_shuffle_shards, cs.CORPUS_SHUFFLE_SQL,
         "deterministic training-export shuffle: seeded-hash shard "

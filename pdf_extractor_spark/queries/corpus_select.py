@@ -663,3 +663,167 @@ SELECT source, n_docs, n_tokens,
          AS alloc_tokens
 FROM per, tot
 """
+
+
+# --------------------------------------------------------------------------
+# Budget waterfill — the step AFTER corpus_mix_weights: mix weights say
+# the RATIO a training run wants; real sources have finite capacity
+# (tokens available × max allowed epochs), so the allocator must fill a
+# global token budget proportionally to weight WITH per-source caps,
+# redistributing the overflow of saturated sources to the rest (the
+# PaLM/LLaMA data-recipe shape). Exact-integer waterfill:
+#
+# - sources sorted by capacity/weight ascending (cheapest-to-saturate
+#   first; the ratio is ONE double division of exact BIGINTs — bit-
+#   identical cross-engine — with source as tie-break);
+# - the saturated set is a PREFIX of that order: source k saturates iff
+#   its proportional share of the remaining budget covers its cap,
+#   (B - C_{k-1}) * w_k >= c_k * (W - W_{k-1}), where C/W are prefix
+#   sums — the chain condition is an all-integer cross-multiplication
+#   evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) because at
+#   the 10^12-token design scale budget × weight overflows BIGINT
+#   (~1e23); a running min() turns the per-row conditions into the
+#   maximal-prefix flag;
+# - saturated sources get their cap; the rest get the FLOOR of their
+#   proportional share of what remains (integral `div` — Spark decimal
+#   div and DuckDB // agree exactly, probe-tested), so every output is
+#   an exact integer and the unallocated remainder is < #unsaturated.
+#
+# The per-source table is O(#sources) — tiny by definition — so the
+# global (unpartitioned) rank window is a driver-sized sort, never a
+# data-mass shuffle.
+BUDGET_PCT = 90  # allocate 90% of corpus tokens: tight enough that the
+# shortest-capacity sources saturate at every SF (measured: 2 of 20 at
+# sf0.01), loose enough that most stay proportional.
+
+
+def corpus_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return budget_alloc_of(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def budget_alloc_of(docs: DataFrame) -> DataFrame:
+    per = (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("w_docs"),
+            F.sum(F.expr("size(toks)")).cast("long").alias("cap_tokens"),
+        )
+    )
+    return waterfill_of(per)
+
+
+def waterfill_of(per: DataFrame) -> DataFrame:
+    """Waterfill over an explicit (source, w_docs, cap_tokens) table —
+    the seam tests use to drive design-scale magnitudes (1e13 tokens ×
+    1e10 docs) through the DECIMAL chain condition."""
+    tot = per.agg(
+        F.sum("cap_tokens").cast("long").alias("tot_c"),
+        F.sum("w_docs").cast("long").alias("tot_w"),
+    )
+    ow = Window.orderBy("r", "source")
+    prev = ow.rowsBetween(Window.unboundedPreceding, -1)
+    incl = ow.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("budget", F.expr(f"tot_c * {BUDGET_PCT} DIV 100"))
+        .withColumn("r", F.expr("CAST(cap_tokens AS DOUBLE) / w_docs"))
+        .withColumn(
+            "c_prev",
+            F.coalesce(F.sum("cap_tokens").over(prev), F.lit(0)),
+        )
+        .withColumn(
+            "w_prev", F.coalesce(F.sum("w_docs").over(prev), F.lit(0))
+        )
+        .withColumn(
+            "cond",
+            F.expr(
+                "CASE WHEN CAST(budget - c_prev AS DECIMAL(20, 0)) "
+                "* w_docs >= CAST(cap_tokens AS DECIMAL(20, 0)) "
+                "* (tot_w - w_prev) THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn("saturated", F.min("cond").over(incl))
+    )
+    sat_tot = flagged.agg(
+        F.sum(F.expr("saturated * cap_tokens")).cast("long").alias("sat_c"),
+        F.sum(F.expr("saturated * w_docs")).cast("long").alias("sat_w"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(sat_tot))
+        .withColumn(
+            "alloc_tokens",
+            F.expr(
+                "CAST(CASE WHEN saturated = 1 THEN cap_tokens "
+                "ELSE (CAST(budget - sat_c AS DECIMAL(20, 0)) * w_docs) "
+                "div (tot_w - sat_w) END AS BIGINT)"
+            ),
+        )
+        .select(
+            "source",
+            "w_docs",
+            "cap_tokens",
+            F.expr("CAST(saturated AS INT)").alias("saturated"),
+            "alloc_tokens",
+            F.expr(
+                "CAST(alloc_tokens * 1000 DIV budget AS BIGINT)"
+            ).alias("alloc_pm"),
+        )
+    )
+
+
+CORPUS_BUDGET_ALLOC_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS w_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS cap_tokens
+  FROM (SELECT source, {TOKS_D} AS toks FROM documents)
+  GROUP BY source
+),
+tot AS (
+  SELECT CAST(SUM(cap_tokens) AS BIGINT) AS tot_c,
+         CAST(SUM(w_docs) AS BIGINT) AS tot_w
+  FROM per
+),
+flagged AS (
+  SELECT *,
+    CASE WHEN (budget - c_prev)::HUGEINT * w_docs
+              >= cap_tokens::HUGEINT * (tot_w - w_prev)
+         THEN 1 ELSE 0 END AS cond
+  FROM (
+    SELECT *,
+      coalesce(SUM(cap_tokens) OVER (ORDER BY r, source
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_prev,
+      coalesce(SUM(w_docs) OVER (ORDER BY r, source
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_prev
+    FROM (
+      SELECT *, tot_c * {BUDGET_PCT} // 100 AS budget,
+             CAST(cap_tokens AS DOUBLE) / w_docs AS r
+      FROM per, tot
+    )
+  )
+),
+satd AS (
+  SELECT *, MIN(cond) OVER (ORDER BY r, source
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS saturated
+  FROM flagged
+),
+stot AS (
+  SELECT CAST(SUM(saturated * cap_tokens) AS BIGINT) AS sat_c,
+         CAST(SUM(saturated * w_docs) AS BIGINT) AS sat_w
+  FROM satd
+)
+SELECT source, w_docs, cap_tokens,
+       CAST(saturated AS INT) AS saturated,
+       alloc_tokens,
+       CAST(alloc_tokens * 1000 // budget AS BIGINT) AS alloc_pm
+FROM (
+  SELECT *,
+         CAST(CASE WHEN saturated = 1 THEN cap_tokens
+              ELSE ((budget - sat_c)::HUGEINT * w_docs)
+                   // (tot_w - sat_w) END AS BIGINT) AS alloc_tokens
+  FROM satd, stot
+)
+"""

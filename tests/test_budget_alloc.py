@@ -1,0 +1,120 @@
+"""Budget-waterfill invariants (cross-engine value parity is covered by
+the catalog oracle suite):
+
+- differential vs a plain-Python waterfill (iterative saturate-and-
+  redistribute — an independent formulation of the prefix-chain SQL)
+  on the real corpus AND on a crafted CASCADE (a source that only
+  saturates after an earlier source's overflow is redistributed);
+- allocation invariants: alloc <= cap everywhere, sum(alloc) <=
+  budget, unallocated remainder < #unsaturated (floor loss only),
+  saturated sources form a prefix of the cap/weight order;
+- design-scale magnitudes: 1e13-token caps x 1e10-doc weights flow
+  through the DECIMAL(38,0) chain condition without overflow and
+  still match the Python waterfill exactly (BIGINT cross-products
+  would be ~1e23).
+"""
+
+from __future__ import annotations
+
+from pdf_extractor_spark.queries.corpus_select import (
+    BUDGET_PCT,
+    budget_alloc_of,
+    corpus_budget_alloc,
+    waterfill_of,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _py_waterfill(caps: dict, ws: dict, budget: int) -> dict:
+    order = sorted(caps, key=lambda s: (caps[s] / ws[s], s))
+    b, w_rem = budget, sum(ws.values())
+    sat = set()
+    for s in order:
+        if b * ws[s] >= caps[s] * w_rem:
+            sat.add(s)
+            b -= caps[s]
+            w_rem -= ws[s]
+        else:
+            break
+    return {
+        s: (caps[s], 1) if s in sat else ((b * ws[s]) // w_rem, 0)
+        for s in caps
+    }
+
+
+def _check(rows, caps, ws):
+    budget = sum(caps.values()) * BUDGET_PCT // 100
+    expected = _py_waterfill(caps, ws, budget)
+    got = {r["source"]: (r["alloc_tokens"], r["saturated"]) for r in rows}
+    assert got == expected
+    total = sum(a for a, _ in got.values())
+    n_unsat = sum(1 for _, s in got.values() if s == 0)
+    assert total <= budget
+    assert budget - total < max(n_unsat, 1)  # floor loss only
+    for s, (a, _) in got.items():
+        assert a <= caps[s]
+    # saturated sources form a prefix of the cap/weight ratio order
+    order = sorted(caps, key=lambda s: (caps[s] / ws[s], s))
+    flags = [got[s][1] for s in order]
+    assert flags == sorted(flags, reverse=True)
+
+
+def test_equals_python_on_corpus(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    stats = (
+        docs.selectExpr(
+            "source",
+            "size(filter(split(text, ' '), t -> t <> '')) AS n",
+        )
+        .groupBy("source")
+        .agg({"n": "sum", "*": "count"})
+        .collect()
+    )
+    caps = {r["source"]: r["sum(n)"] for r in stats}
+    ws = {r["source"]: r["count(1)"] for r in stats}
+    rows = corpus_budget_alloc(spark, SF).collect()
+    _check(rows, caps, ws)
+    assert sum(r["saturated"] for r in rows) > 0  # signal at this SF
+
+
+def test_cascade_saturation(spark):
+    # source a saturates on its base share; b's cap is ABOVE its base
+    # share and saturates only once a's overflow is redistributed
+    docs = spark.createDataFrame(
+        [("a", " ".join(["t"] * 1)) for _ in range(10)]
+        + [("b", " ".join(["t"] * 50)) for _ in range(10)]
+        + [("c", " ".join(["t"] * 100)) for _ in range(10)],
+        "source string, text string",
+    )
+    caps = {"a": 10, "b": 500, "c": 1000}
+    ws = {"a": 10, "b": 10, "c": 10}
+    out = budget_alloc_of(docs).collect()
+    _check(out, caps, ws)
+    sat = {r["source"]: r["saturated"] for r in out}
+    # budget = 1510*90//100 = 1359; b's BASE share 1359*10/30 = 453
+    # < 500 (unsaturated stand-alone), but after a saturates the
+    # redistributed share is 1349*10/20 = 674 >= 500 — the cascade
+    assert sat == {"a": 1, "b": 1, "c": 0}
+
+
+def test_design_scale_magnitudes(spark):
+    # 1e13-token caps, 1e10-doc weights: cross-products ~1e23 — BIGINT
+    # would overflow; the DECIMAL/HUGEINT path must match Python ints
+    caps = {
+        "web": 40_000_000_000_000,
+        "code": 3_000_000_000_000,
+        "books": 600_000_000_000,
+        "wiki": 90_000_000_000,
+    }
+    ws = {
+        "web": 20_000_000_000,
+        "code": 4_000_000_000,
+        "books": 2_000_000_000,
+        "wiki": 1_500_000_000,
+    }
+    per = spark.createDataFrame(
+        [(s, ws[s], caps[s]) for s in caps],
+        "source string, w_docs long, cap_tokens long",
+    )
+    _check(waterfill_of(per).collect(), caps, ws)
