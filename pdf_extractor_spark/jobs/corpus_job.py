@@ -123,6 +123,7 @@ def build_corpus(
     contam_ngram: int | None = None,
     line_dedup: bool = False,
     intradoc: bool = False,
+    substring_cut: bool = False,
     seen_index: str | None = None,
     seen_drop_pm: int = 800,
 ) -> dict:
@@ -254,6 +255,47 @@ def build_corpus(
         else:
             n_gated_clean = n_gated_intra
 
+        # optional exact-substring deletion (Lee et al., the
+        # dedup_substring_cut operator): cut every cross-document
+        # duplicated W-token span except one global keeper occurrence —
+        # catches spans at ARBITRARY offsets that line-dedup's fixed
+        # segment grid can miss, so it runs after the cheap passes and
+        # before the seen-index/near-dup stages. Emptied docs drop
+        # like the other cleaning stages; spans + tokens removed ride
+        # the funnel summary.
+        n_substr_spans = 0
+        n_substr_tokens = 0
+        if substring_cut:
+            from pdf_extractor_spark.queries.dedup import substring_cut_of
+
+            cleaned = substring_cut_of(gated.select("doc_id", "text"))
+            gated = (
+                gated.drop("text")
+                .join(
+                    cleaned.filter(F.length("cleaned_text") > 0).select(
+                        "doc_id",
+                        F.col("cleaned_text").alias("text"),
+                        "n_spans_cut",
+                        F.expr(
+                            "n_tokens_before - n_tokens_after"
+                        ).alias("n_cut_toks"),
+                    ),
+                    on="doc_id",
+                )
+                .localCheckpoint(eager=True)
+            )
+            agg = gated.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_spans_cut").alias("s"),
+                F.sum("n_cut_toks").alias("t"),
+            ).collect()[0]
+            n_gated_substr = int(agg["n"])
+            n_substr_spans = int(agg["s"] or 0)
+            n_substr_tokens = int(agg["t"] or 0)
+            gated = gated.drop("n_spans_cut", "n_cut_toks")
+        else:
+            n_gated_substr = n_gated_clean
+
         # optional incremental seen-index (the daily-crawl production
         # shape): a persisted Bloom bitmap remembers every shingle the
         # PREVIOUSLY EXPORTED corpus contained; docs whose shingles are
@@ -294,7 +336,7 @@ def build_corpus(
                     ).select("doc_id"),
                     on="doc_id",
                 ).localCheckpoint(eager=True)
-                n_seen_dropped = n_gated_clean - gated.count()
+                n_seen_dropped = n_gated_substr - gated.count()
                 seen_state = "updated"
             else:
                 seen_state = "created"
@@ -420,6 +462,9 @@ def build_corpus(
             "intradoc_segments_removed": n_intradoc_segs,
             "rows_line_cleaned": n_gated_clean,
             "boiler_segments_removed": n_boiler_segs,
+            "rows_substr_cleaned": n_gated_substr,
+            "substr_spans_removed": n_substr_spans,
+            "substr_tokens_removed": n_substr_tokens,
             "rows_seen_dropped": n_seen_dropped,
             "seen_index": seen_state,
             "rows_survivors": n_survivors,
@@ -462,6 +507,12 @@ def main(argv: list[str] | None = None) -> None:
         "after gating, before near-dup detection and export",
     )
     ap.add_argument(
+        "--substring-cut", action="store_true",
+        help="cut cross-document duplicated W-token spans keeping one "
+        "global occurrence (Lee et al. exact-substring deletion) after "
+        "the segment passes, before near-dup detection",
+    )
+    ap.add_argument(
         "--mix-shards", type=int, default=None,
         help="export as N deterministically hash-mixed shards "
         "(rerun-identical order, no global sort)",
@@ -494,7 +545,7 @@ def main(argv: list[str] | None = None) -> None:
         args.min_chars, args.shards, args.partitions,
         benchmark=args.benchmark, mix_shards=args.mix_shards,
         contam_ngram=args.contam_ngram, line_dedup=args.line_dedup,
-        intradoc=args.intradoc,
+        intradoc=args.intradoc, substring_cut=args.substring_cut,
         seen_index=args.seen_index, seen_drop_pm=args.seen_drop_pm,
     )
     print(json.dumps(summary))

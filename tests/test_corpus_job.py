@@ -313,3 +313,43 @@ def test_corpus_job_incremental_seen_index(spark, tmp_path):
     u3 = {r["url"] for r in _read_jsonl(str(tmp_path / "c3"))}
     assert s3["rows_seen_dropped"] >= s2["rows_seen_dropped"]
     assert not (u3 & (u1 | u2))
+
+
+def test_corpus_job_substring_cut(spark, tmp_path):
+    """--substring-cut: the exact-substring deletion stage composes
+    after the segment passes; funnel stays monotone and deterministic;
+    spans/tokens counters are consistent; the flag off keeps the
+    legacy shape. Also pins that the operator runs on the job's
+    STRUCT (hi, lo) doc keys (struct-min keeper, struct grouping)."""
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=31, n_rows=120, n_days=2)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out1 = str(tmp_path / "c1")
+    out2 = str(tmp_path / "c2")
+    s1 = build_corpus(spark, wh, out1, budget=10, substring_cut=True)
+    assert (
+        s1["rows_gated"]
+        >= s1["rows_substr_cleaned"]
+        >= s1["rows_survivors"]
+    )
+    assert s1["substr_spans_removed"] >= 0
+    # a cut span removes at least W tokens; zero spans means zero toks
+    if s1["substr_spans_removed"] == 0:
+        assert s1["substr_tokens_removed"] == 0
+    else:
+        assert s1["substr_tokens_removed"] >= s1["substr_spans_removed"]
+    assert s1["rows_exported"] > 0
+
+    s2 = build_corpus(spark, wh, out2, budget=10, substring_cut=True)
+    r1 = {(r["url"], r["text"]) for r in _read_jsonl(out1)}
+    r2 = {(r["url"], r["text"]) for r in _read_jsonl(out2)}
+    assert r1 == r2
+
+    out3 = str(tmp_path / "c3")
+    s3 = build_corpus(spark, wh, out3, budget=10)
+    assert s3["rows_substr_cleaned"] == s3["rows_gated"]
+    assert s3["substr_spans_removed"] == 0
+    assert s3["substr_tokens_removed"] == 0
