@@ -268,6 +268,82 @@ class IceTable:
                 parts, "overwrite_partitions", df.schema.json()
             )
 
+    def upsert(self, spark, df: DataFrame, keys: list[str]) -> int:
+        """MERGE keep-incoming (SCD1): every incoming row REPLACES any
+        existing row sharing its ``keys`` (wherever it lives — a key may
+        move between partitions, e.g. a url re-crawled on a new date);
+        unmatched incoming rows insert. ``df`` must carry the table
+        schema.
+
+        Copy-on-write is PRUNED to the partitions that actually hold a
+        matched key (found by a semi-join of the table on the incoming
+        key set — at 10^12 rows the key set is the small side and
+        broadcasts; untouched partitions' files are never rewritten,
+        only re-referenced). Affected partitions are rewritten as
+        (existing MINUS matched keys) ∪ (their incoming rows); incoming
+        rows landing in untouched partitions append. A partition whose
+        rows are all replaced away is committed EMPTY, not left stale.
+
+        Optimistic concurrency, but unlike compact() an upsert carries
+        DATA — on a conflicting commit between the read and the rename
+        this raises (caller retries) instead of silently dropping
+        either side. Prior snapshots still time-travel (old files stay
+        until expire_snapshots)."""
+        from pyspark.sql import functions as F
+
+        if not self.exists():
+            return self.append(df)
+        base = self.current_snapshot()
+        keydf = df.select(*keys).distinct()
+        # partition-map keys are the writer's directory STRINGS; the
+        # reader's partition-value inference may type the column (e.g.
+        # DATE for date-shaped values) — normalize both to the string
+        # form the snapshot json uses
+        affected = sorted(
+            r[0]
+            for r in self.read(spark)
+            .join(keydf, on=keys, how="left_semi")
+            .select(F.col(self.partition_col).cast("string"))
+            .distinct()
+            .collect()
+        )
+        if affected:
+            keep = self.read(spark, partitions=affected).join(
+                keydf, on=keys, how="left_anti"
+            )
+            keep = keep.withColumn(
+                self.partition_col,
+                F.col(self.partition_col).cast(
+                    dict(df.dtypes)[self.partition_col]
+                ),
+            )
+            replacement = keep.select(*df.columns).unionByName(df)
+        else:
+            replacement = df
+        added = self._stage_write(replacement)
+        with self.commit_lock:
+            current = self.current_snapshot()
+            if (
+                current is None
+                or current["snapshot_id"] != base["snapshot_id"]
+            ):
+                raise RuntimeError(
+                    "upsert conflict: table advanced from snapshot "
+                    f"{base['snapshot_id']} to "
+                    f"{current['snapshot_id'] if current else None} "
+                    "during the rewrite — retry"
+                )
+            parts: dict = dict(base["partitions"])
+            for p in affected:
+                parts[p] = added.get(p, [])
+            for p, fs in added.items():
+                if p not in affected:
+                    if p in parts:
+                        parts[p] = self._manifest_files(parts[p]) + fs
+                    else:
+                        parts[p] = fs
+            return self._commit(parts, "upsert", df.schema.json())
+
     # -- maintenance -------------------------------------------------------------
     def compact(
         self,
