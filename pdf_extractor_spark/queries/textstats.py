@@ -1205,3 +1205,117 @@ FROM (
 )
 WHERE rk <= {TFIDF_K}
 """
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the MOSS
+# algorithm): the PRINCIPLED generalization of text_fingerprint above
+# (which is winnowing with one window spanning the whole doc). Slide a
+# K-window over the doc's 4-gram hash sequence and keep each window's
+# MINIMUM hash; dedupe the kept values per doc. Two guarantees, both
+# test-pinned:
+#
+# - detection: any two documents sharing a token run of length
+#   >= WINNOW_NG + WINNOW_K - 1 share at least one fingerprint VALUE
+#   (every length-K window inside the shared hash run selects the same
+#   minimum in both docs);
+# - density: at most one fingerprint per position, on random text
+#   ~2/(K+1) of windows — the index a plagiarism/overlap system stores
+#   is a tunable fraction of the dedup_substring index, with the
+#   detection threshold as the explicit trade.
+#
+# Plan shape: the hash sequence is a pure projection (text never
+# shuffles); the winnow is ONE ordered window pass per doc (rows frame,
+# no self-join); the report is a per-doc agg. At 10^12 docs the
+# expensive downstream join (fingerprint equi-join for candidates)
+# operates on the winnowed ~2/(K+1) subset instead of every window —
+# that is the algorithm's entire point.
+WINNOW_NG = 4  # n-gram length (matches text_fingerprint's 4-grams)
+WINNOW_K = 4  # winnow window: guarantee threshold = NG + K - 1 = 7
+
+_NG_ARR_S = (
+    f"CASE WHEN size(toks) >= {WINNOW_NG} THEN "
+    f"transform(sequence(0, size(toks) - {WINNOW_NG}), i -> "
+    "md5(concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2), "
+    "element_at(toks, i + 3), element_at(toks, i + 4)))) "
+    "ELSE array(md5(text)) END"
+)
+_NG_ARR_D = (
+    f"CASE WHEN len(toks) >= {WINNOW_NG} THEN "
+    f"list_transform(range(len(toks) - {WINNOW_NG - 1}), i -> "
+    "md5(toks[i + 1] || ' ' || toks[i + 2] || ' ' || "
+    "toks[i + 3] || ' ' || toks[i + 4])) "
+    "ELSE [md5(text)] END"
+)
+
+
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_winnow_of(_docs(spark, sf_dir))
+
+
+def text_winnow_of(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    wins = (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_NG_ARR_S)).alias("idx", "h"),
+        )
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(-(WINNOW_K - 1), 0)
+    )
+    per_doc = Window.partitionBy("doc_id")
+    fps = (
+        wins.withColumn("fp", F.min("h").over(frame))
+        .withColumn("nw", F.count("*").over(per_doc))
+        # full windows only; a doc shorter than K windows keeps its
+        # LAST row (whose frame covers the whole doc) so every doc
+        # gets >= 1 fingerprint
+        .filter(F.expr(f"idx >= least({WINNOW_K - 1}, nw - 1)"))
+        .select("doc_id", "nw", "fp")
+        .distinct()
+    )
+    return (
+        fps.groupBy("doc_id")
+        .agg(
+            F.max("nw").cast("long").alias("n_windows"),
+            F.count("*").cast("long").alias("n_fingerprints"),
+        )
+        .withColumn(
+            "density_pm",
+            F.expr("n_fingerprints * 1000 DIV n_windows"),
+        )
+    )
+
+
+TEXT_WINNOW_SQL = f"""
+WITH wins AS (
+  SELECT doc_id, w['idx'] AS idx, w['h'] AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(arr)),
+                  i -> {{'idx': i, 'h': arr[i + 1]}})) AS w
+    FROM (
+      SELECT doc_id, {_NG_ARR_D} AS arr
+      FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
+    )
+  )
+),
+fps AS (
+  SELECT DISTINCT doc_id, nw, fp FROM (
+    SELECT doc_id, idx,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY idx
+             ROWS BETWEEN {WINNOW_K - 1} PRECEDING AND CURRENT ROW) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS nw
+    FROM wins
+  ) WHERE idx >= least({WINNOW_K - 1}, nw - 1)
+)
+SELECT doc_id,
+       CAST(MAX(nw) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+       CAST(COUNT(*) * 1000 // MAX(nw) AS BIGINT) AS density_pm
+FROM fps GROUP BY doc_id
+"""
