@@ -876,3 +876,83 @@ SELECT CAST(step AS BIGINT) AS step, event_type,
          AS conversion_pm
 FROM counts
 """
+
+
+# --------------------------------------------------------------------------
+# KMV MERGEABILITY — the property that makes a sketch a production data
+# structure at all: yesterday's per-group (or per-day, per-shard)
+# sketches must combine into a global estimate WITHOUT touching raw
+# rows again. For KMV the merge is exact by a containment theorem: any
+# hash among the global k smallest belongs to some group, where it is
+# at most its global rank from the bottom — so it is inside that
+# group's local k-minima, and the k smallest of the DEDUPLICATED union
+# of per-group k-minima sets ARE the global k-minima. The merged
+# estimate is therefore IDENTICAL to a from-scratch global sketch —
+# which is exactly what the oracle computes (an independent
+# formulation, not a transcription of the merge).
+#
+# Plan shape: the merge ranks O(groups × K) sketch rows — raw events
+# are touched once ever, per group, possibly weeks apart.
+
+
+def sketch_distinct_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mins = (
+        _events(spark, sf_dir)
+        .select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", F.expr(_H32_U))
+    )
+    gw = Window.partitionBy("event_type").orderBy("h", "user_id")
+    per_group = (
+        mins.withColumn("rn", F.row_number().over(gw))
+        .filter(F.col("rn") <= KMV_K)  # the stored per-group sketches
+        .select("event_type", "user_id", "h")
+    )
+    # merge: dedupe users across sketches, rank globally, estimate
+    union = per_group.select("user_id", "h").distinct()
+    uw = Window.orderBy("h", "user_id")
+    return (
+        union.withColumn("rn", F.row_number().over(uw))
+        .agg(
+            F.count("*").alias("n_union"),
+            F.max(
+                F.expr(f"CASE WHEN rn = {KMV_K} THEN h END")
+            ).alias("kth"),
+        )
+        .select(
+            F.expr("CAST(n_union AS BIGINT)").alias("n_union"),
+            F.expr(
+                f"CASE WHEN n_union >= {KMV_K} THEN "
+                f"round(({KMV_K} - 1) * 4294967296.0 / greatest(kth, 1), 2) "
+                "ELSE CAST(n_union AS DOUBLE) END"
+            ).alias("est_distinct"),
+        )
+    )
+
+
+# the oracle computes the DIRECT global sketch over all distinct users
+# (never builds per-group sketches): equality IS the merge theorem
+SKETCH_KMV_MERGED_SQL = f"""
+WITH du AS (
+  SELECT user_id, {_H32_U_D} AS h
+  FROM (SELECT DISTINCT user_id FROM events)
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY h, user_id) AS rn FROM du
+),
+merged AS (
+  SELECT user_id, h FROM (
+    SELECT eu.user_id, {_H32_U_D.replace("user_id", "eu.user_id")} AS h,
+           row_number() OVER (PARTITION BY eu.event_type
+             ORDER BY {_H32_U_D.replace("user_id", "eu.user_id")},
+                      eu.user_id) AS grn
+    FROM (SELECT DISTINCT event_type, user_id FROM events) eu
+  ) WHERE grn <= {KMV_K}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+       (SELECT CASE WHEN COUNT(*) >= {KMV_K} THEN
+          round(({KMV_K} - 1) * 4294967296.0
+                / greatest(MAX(CASE WHEN rn = {KMV_K} THEN h END), 1), 2)
+        ELSE CAST(COUNT(*) AS DOUBLE) END FROM ranked) AS est_distinct
+FROM (SELECT DISTINCT user_id, h FROM merged) m
+"""
