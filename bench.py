@@ -138,6 +138,7 @@ HEADLINE = [
     "dedup_intradoc",
     "dedup_substring_spans",
     "dedup_substring_strided",
+    "dedup_substring_cut",
     "decontaminate",
     "event_sessions",
     "events_asof_join",
@@ -162,6 +163,7 @@ HEADLINE = [
     "text_lang_id",
     "text_quality",
     "text_fingerprint",
+    "text_winnow",
     "text_embed_hash",
     "text_embed_topk",
     "text_embed_centroid_topk",
@@ -174,6 +176,7 @@ HEADLINE = [
     "text_length_percentiles",
     "corpus_mix_report",
     "corpus_mix_weights",
+    "corpus_budget_alloc",
     "corpus_shuffle_shards",
     "corpus_pack_sequences",
     "corpus_filter_report",

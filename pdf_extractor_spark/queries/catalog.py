@@ -707,6 +707,15 @@ CATALOG: dict[str, QuerySpec] = {
         "partials, NO distinct pre-pass), exact scaled harmonic sum, "
         "pre-rounded literal linear-counting table — the cheapest "
         "10^12-row distinct-count shape"),
+    "sketch_distinct_kmv_merged": QuerySpec(
+        temporal.sketch_distinct_kmv_merged,
+        temporal.SKETCH_KMV_MERGED_SQL,
+        "sketch MERGEABILITY: the global distinct estimate from "
+        "merging per-group KMV sketches (rank O(groups x K) sketch "
+        "rows, raw events untouched) — the oracle computes the DIRECT "
+        "global sketch, so the hash gate proves the merge theorem: "
+        "k-minima of the deduped union of per-group k-minima ARE the "
+        "global k-minima"),
     "sketch_distinct_kmv_partial": QuerySpec(
         temporal.sketch_distinct_kmv_partial,
         f"SELECT event_type, est_distinct FROM ({temporal.SKETCH_KMV_SQL})",
@@ -714,6 +723,12 @@ CATALOG: dict[str, QuerySpec] = {
         "k-minima + relational merge — bit-identical estimates, so the "
         "mapInPandas path sits inside the same SQL oracle gate"),
     # --- training-data pipeline: deduplication ---
+    "text_winnow": QuerySpec(
+        textstats.text_winnow, textstats.TEXT_WINNOW_SQL,
+        "winnowing fingerprints (MOSS, Schleimer et al. 2003): per-doc "
+        "K-window minima over the 4-gram hash stream — guaranteed "
+        "detection of shared runs >= NG+K-1 tokens at ~2/(K+1) index "
+        "density; one ordered window pass, text never shuffles"),
     "dedup_exact": QuerySpec(
         dedup.dedup_exact, dedup.DEDUP_EXACT_SQL,
         "exact dedup: md5(normalized) hash-groupBy"),

@@ -27,7 +27,13 @@ ENTRIES = [
     "dedup_bloom_probe_bitmap",
     "dedup_substring_spans",
     "dedup_substring_strided",
+    "dedup_substring_cut",
+    "dedup_jaccard_prefix",
+    "dedup_cms_hot",
     "sketch_distinct_kmv_partial",
+    "sketch_distinct_kmv_merged",
+    "text_winnow",
+    "corpus_budget_alloc",
     "text_tfidf_topk",
     "corpus_pack_sequences",
     "corpus_sample_stratified",
