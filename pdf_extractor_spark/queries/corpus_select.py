@@ -719,6 +719,12 @@ def waterfill_of(per: DataFrame) -> DataFrame:
     """Waterfill over an explicit (source, w_docs, cap_tokens) table —
     the seam tests use to drive design-scale magnitudes (1e13 tokens ×
     1e10 docs) through the DECIMAL chain condition."""
+    # materialize the O(#sources) table ONCE: the totals crossJoin, the
+    # rank windows, and the saturated-totals agg are four independent
+    # plan branches, and Spark shares no subplans — unmaterialized, the
+    # warehouse scan + token count executed 4× (FileScan count pinned
+    # by tests/test_plans.py, the corpus_mix_weights precedent)
+    per = per.localCheckpoint(eager=True)
     tot = per.agg(
         F.sum("cap_tokens").cast("long").alias("tot_c"),
         F.sum("w_docs").cast("long").alias("tot_w"),

@@ -240,3 +240,33 @@ def test_substring_spans_text_never_shuffles(spark):
 def test_quantize_is_pure_projection(spark):
     plan = plan_of(CATALOG["embedding_quantize_int8"].fn(spark, SF))
     assert "Exchange" not in plan
+
+
+def test_substring_cut_text_never_shuffles(spark):
+    """The deletion pass's Exchanges may carry only (doc_id, idx,
+    hash)-shaped rows or the tiny per-doc range lists — the document
+    text itself must stay projection-local (it is joined to the
+    AQE-broadcast range table, never shuffled)."""
+    plan = plan_of(CATALOG["dedup_substring_cut"].fn(spark, SF))
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head and "toks" not in head, head
+
+
+def test_winnow_text_never_shuffles(spark):
+    """Winnowing's only Exchange keys on doc_id for the window pass
+    and the report agg — hashes shuffle, text does not."""
+    plan = plan_of(CATALOG["text_winnow"].fn(spark, SF))
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head and "toks" not in head, head
+
+
+def test_budget_alloc_single_scan(spark):
+    """The waterfill's data pass is ONE scan to an O(#sources) agg;
+    everything downstream (windows, chain condition, allocation) runs
+    on the tiny per-source table."""
+    df = CATALOG["corpus_budget_alloc"].fn(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("FileScan") <= 2  # per + tot branches off one agg
+    assert "SortMergeJoin" not in plan
