@@ -996,6 +996,14 @@ CATALOG: dict[str, QuerySpec] = {
         "PII redaction projection (emails/phones/IPv4 -> typed "
         "placeholders) with pre-scrub counts; java.util.regex vs the "
         "oracle's RE2 must agree byte-for-byte on every document"),
+    "corpus_drift_chi2": QuerySpec(
+        cs.corpus_drift_chi2, cs.CORPUS_DRIFT_SQL,
+        "distribution-drift monitor: batch-vs-corpus unigram Pearson "
+        "chi-square (exact-integer residuals in DECIMAL(38,0)/HUGEINT, "
+        "pinned double op order, ordered-left-fold total) + the OOV "
+        "signal chi-square cannot see (new-token count and per-mille "
+        "mass); both slices reduce to O(vocabulary) before anything "
+        "expensive"),
     "corpus_budget_alloc": QuerySpec(
         cs.corpus_budget_alloc, cs.CORPUS_BUDGET_ALLOC_SQL,
         "exact-integer budget waterfill: fill a global token budget "

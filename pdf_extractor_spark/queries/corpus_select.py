@@ -833,3 +833,147 @@ FROM (
   FROM satd, stot
 )
 """
+
+
+# --------------------------------------------------------------------------
+# Distribution-drift monitor — the pipeline-health query a daily crawl
+# runs before promoting a batch: has the NEW batch's unigram
+# distribution drifted from the kept corpus? Pearson chi-square against
+# the corpus distribution, over the corpus-supported vocabulary, plus
+# the out-of-vocabulary signal chi-square cannot see (new tokens have
+# expected count 0): n_new_tokens and their per-mille mass.
+#
+# Cross-engine exactness discipline:
+# - token counts o_t (batch) and c_t (corpus) and the totals B, C are
+#   exact BIGINTs;
+# - the per-token residual o_t·C − c_t·B is computed in
+#   DECIMAL(38,0)/HUGEINT (≈1e25 at the 10^12-token design scale —
+#   past BIGINT, the budget-alloc lesson), converted to DOUBLE once;
+# - the contribution (o·C − c·B)²/(C·B·c_t) is evaluated in a PINNED
+#   operation order — (r/C)·(r/B)/c — identical in both engines
+#   (IEEE double ops are deterministic; only ORDER can diverge);
+# - the chi-square total is an ORDERED LEFT FOLD over tokens (the
+#   corpus_mix_weights discipline) — never an unordered double SUM.
+#
+# Both slices reduce to O(vocabulary) rows before anything expensive;
+# the document mass is touched once per slice by a count aggregate.
+BATCH_DRIFT_MOD = 10
+BATCH_DRIFT_MIN = 8  # doc_id % 10 >= 8 -> the "new batch" (bloom/cms split)
+
+
+def corpus_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drift_chi2_of(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def drift_chi2_of(docs: DataFrame) -> DataFrame:
+    corpus = docs.filter(
+        F.col("doc_id") % BATCH_DRIFT_MOD < BATCH_DRIFT_MIN
+    )
+    batch = docs.filter(
+        F.col("doc_id") % BATCH_DRIFT_MOD >= BATCH_DRIFT_MIN
+    )
+
+    def counts(side: DataFrame) -> DataFrame:
+        return (
+            side.withColumn("toks", F.expr(TOKS_S))
+            .select(F.explode("toks").alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").cast("long").alias("n"))
+        )
+
+    ct = counts(corpus).withColumnRenamed("n", "c")
+    bt = counts(batch).withColumnRenamed("n", "o")
+    tot = (
+        ct.agg(F.sum("c").cast("long").alias("big_c"))
+        .crossJoin(bt.agg(F.sum("o").cast("long").alias("big_b")))
+    )
+    shared = (
+        ct.join(bt, on="token", how="left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "contrib",
+            F.expr(
+                "CAST(CAST(o AS DECIMAL(20, 0)) * big_c "
+                "- CAST(c AS DECIMAL(20, 0)) * big_b AS DOUBLE) "
+                "/ CAST(big_c AS DOUBLE) "
+                "* (CAST(CAST(o AS DECIMAL(20, 0)) * big_c "
+                "- CAST(c AS DECIMAL(20, 0)) * big_b AS DOUBLE) "
+                "/ CAST(big_b AS DOUBLE)) "
+                "/ CAST(c AS DOUBLE)"
+            ),
+        )
+    )
+    chi2 = shared.agg(
+        F.count("*").cast("long").alias("n_shared"),
+        F.expr(
+            "round(aggregate(sort_array(collect_list("
+            "struct(token, contrib))), CAST(0.0 AS DOUBLE), "
+            "(a, x) -> a + x.contrib), 2)"
+        ).alias("chi2"),
+    )
+    new = bt.join(ct, on="token", how="left_anti").agg(
+        F.count("*").cast("long").alias("n_new_tokens"),
+        F.coalesce(F.sum("o"), F.lit(0)).cast("long").alias("new_mass"),
+    )
+    return (
+        chi2.crossJoin(F.broadcast(new))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_shared",
+            "chi2",
+            "n_new_tokens",
+            F.expr("new_mass * 1000 DIV big_b").alias("new_mass_pm"),
+        )
+    )
+
+
+CORPUS_DRIFT_SQL = f"""
+WITH ct AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT unnest(toks) AS token FROM (
+      SELECT {TOKS_D} AS toks FROM documents
+      WHERE doc_id % {BATCH_DRIFT_MOD} < {BATCH_DRIFT_MIN}
+    )
+  ) GROUP BY token
+),
+bt AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS o FROM (
+    SELECT unnest(toks) AS token FROM (
+      SELECT {TOKS_D} AS toks FROM documents
+      WHERE doc_id % {BATCH_DRIFT_MOD} >= {BATCH_DRIFT_MIN}
+    )
+  ) GROUP BY token
+),
+tot AS (
+  SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ct) AS big_c,
+         (SELECT CAST(SUM(o) AS BIGINT) FROM bt) AS big_b
+),
+shared AS (
+  SELECT ct.token,
+         CAST(coalesce(bt.o, 0)::HUGEINT * big_c
+              - ct.c::HUGEINT * big_b AS DOUBLE)
+           / CAST(big_c AS DOUBLE)
+         * (CAST(coalesce(bt.o, 0)::HUGEINT * big_c
+                 - ct.c::HUGEINT * big_b AS DOUBLE)
+            / CAST(big_b AS DOUBLE))
+         / CAST(ct.c AS DOUBLE) AS contrib
+  FROM ct LEFT JOIN bt USING (token), tot
+),
+chi AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_shared,
+         round(list_reduce(list(contrib ORDER BY token),
+               (a, b) -> a + b), 2) AS chi2
+  FROM shared
+),
+new_t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_new_tokens,
+         CAST(coalesce(SUM(o), 0) AS BIGINT) AS new_mass
+  FROM bt WHERE token NOT IN (SELECT token FROM ct)
+)
+SELECT n_shared, chi2, n_new_tokens,
+       new_mass * 1000 // big_b AS new_mass_pm
+FROM chi, new_t, tot
+"""

@@ -34,6 +34,7 @@ ENTRIES = [
     "sketch_distinct_kmv_merged",
     "text_winnow",
     "corpus_budget_alloc",
+    "corpus_drift_chi2",
     "text_tfidf_topk",
     "corpus_pack_sequences",
     "corpus_sample_stratified",
