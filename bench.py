@@ -164,6 +164,7 @@ HEADLINE = [
     "text_quality",
     "text_fingerprint",
     "text_winnow",
+    "dedup_winnow_pairs",
     "text_embed_hash",
     "text_embed_topk",
     "text_embed_centroid_topk",

@@ -729,6 +729,13 @@ CATALOG: dict[str, QuerySpec] = {
         "K-window minima over the 4-gram hash stream — guaranteed "
         "detection of shared runs >= NG+K-1 tokens at ~2/(K+1) index "
         "density; one ordered window pass, text never shuffles"),
+    "dedup_winnow_pairs": QuerySpec(
+        textstats.dedup_winnow_pairs, textstats.DEDUP_WINNOW_PAIRS_SQL,
+        "winnow-indexed overlap pairs: candidates from WINNOWED "
+        "fingerprint equality (the ~2/(K+1) subset, fp-df capped "
+        "against boilerplate hot keys), exact shared-distinct-window "
+        "verify — pairs sharing a >= NG+K-1-token run survive both "
+        "stages by theorem (recall 1.0 for the guaranteed class)"),
     "dedup_exact": QuerySpec(
         dedup.dedup_exact, dedup.DEDUP_EXACT_SQL,
         "exact dedup: md5(normalized) hash-groupBy"),

@@ -1319,3 +1319,147 @@ SELECT doc_id,
        CAST(COUNT(*) * 1000 // MAX(nw) AS BIGINT) AS density_pm
 FROM fps GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Winnow-indexed overlap pairs — the COMPOSITION that shows the
+# winnowed index doing its job: candidate pairs come from equality of
+# WINNOWED fingerprints (the ~2/(K+1) subset — never a join over every
+# window), then an exact verify counts the pair's shared distinct
+# 4-gram windows. Guarantee direction (test-pinned): two docs sharing
+# a token run >= WINNOW_NG + WINNOW_K - 1 share a winnowed fingerprint
+# (the text_winnow theorem) AND at least WINNOW_K distinct shared
+# windows, so every such pair survives BOTH stages — recall 1.0 for
+# the guaranteed class, precision exact by the verify count.
+#
+# Skew: a corpus-wide boilerplate fingerprint would make one join key
+# quadratic, so fingerprints shared by more than WINNOW_PAIR_CAP docs
+# are dropped from candidate generation (the LSH bucket-cap
+# discipline; the guarantee then holds for pairs sharing at least one
+# sub-cap fingerprint — mirrored exactly in the oracle and the
+# differential spec).
+WINNOW_PAIR_CAP = 64
+
+
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_pairs_of(_docs(spark, sf_dir))
+
+
+def winnow_pairs_of(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    wins = (
+        docs.withColumn("toks", F.expr(TOKS_S))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr(_NG_ARR_S)).alias("idx", "h"),
+        )
+    )
+    frame = (
+        Window.partitionBy("doc_id")
+        .orderBy("idx")
+        .rowsBetween(-(WINNOW_K - 1), 0)
+    )
+    per_doc = Window.partitionBy("doc_id")
+    fps = (
+        wins.withColumn("fp", F.min("h").over(frame))
+        .withColumn("nw", F.count("*").over(per_doc))
+        .filter(F.expr(f"idx >= least({WINNOW_K - 1}, nw - 1)"))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    fpw = Window.partitionBy("fp")
+    pruned = (
+        fps.withColumn("df", F.count("*").over(fpw))
+        .filter(F.col("df") <= WINNOW_PAIR_CAP)
+        .drop("df")
+    )
+    a, b = pruned.alias("a"), pruned.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.fp") == F.col("b.fp"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # referenced by prune + 2 verify joins
+    )
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    warr = (
+        wins.join(cand_ids, on="doc_id", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("h").alias("ws"))
+    )
+    return (
+        cand.join(
+            warr.select(F.col("doc_id").alias("doc_a"),
+                        F.col("ws").alias("ws_a")),
+            on="doc_a",
+        )
+        .join(
+            warr.select(F.col("doc_id").alias("doc_b"),
+                        F.col("ws").alias("ws_b")),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "CAST(size(array_intersect(ws_a, ws_b)) AS BIGINT)"
+            ).alias("n_shared_windows"),
+        )
+        .filter(F.col("n_shared_windows") >= WINNOW_K)
+    )
+
+
+DEDUP_WINNOW_PAIRS_SQL = f"""
+WITH wins AS (
+  SELECT doc_id, w['idx'] AS idx, w['h'] AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(arr)),
+                  i -> {{'idx': i, 'h': arr[i + 1]}})) AS w
+    FROM (
+      SELECT doc_id, {_NG_ARR_D} AS arr
+      FROM (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
+    )
+  )
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, idx,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY idx
+             ROWS BETWEEN {WINNOW_K - 1} PRECEDING AND CURRENT ROW) AS fp,
+           COUNT(*) OVER (PARTITION BY doc_id) AS nw
+    FROM wins
+  ) WHERE idx >= least({WINNOW_K - 1}, nw - 1)
+),
+pruned AS (
+  SELECT doc_id, fp FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY fp) AS df FROM fps
+  ) WHERE df <= {WINNOW_PAIR_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pruned a JOIN pruned b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+warr AS (
+  SELECT doc_id, list(DISTINCT h) AS ws FROM wins GROUP BY doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT)
+         AS n_shared_windows
+FROM cand
+JOIN warr a ON cand.doc_a = a.doc_id
+JOIN warr b ON cand.doc_b = b.doc_id
+WHERE len(list_intersect(a.ws, b.ws)) >= {WINNOW_K}
+"""

@@ -33,6 +33,7 @@ ENTRIES = [
     "sketch_distinct_kmv_partial",
     "sketch_distinct_kmv_merged",
     "text_winnow",
+    "dedup_winnow_pairs",
     "corpus_budget_alloc",
     "corpus_drift_chi2",
     "text_tfidf_topk",
