@@ -118,3 +118,82 @@ def test_design_scale_magnitudes(spark):
         "source string, w_docs long, cap_tokens long",
     )
     _check(waterfill_of(per).collect(), caps, ws)
+
+
+def _py_fixedpoint(caps: dict, ws: dict, budget: int) -> dict:
+    """Order-FREE waterfill: repeatedly saturate ANY source whose
+    proportional share covers its cap, until stable — an independent
+    formulation of the same fixed point (no ratio sort anywhere)."""
+    sat: set = set()
+    while True:
+        b = budget - sum(caps[s] for s in sat)
+        w = sum(ws[s] for s in ws if s not in sat)
+        newly = {
+            s
+            for s in caps
+            if s not in sat and w > 0 and b * ws[s] >= caps[s] * w
+        }
+        if not newly:
+            break
+        sat |= newly
+    b = budget - sum(caps[s] for s in sat)
+    w = sum(ws[s] for s in ws if s not in sat)
+    return {
+        s: (caps[s], 1) if s in sat else ((b * ws[s]) // w, 0)
+        for s in caps
+    }
+
+
+def test_prefix_chain_equals_fixed_point_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.dictionaries(
+            st.sampled_from([f"s{i}" for i in range(8)]),
+            st.tuples(
+                st.integers(min_value=1, max_value=10**6),  # cap
+                st.integers(min_value=1, max_value=10**4),  # weight
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=0, max_value=99),  # budget pct of total
+    )
+    def check(spec, pct):
+        caps = {s: c for s, (c, _) in spec.items()}
+        ws = {s: w for s, (_, w) in spec.items()}
+        budget = sum(caps.values()) * pct // 100
+        assert _py_waterfill(caps, ws, budget) == _py_fixedpoint(
+            caps, ws, budget
+        )
+
+    check()
+
+
+def test_equal_ratio_tie_boundary(spark):
+    # three sources with IDENTICAL cap/weight ratios: the saturation
+    # boundary falls inside the tie group, so the source-name
+    # tie-break decides — pinned against the Python spec
+    docs = spark.createDataFrame(
+        [("a", " ".join(["t"] * 10))] * 5
+        + [("b", " ".join(["t"] * 10))] * 5
+        + [("c", " ".join(["t"] * 40))] * 5,
+        "source string, text string",
+    )
+    caps = {"a": 50, "b": 50, "c": 200}
+    ws = {"a": 5, "b": 5, "c": 5}
+    _check(budget_alloc_of(docs).collect(), caps, ws)
+
+
+def test_single_source(spark):
+    docs = spark.createDataFrame(
+        [("only", " ".join(["t"] * 20))] * 3,
+        "source string, text string",
+    )
+    out = budget_alloc_of(docs).collect()
+    assert len(out) == 1
+    # budget 90% < cap: never saturates, alloc = the whole budget
+    assert out[0]["saturated"] == 0
+    assert out[0]["alloc_tokens"] == 60 * BUDGET_PCT // 100
