@@ -337,6 +337,91 @@ GROUP BY 1, 2, 3
 """
 
 
+def stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HOPPING (sliding) variant of stream_window_counts: 10-minute
+    windows every 5 minutes, so each event is counted in exactly 2
+    overlapping windows — the overlapping-window state shape (state
+    rows x WIN/SLIDE, still volume-independent). Same mechanics: one
+    landing file + far-future sentinel, Trigger.AvailableNow, append
+    mode; oracle = each event joined to its 2 window starts."""
+    import tempfile
+
+    from pdf_extractor_spark.queries.relational import _events
+    from pdf_extractor_spark.streaming.windows import (
+        SLIDE_S,
+        windowed_counts,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="stream_sliding_")
+    landing, out_dir, ck = f"{tmp}/landing", f"{tmp}/out", f"{tmp}/ck"
+    tz_key = "spark.sql.session.timeZone"
+    prev_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "UTC")
+    try:
+        ev = _events(spark, sf_dir).select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.col("event_type").cast("string").alias("event_type"),
+            F.col("value").cast("double").alias("value"),
+        )
+        sentinel = ev.agg(
+            F.expr(
+                "CAST(max(ts) + INTERVAL 400 DAYS AS TIMESTAMP) AS ts"
+            ),
+            F.expr("'__sentinel__' AS event_type"),
+            F.expr("CAST(0.0 AS DOUBLE) AS value"),
+        )
+        ev.unionByName(sentinel).coalesce(1).write.parquet(landing)
+
+        stream = spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).parquet(landing)
+        q = (
+            windowed_counts(stream, slide_s=SLIDE_S)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(tz_key, prev_tz)
+
+    return (
+        spark.read.parquet(out_dir)
+        .filter(F.col("event_type") != "__sentinel__")
+        .select(
+            F.expr("unix_micros(window_start)").alias("window_start_us"),
+            F.expr("unix_micros(window_end)").alias("window_end_us"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("value_cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+def _stream_window_sliding_sql() -> str:
+    from pdf_extractor_spark.streaming.windows import SLIDE_S, WINDOW_S
+
+    w = WINDOW_S * 1_000_000
+    s = SLIDE_S * 1_000_000
+    return f"""
+SELECT CAST(ws AS BIGINT) AS window_start_us,
+       CAST(ws + {w} AS BIGINT) AS window_end_us,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS value_cents
+FROM (
+  SELECT (epoch_us(ts) // {s}) * {s} - k * {s} AS ws,
+         event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events CROSS JOIN range({w // s}) r(k)
+)
+GROUP BY 1, 2, 3
+"""
+
+
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup inside the hash gate: the events
     fixture is landed TWICE — the full table, then a replayed slice
@@ -655,6 +740,13 @@ CATALOG: dict[str, QuerySpec] = {
         "separate micro-batches) — cross-batch state suppresses every "
         "replay; watermark eviction bounds state at 10^12-event scale "
         "(the beyond-delay trade is pinned by test)"),
+    "stream_window_sliding": QuerySpec(
+        stream_window_sliding, _stream_window_sliding_sql(),
+        "hopping (sliding) watermarked windows run AvailableNow: each "
+        "event counted in WIN/SLIDE=2 overlapping windows — the "
+        "overlapping-window state shape at x2 rows, still "
+        "volume-independent; oracle joins each event to its 2 window "
+        "starts"),
     "stream_window_counts": QuerySpec(
         stream_window_counts, _stream_window_counts_sql(),
         "watermarked tumbling-window streaming aggregate (built-in "

@@ -26,22 +26,34 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 WINDOW_S = 600  # 10-minute tumbling windows (matches events_rollup grain)
+SLIDE_S = 300  # hopping-window slide: each event lands in WIN/SLIDE=2
+# overlapping windows — the state store holds WIN/SLIDE rows per
+# (window, type) where tumbling holds one; that multiplier is the
+# entire cost of sliding semantics, bounded and volume-independent
 
 
 def windowed_counts(
     events: DataFrame,
     window_s: int = WINDOW_S,
     watermark: str = "10 seconds",
+    slide_s: int | None = None,
 ) -> DataFrame:
     """events(ts TIMESTAMP, event_type STRING, value DOUBLE, …) →
     (window_start, window_end, event_type, n_events, value_cents).
-    ``events`` must be a STREAMING DataFrame (append-mode sink)."""
+    ``events`` must be a STREAMING DataFrame (append-mode sink).
+    ``slide_s`` < window_s turns the tumbling windows into HOPPING
+    (sliding) windows: every event is counted in window_s/slide_s
+    overlapping windows."""
+    win = (
+        F.window("ts", f"{window_s} seconds")
+        if slide_s is None
+        else F.window(
+            "ts", f"{window_s} seconds", f"{slide_s} seconds"
+        )
+    )
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(
-            F.window("ts", f"{window_s} seconds").alias("win"),
-            "event_type",
-        )
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
             F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).alias(
