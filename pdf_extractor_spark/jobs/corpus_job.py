@@ -510,7 +510,9 @@ def main(argv: list[str] | None = None) -> None:
         "--substring-cut", action="store_true",
         help="cut cross-document duplicated W-token spans keeping one "
         "global occurrence (Lee et al. exact-substring deletion) after "
-        "the segment passes, before near-dup detection",
+        "the segment passes, before near-dup detection; uncut docs pass "
+        "through byte-identical, cut docs are re-joined single-spaced "
+        "(token-range deletion normalizes whitespace)",
     )
     ap.add_argument(
         "--mix-shards", type=int, default=None,

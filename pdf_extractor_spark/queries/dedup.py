@@ -2221,8 +2221,12 @@ def substring_cut_of(docs: DataFrame) -> DataFrame:
                 f"ELSE size({kept_pos}) END AS BIGINT)"
             ).alias("n_tokens_after"),
             F.expr("coalesce(n_spans_cut, 0)").alias("n_spans_cut"),
+            # docs with NO cuts pass through byte-identical (re-joining
+            # toks would silently collapse repeated whitespace on every
+            # document); only actually-cut docs get the token-rejoin
+            # normalization inherent to token-range deletion.
             F.expr(
-                "CASE WHEN rngs IS NULL THEN array_join(toks, ' ') "
+                "CASE WHEN rngs IS NULL THEN text "
                 f"ELSE array_join(transform({kept_pos}, "
                 "p -> element_at(toks, p)), ' ') END"
             ).alias("cleaned_text"),
@@ -2273,13 +2277,13 @@ rng_arr AS (
          CAST(COUNT(*) AS BIGINT) AS n_spans_cut
   FROM ranges GROUP BY doc_id
 ),
-toks_t AS (SELECT doc_id, {TOKS_D} AS toks FROM documents)
+toks_t AS (SELECT doc_id, text, {TOKS_D} AS toks FROM documents)
 SELECT t.doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens_before,
        CAST(CASE WHEN rngs IS NULL THEN len(toks)
             ELSE len({_CUT_KEPT_POS_D}) END AS BIGINT) AS n_tokens_after,
        coalesce(n_spans_cut, 0) AS n_spans_cut,
-       CASE WHEN rngs IS NULL THEN coalesce(array_to_string(toks, ' '), '')
+       CASE WHEN rngs IS NULL THEN t.text
             ELSE coalesce(array_to_string(list_transform({_CUT_KEPT_POS_D},
                  p -> toks[p]), ' '), '') END AS cleaned_text
 FROM toks_t t LEFT JOIN rng_arr r ON t.doc_id = r.doc_id

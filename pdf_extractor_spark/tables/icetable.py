@@ -288,9 +288,30 @@ class IceTable:
         DATA — on a conflicting commit between the read and the rename
         this raises (caller retries) instead of silently dropping
         either side. Prior snapshots still time-travel (old files stay
-        until expire_snapshots)."""
+        until expire_snapshots).
+
+        The incoming batch must itself be key-distinct: a DataFrame has
+        no row order, so "keep-last within the batch" is undefined —
+        rather than silently committing duplicate keys (which the next
+        upsert would fan out on), a batch carrying the same key twice
+        raises and the caller must pre-aggregate."""
         from pyspark.sql import functions as F
 
+        dup_keys = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dup_keys:
+            sample = [tuple(r[k] for k in keys) for r in dup_keys]
+            raise ValueError(
+                "upsert batch is not key-distinct on "
+                f"{keys}: duplicate key(s) {sample} — SCD1 'incoming "
+                "row replaces existing row' is ill-defined within an "
+                "unordered batch; deduplicate before upserting"
+            )
         if not self.exists():
             return self.append(df)
         base = self.current_snapshot()
@@ -537,17 +558,14 @@ class IceTable:
                     "expressible as an append-only delta — read the "
                     "full snapshot instead"
                 )
-            parent = (
-                {}
-                if snap.get("parent_id") is None
-                else json.load(
-                    open(
-                        self.meta_dir
-                        / f"snap-{snap['parent_id']:08d}.json",
-                        encoding="utf-8",
-                    )
-                )["partitions"]
-            )
+            if snap.get("parent_id") is None:
+                parent = {}
+            else:
+                with open(
+                    self.meta_dir / f"snap-{snap['parent_id']:08d}.json",
+                    encoding="utf-8",
+                ) as pf:
+                    parent = json.load(pf)["partitions"]
             for part, ref in snap["partitions"].items():
                 prev = (
                     set(self._manifest_files(parent[part]))

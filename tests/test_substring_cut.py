@@ -55,7 +55,9 @@ def _py_cut(texts: dict[int, str]):
                 n_islands += 1
             prev = i
         kept = [t for j, t in enumerate(tk) if j not in dead]
-        out[d] = (len(tk), len(kept), n_islands, " ".join(kept))
+        # uncut docs pass through byte-identical (never re-joined)
+        cleaned = " ".join(kept) if wins else texts[d]
+        out[d] = (len(tk), len(kept), n_islands, cleaned)
     return out
 
 
