@@ -674,8 +674,13 @@ FROM per, tot
 # PaLM/LLaMA data-recipe shape). Exact-integer waterfill:
 #
 # - sources sorted by capacity/weight ascending (cheapest-to-saturate
-#   first; the ratio is ONE double division of exact BIGINTs — bit-
-#   identical cross-engine — with source as tie-break);
+#   first, source as tie-break). The order is EXACT: rank by the
+#   cross-multiplied comparison c_a·w_b < c_b·w_a over the O(#sources)
+#   self-join (DECIMAL(38,0)/HUGEINT — ~1e23 at design scale), never
+#   by the double ratio c/w — at 1e13-token/1e10-doc magnitudes two
+#   distinct exact ratios can round to the same double (ulp ~1e-15 vs
+#   rational gaps down to ~1/(w_a·w_b)), and a wrong tie order breaks
+#   the prefix-saturation theorem (tests pin a concrete collision);
 # - the saturated set is a PREFIX of that order: source k saturates iff
 #   its proportional share of the remaining budget covers its cap,
 #   (B - C_{k-1}) * w_k >= c_k * (W - W_{k-1}), where C/W are prefix
@@ -729,13 +734,47 @@ def waterfill_of(per: DataFrame) -> DataFrame:
         F.sum("cap_tokens").cast("long").alias("tot_c"),
         F.sum("w_docs").cast("long").alias("tot_w"),
     )
-    ow = Window.orderBy("r", "source")
+    # exact cap/weight rank: count sources strictly before (a) in the
+    # (ratio, source) order via the cross-multiplied integer comparison
+    # — a double ratio collides at design-scale magnitudes (two
+    # distinct rationals within one ulp) and a wrong tie order breaks
+    # the prefix theorem. O(#sources)^2 rows on a broadcast self-join
+    # of the checkpointed table — driver-sized, never a data shuffle.
+    other = per.select(
+        F.col("source").alias("b_source"),
+        F.col("w_docs").alias("b_w"),
+        F.col("cap_tokens").alias("b_c"),
+    )
+    rank = (
+        per.crossJoin(F.broadcast(other))
+        .withColumn(
+            "before",
+            F.expr(
+                "CASE WHEN CAST(b_c AS DECIMAL(38, 0)) * w_docs "
+                "< CAST(cap_tokens AS DECIMAL(38, 0)) * b_w "
+                "OR (CAST(b_c AS DECIMAL(38, 0)) * w_docs "
+                "= CAST(cap_tokens AS DECIMAL(38, 0)) * b_w "
+                "AND b_source < source) THEN 1 ELSE 0 END"
+            ),
+        )
+        .groupBy("source")
+        .agg(F.sum("before").cast("long").alias("rk"))
+    )
+    per = per.join(F.broadcast(rank), "source")
+    ow = Window.orderBy("rk")
     prev = ow.rowsBetween(Window.unboundedPreceding, -1)
     incl = ow.rowsBetween(Window.unboundedPreceding, 0)
     flagged = (
         per.crossJoin(F.broadcast(tot))
-        .withColumn("budget", F.expr(f"tot_c * {BUDGET_PCT} DIV 100"))
-        .withColumn("r", F.expr("CAST(cap_tokens AS DOUBLE) / w_docs"))
+        # budget and alloc_pm route through DECIMAL: tot_c×90 and
+        # alloc×1000 overflow BIGINT past ~1e16-token totals
+        .withColumn(
+            "budget",
+            F.expr(
+                f"CAST(CAST(tot_c AS DECIMAL(38, 0)) * {BUDGET_PCT} "
+                "DIV 100 AS BIGINT)"
+            ),
+        )
         .withColumn(
             "c_prev",
             F.coalesce(F.sum("cap_tokens").over(prev), F.lit(0)),
@@ -774,7 +813,8 @@ def waterfill_of(per: DataFrame) -> DataFrame:
             F.expr("CAST(saturated AS INT)").alias("saturated"),
             "alloc_tokens",
             F.expr(
-                "CAST(alloc_tokens * 1000 DIV budget AS BIGINT)"
+                "CAST(CAST(alloc_tokens AS DECIMAL(38, 0)) * 1000 "
+                "DIV budget AS BIGINT)"
             ).alias("alloc_pm"),
         )
     )
@@ -793,6 +833,16 @@ tot AS (
          CAST(SUM(w_docs) AS BIGINT) AS tot_w
   FROM per
 ),
+rnk AS (
+  SELECT a.source,
+         SUM(CASE WHEN b.cap_tokens::HUGEINT * a.w_docs
+                       < a.cap_tokens::HUGEINT * b.w_docs
+                  OR (b.cap_tokens::HUGEINT * a.w_docs
+                      = a.cap_tokens::HUGEINT * b.w_docs
+                      AND b.source < a.source)
+                  THEN 1 ELSE 0 END) AS rk
+  FROM per a, per b GROUP BY a.source
+),
 flagged AS (
   SELECT *,
     CASE WHEN (budget - c_prev)::HUGEINT * w_docs
@@ -800,19 +850,20 @@ flagged AS (
          THEN 1 ELSE 0 END AS cond
   FROM (
     SELECT *,
-      coalesce(SUM(cap_tokens) OVER (ORDER BY r, source
+      coalesce(SUM(cap_tokens) OVER (ORDER BY rk
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c_prev,
-      coalesce(SUM(w_docs) OVER (ORDER BY r, source
+      coalesce(SUM(w_docs) OVER (ORDER BY rk
         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS w_prev
     FROM (
-      SELECT *, tot_c * {BUDGET_PCT} // 100 AS budget,
-             CAST(cap_tokens AS DOUBLE) / w_docs AS r
-      FROM per, tot
+      SELECT per.*, rk, tot_c, tot_w,
+             CAST(tot_c::HUGEINT * {BUDGET_PCT} // 100 AS BIGINT)
+               AS budget
+      FROM per JOIN rnk USING (source), tot
     )
   )
 ),
 satd AS (
-  SELECT *, MIN(cond) OVER (ORDER BY r, source
+  SELECT *, MIN(cond) OVER (ORDER BY rk
     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS saturated
   FROM flagged
 ),
@@ -824,7 +875,7 @@ stot AS (
 SELECT source, w_docs, cap_tokens,
        CAST(saturated AS INT) AS saturated,
        alloc_tokens,
-       CAST(alloc_tokens * 1000 // budget AS BIGINT) AS alloc_pm
+       CAST(alloc_tokens::HUGEINT * 1000 // budget AS BIGINT) AS alloc_pm
 FROM (
   SELECT *,
          CAST(CASE WHEN saturated = 1 THEN cap_tokens

@@ -1328,9 +1328,14 @@ FROM fps GROUP BY doc_id
 # window), then an exact verify counts the pair's shared distinct
 # 4-gram windows. Guarantee direction (test-pinned): two docs sharing
 # a token run >= WINNOW_NG + WINNOW_K - 1 share a winnowed fingerprint
-# (the text_winnow theorem) AND at least WINNOW_K distinct shared
-# windows, so every such pair survives BOTH stages — recall 1.0 for
-# the guaranteed class, precision exact by the verify count.
+# (the text_winnow theorem), and when the run's WINNOW_K windows are
+# DISTINCT (any non-degenerate run) they also share >= WINNOW_K
+# distinct windows, so the pair survives BOTH stages — recall 1.0 for
+# that class, precision exact by the verify count. Degenerate
+# repetitive runs ('a a a a a a a') are the exception: their windows
+# hash identically, so n_shared_windows = 1 < WINNOW_K and the pair
+# is dropped by the verify threshold (oracle and Python spec mirror
+# it — parity holds; test-pinned counterexample).
 #
 # Skew: a corpus-wide boilerplate fingerprint would make one join key
 # quadratic, so fingerprints shared by more than WINNOW_PAIR_CAP docs

@@ -16,6 +16,8 @@ the catalog oracle suite):
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 from pdf_extractor_spark.queries.corpus_select import (
     BUDGET_PCT,
     budget_alloc_of,
@@ -27,7 +29,10 @@ SF = "/root/testdata/sf0.001"
 
 
 def _py_waterfill(caps: dict, ws: dict, budget: int) -> dict:
-    order = sorted(caps, key=lambda s: (caps[s] / ws[s], s))
+    # EXACT rational order (Fraction) — the engine ranks by the
+    # cross-multiplied integer comparison; a double ratio collides at
+    # design-scale magnitudes (see test_double_ratio_collision)
+    order = sorted(caps, key=lambda s: (Fraction(caps[s], ws[s]), s))
     b, w_rem = budget, sum(ws.values())
     sat = set()
     for s in order:
@@ -55,7 +60,7 @@ def _check(rows, caps, ws):
     for s, (a, _) in got.items():
         assert a <= caps[s]
     # saturated sources form a prefix of the cap/weight ratio order
-    order = sorted(caps, key=lambda s: (caps[s] / ws[s], s))
+    order = sorted(caps, key=lambda s: (Fraction(caps[s], ws[s]), s))
     flags = [got[s][1] for s in order]
     assert flags == sorted(flags, reverse=True)
 
@@ -185,6 +190,45 @@ def test_equal_ratio_tie_boundary(spark):
     caps = {"a": 50, "b": 50, "c": 200}
     ws = {"a": 5, "b": 5, "c": 5}
     _check(budget_alloc_of(docs).collect(), caps, ws)
+
+
+def test_double_ratio_collision(spark):
+    """Two sources whose exact cap/weight ratios DIFFER as rationals
+    (by 1.2e-15) but round to the SAME double: the double order falls
+    to the source-name tie-break, which puts the exactly-HIGHER ratio
+    first — and under that wrong order the saturation chain stops
+    immediately (nothing saturates), while the exact order saturates
+    b_pairlow. The budget (90% of total, tuned via the `web` tail
+    source) sits inside the [r_low·W, r_high·W) window, so the two
+    orders produce DIFFERENT saturated sets — the engine must match
+    the exact-rational Python spec."""
+    caps = {
+        "b_pairlow": 50_000_000_000_000_037,   # ratio exactly lower
+        "a_pairhigh": 50_000_000_000_000_003,  # ratio exactly higher
+        "web": 22_222_222_222_222_223,
+    }
+    ws = {
+        "b_pairlow": 5_000_000_000_000_003,
+        "a_pairhigh": 4_999_999_999_999_999,
+        "web": 1_000_000_000_000_000,
+    }
+    # the premise: same double, different rational, inverted tie-break
+    assert (
+        caps["b_pairlow"] / ws["b_pairlow"]
+        == caps["a_pairhigh"] / ws["a_pairhigh"]
+    )
+    assert Fraction(caps["b_pairlow"], ws["b_pairlow"]) < Fraction(
+        caps["a_pairhigh"], ws["a_pairhigh"]
+    )
+    per = spark.createDataFrame(
+        [(s, ws[s], caps[s]) for s in caps],
+        "source string, w_docs long, cap_tokens long",
+    )
+    rows = waterfill_of(per).collect()
+    _check(rows, caps, ws)
+    sat = {r["source"]: r["saturated"] for r in rows}
+    # the double order would yield all-zeros here
+    assert sat == {"b_pairlow": 1, "a_pairhigh": 0, "web": 0}
 
 
 def test_single_source(spark):

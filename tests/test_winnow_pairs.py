@@ -6,7 +6,11 @@ catalog oracle suite):
   window count, threshold) on the real corpus;
 - the guarantee composition: crafted pairs sharing a run of
   WINNOW_NG + WINNOW_K - 1 unique tokens appear in the output with
-  n_shared_windows >= WINNOW_K (recall 1.0 for the guaranteed class);
+  n_shared_windows >= WINNOW_K (recall 1.0 for the guaranteed class
+  — runs whose K windows are DISTINCT; a degenerate repetitive run is
+  the pinned counterexample: its K windows hash identically, so the
+  pair fails the distinct-shared-window threshold in the engine, the
+  oracle, and the Python spec alike);
 - the cap is real: a fingerprint shared by > WINNOW_PAIR_CAP docs
   generates no candidates through that fingerprint (quadratic-key
   protection), mirrored in the Python spec.
@@ -99,6 +103,26 @@ def test_guaranteed_run_pairs_always_found(spark):
     }
     assert (1, 2) in got and got[(1, 2)] >= WINNOW_K
     assert all(3 not in pair for pair in got)
+
+
+def test_repetitive_run_is_outside_the_guarantee(spark):
+    """A shared run of NG + K - 1 IDENTICAL tokens produces K windows
+    with the SAME hash: the pair shares a fingerprint (candidate stage
+    finds it) but only 1 distinct window, so the verify threshold
+    drops it — the guarantee class is runs with K distinct windows,
+    not all runs of that length. Engine and Python spec agree."""
+    run = " ".join(["a"] * (WINNOW_NG + WINNOW_K - 1))
+    cases = [
+        (1, f"alpha beta gamma delta {run} omega psi chi phi"),
+        (2, f"{run} uno dos tres cuatro cinco seis siete ocho"),
+    ]
+    docs = spark.createDataFrame(cases, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_windows"]
+        for r in winnow_pairs_of(docs).collect()
+    }
+    assert (1, 2) not in got  # dropped: 1 distinct shared window < K
+    assert got == _py_pairs({d: t for d, t in cases})
 
 
 def test_hot_fingerprint_capped(spark):
