@@ -1,0 +1,253 @@
+"""Deterministic Heaps-law natural-text corpus (the round-4 VERDICT's
+top gap: the driver `documents` table has a CLOSED 31-token vocabulary,
+which is the adversarial worst case for prefix-filtered Jaccard joins,
+makes "lines" a token-window stand-in, and starves learned classifiers
+of lexical signal).
+
+One seeded PRNG drives everything (the corpus/generator.py discipline);
+row i of a corpus with seed S is identical across runs and machines.
+
+What the corpus exhibits, each a tested property:
+
+- **Zipf/Heaps lexical statistics**: tokens are drawn rank-wise from a
+  Zipf(s=1.07) distribution over a V=20,000-type vocabulary of
+  deterministic pseudo-words (short words = frequent ranks, like real
+  text), so distinct-type count grows sublinearly with corpus size
+  (Heaps' law) and shingle document frequencies follow the long tail
+  the prefix filter was designed for — rare-first prefixes actually
+  prune (contrast: the sf* documents table, where every shingle's df
+  grows linearly with N and candidates go quadratic).
+- **Real lines**: documents are newline-joined sentences; a shared
+  boilerplate pool (nav/footer/cookie banners) recurs across documents
+  on the same host — the signal for newline-aware line dedup.
+- **Near-duplicate pairs**: ~10% of documents are token-level mutations
+  of an earlier document (2–15% substitution rate, occasional line
+  drop), giving true Jaccard-threshold pairs for the exact-recall join.
+- **Two lexical registers** for learned quality classification:
+  `prose` samples the full vocabulary; `spam` stuffs a small
+  commercial sub-vocabulary with heavy phrase repetition. The register
+  is the `label` column; `source` is correlated but not identical
+  (ads/forum skew spammy, wiki/news skew prose) so a classifier has
+  something real to learn and a non-trivial Bayes error.
+
+No external data, no wall clock, no network — everything derives from
+the seed.
+"""
+
+from __future__ import annotations
+
+import bisect
+import random
+
+# ---------------------------------------------------------------------------
+# Vocabulary: pseudo-word for rank r = base-len(SYLLABLES) digits of r
+# spelled in syllables, so frequent ranks get SHORT words (real-text
+# shape: Zipf rank correlates inversely with word length).
+SYLLABLES = (
+    "ta re mi no ka su li do ve za po ni fa ru ge bo wa ky cho sen "
+    "mar tel vin dor pla kru sta bel"
+).split()
+
+# Vocabulary size: effectively UNBOUNDED relative to any corpus the
+# fixture or its scaling tests generate (10^6 types vs ~10^5-token
+# corpora). A small fixed V re-creates the closed-vocabulary disease
+# this corpus exists to avoid: once tokens >> V, every shingle's df
+# grows linearly with N and prefix candidates go quadratic (measured:
+# V=20k pushed the per-doubling candidate ratio from 1.8x to 3.7x by
+# 4,800 docs; V=1e6 holds it flat — pinned by the scaling test).
+ZIPF_V = 1_000_000
+ZIPF_S = 1.07  # Zipf exponent (webtext-typical)
+
+SOURCES = ("wiki", "news", "forum", "ads")
+# P(spam | source): ads/forum skew spammy, wiki/news skew prose —
+# correlated but overlapping, so `source` alone is not the label.
+SPAM_P = {"wiki": 0.05, "news": 0.12, "forum": 0.45, "ads": 0.85}
+
+# spam register: ~half its tokens come from a SMALL hot commercial
+# vocabulary (the learnable classifier signal — these types are
+# frequent within spam, rare in prose) and the rest from a shifted
+# Zipf tail that stays UNBOUNDED. A fully-closed spam vocabulary
+# would quietly re-create the quadratic-candidates disease inside the
+# spam slice (measured before this split: per-doubling candidate
+# growth crept to 3.5x by 4,800 docs; the hot types themselves are
+# high-df, so the rare-first prefix order excludes them anyway).
+SPAM_HOT_RANKS = tuple(range(2_000, 2_060))
+SPAM_TAIL_SHIFT = 3_000
+
+N_BOILER = 24  # boilerplate line pool size (shared across hosts)
+NEAR_DUP_P = 0.10  # P(doc i is a mutated copy of an earlier doc)
+INTRADOC_P = 0.06  # P(doc repeats one of its own lines — stutter)
+
+
+def word_for_rank(r: int) -> str:
+    base = len(SYLLABLES)
+    out = []
+    r += 1  # 0 -> one syllable, not empty
+    while r > 0:
+        r, d = divmod(r - 1, base)
+        out.append(SYLLABLES[d])
+    return "".join(reversed(out))
+
+
+class _Zipf:
+    """Inverse-CDF Zipf sampler over ranks [0, V) — cumulative weights
+    precomputed once, bisect per draw."""
+
+    def __init__(self, v: int = ZIPF_V, s: float = ZIPF_S):
+        acc, cum = 0.0, []
+        for r in range(1, v + 1):
+            acc += r**-s
+            cum.append(acc)
+        self.cum = cum
+        self.total = acc
+
+    def rank(self, rng: random.Random) -> int:
+        return bisect.bisect_left(self.cum, rng.random() * self.total)
+
+
+_zipf_singleton: _Zipf | None = None
+
+
+def _zipf() -> _Zipf:
+    # lazy: the 10^6-entry cumsum costs ~0.5 s — pay it on first use,
+    # not at package import
+    global _zipf_singleton
+    if _zipf_singleton is None:
+        _zipf_singleton = _Zipf()
+    return _zipf_singleton
+
+
+def _sentence(rng: random.Random, lo: int = 6, hi: int = 14) -> str:
+    z = _zipf()
+    return " ".join(
+        word_for_rank(z.rank(rng)) for _ in range(rng.randint(lo, hi))
+    )
+
+
+def _spam_sentence(rng: random.Random) -> str:
+    # keyword stuffing: a 2-4 word phrase repeated 2-4 times plus
+    # noise. Phrases ALTERNATE hot/tail words so every bigram shingle
+    # contains at least one unbounded-tail word — all-hot bigrams form
+    # a closed 60^2-type shingle space whose dfs grow linearly with N,
+    # and chance spam-x-spam prefix collisions then grow quadratically
+    # (measured: 4.5x per corpus doubling before the alternation).
+    z = _zipf()
+    # even length: an odd phrase repeated would abut two hot words at
+    # the junction, re-creating the closed bigram space
+    phrase = [
+        word_for_rank(rng.choice(SPAM_HOT_RANKS))
+        if k % 2 == 0
+        else word_for_rank(z.rank(rng) + SPAM_TAIL_SHIFT)
+        for k in range(2 * rng.randint(1, 2))
+    ]
+    out: list[str] = []
+    for _ in range(rng.randint(2, 4)):
+        out.extend(phrase)
+        if rng.random() < 0.5:
+            out.append(word_for_rank(z.rank(rng) + SPAM_TAIL_SHIFT))
+    return " ".join(out)
+
+
+def _boiler_pool(seed: int) -> list[str]:
+    rng = random.Random(f"{seed}-boiler")
+    return [
+        " ".join(
+            word_for_rank(rng.randrange(200))
+            for _ in range(rng.randint(4, 8))
+        )
+        for _ in range(N_BOILER)
+    ]
+
+
+def _mutate(rng: random.Random, text: str) -> str:
+    """Token-substitution near-duplicate: each token flips to a fresh
+    Zipf draw with rate 2-15%; one line may drop (never the only one)."""
+    rate = rng.uniform(0.02, 0.15)
+    lines = text.split("\n")
+    if len(lines) > 2 and rng.random() < 0.4:
+        del lines[rng.randrange(len(lines))]
+    z = _zipf()
+    out_lines = []
+    for ln in lines:
+        toks = ln.split(" ")
+        out_lines.append(
+            " ".join(
+                word_for_rank(z.rank(rng))
+                if rng.random() < rate
+                else t
+                for t in toks
+            )
+        )
+    return "\n".join(out_lines)
+
+
+def webtext_rows(seed: int, n_docs: int) -> list[dict]:
+    """The corpus: doc_id, url, source, label, text (newline-lined)."""
+    rng = random.Random(f"{seed}-webtext")
+    boiler = _boiler_pool(seed)
+    # hosts scale with corpus size (~40 docs/host) — a real crawl's
+    # host count grows with the crawl; a FIXED host pool would make
+    # host-boilerplate clusters quadratic in N and defeat the Heaps
+    # story the corpus exists to exhibit
+    n_hosts = max(8, n_docs // 40)
+    rows: list[dict] = []
+    for i in range(n_docs):
+        source = SOURCES[rng.randrange(len(SOURCES))]
+        spam = rng.random() < SPAM_P[source]
+        label = "spam" if spam else "prose"
+        host = f"{source}{rng.randrange(n_hosts)}.example.org"
+        url = f"https://{host}/p/{i}"
+        if i > 20 and rng.random() < NEAR_DUP_P:
+            src = rows[rng.randrange(len(rows))]
+            text = _mutate(rng, src["text"])
+            label = src["label"]  # register survives mutation
+            rows.append(
+                {
+                    "doc_id": i,
+                    "url": url,
+                    "source": src["source"],
+                    "label": label,
+                    "text": text,
+                }
+            )
+            continue
+        # host-stable boilerplate: nav lines keyed by host hash
+        hrng = random.Random(f"{seed}-host-{host}")
+        nav = [boiler[hrng.randrange(N_BOILER)] for _ in range(2)]
+        n_body = rng.randint(3, 9)
+        body = [
+            _spam_sentence(rng) if spam else _sentence(rng)
+            for _ in range(n_body)
+        ]
+        if rng.random() < INTRADOC_P and body:
+            body.insert(
+                rng.randrange(len(body)), body[rng.randrange(len(body))]
+            )
+        footer = [boiler[hrng.randrange(N_BOILER)]]
+        rows.append(
+            {
+                "doc_id": i,
+                "url": url,
+                "source": source,
+                "label": label,
+                "text": "\n".join(nav + body + footer),
+            }
+        )
+    return rows
+
+
+def write_webtext_parquet(path, seed: int, n_docs: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = webtext_rows(seed, n_docs)
+    table = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "label": pa.array([r["label"] for r in rows], pa.string()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, path)
