@@ -36,6 +36,7 @@ from pdf_extractor_spark.queries import (
     similarity,
     temporal,
     textstats,
+    webtext,
 )
 
 REPO_ROOT = Path(__file__).resolve().parent.parent.parent
@@ -1090,6 +1091,17 @@ CATALOG: dict[str, QuerySpec] = {
         "URL canonicalization (case/port/fragment/tracking-param/"
         "trailing-slash rules) + canon-key dedup groups; array-function "
         "param surgery keeps Java and RE2 regex semantics aligned"),
+    "web_dedup_lines": QuerySpec(
+        webtext.web_dedup_lines, webtext.WEB_DEDUP_LINES_SQL,
+        "NEWLINE-aware cross-document boilerplate line removal over the "
+        "Heaps-law webtext fixture (C4/CCNet line dedup on real lines); "
+        "line-frequency table broadcasts, text never shuffles"),
+    "web_quality_classify": QuerySpec(
+        webtext.web_quality_classify, webtext._nb_sql(),
+        "CCNet-style LEARNED quality classifier: integer NB log-odds "
+        "weights trained driver-side on the fixture's even doc_ids "
+        "(libm in Python only), scored as an order-free integer sum in "
+        "both engines; held-out accuracy test-pinned"),
     "pii_scrub": QuerySpec(
         pii.pii_scrub, pii.PII_SCRUB_SQL,
         "PII redaction projection (emails/phones/IPv4 -> typed "

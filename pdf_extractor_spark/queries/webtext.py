@@ -1,0 +1,250 @@
+"""Queries over the Heaps-law webtext fixture
+(fixtures/webtext_micro.parquet, built by scripts/build_webtext_fixture.py)
+— the natural-text corpus the driver sf* `documents` table cannot stand
+in for (closed 31-token vocabulary; round-4 VERDICT item 1):
+
+- **web_dedup_lines** — NEWLINE-aware cross-document boilerplate line
+  removal (the C4/CCNet line-dedup pass on real lines, replacing
+  dedup_lines' token-window stand-in): a trimmed line appearing in >=
+  WEB_LINE_MIN_DOCS distinct documents is boilerplate and is stripped
+  from every document.
+- **web_quality_classify** — the CCNet-style LEARNED quality
+  classifier (Wenzek et al. 2020 train a fastText LM/classifier and
+  score in-pipeline). Training happens driver-side at plan build on
+  the fixture's even doc_ids (the learned-centroid ANN precedent:
+  Python may use libm freely; the ENGINE expressions consume only the
+  resulting integer literals), producing per-token integer per-mille
+  log-odds weights; scoring is an integer sum over token occurrences —
+  order-free, bit-identical cross-engine. Held-out accuracy (odd
+  doc_ids) is test-pinned well above the majority baseline — the
+  round-4 attempt died on the 31-token corpus (unigram ceiling ==
+  majority class, STATE r4.5), not on the formulation.
+
+Physical shape at 100 TB: line-frequency pass is a map-side-combined
+distinct+count whose output (the boilerplate vocabulary) broadcasts;
+cleaning is a broadcast-probe projection (document text never
+shuffles). Classifier scoring is explode -> broadcast-join the O(V)
+weight table -> per-doc partial-aggregated sum; the model itself is
+O(V) integers learned once.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+REPO_ROOT = Path(__file__).resolve().parent.parent.parent
+WEBTEXT_FIXTURE = REPO_ROOT / "fixtures" / "webtext_micro.parquet"
+
+# trimmed non-empty lines; Spark's split takes a regex — '\n' is safe
+WEB_LINES_S = (
+    "filter(transform(split(text, '\\n'), l -> trim(l)), l -> l <> '')"
+)
+WEB_LINES_D = (
+    "list_filter(list_transform(string_split(text, chr(10)), "
+    "l -> trim(l)), l -> l <> '')"
+)
+
+# newline-normalized whitespace tokens (for token-level queries over
+# the same fixture — identical in both engines)
+WEB_TOKS_S = "filter(split(translate(text, '\\n', ' '), ' '), t -> t <> '')"
+WEB_TOKS_D = (
+    "list_filter(string_split(replace(text, chr(10), ' '), ' '), "
+    "t -> t <> '')"
+)
+
+WEB_LINE_MIN_DOCS = 3  # a line in >= 3 distinct docs is boilerplate
+
+
+def _web_docs(spark: SparkSession) -> DataFrame:
+    return spark.read.parquet(str(WEBTEXT_FIXTURE))
+
+
+# ---------------------------------------------------------------------------
+# Newline-aware cross-document line dedup
+
+
+def web_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_dedup_lines_of(_web_docs(spark))
+
+
+def web_dedup_lines_of(docs: DataFrame) -> DataFrame:
+    """doc_id, n_lines, n_boiler, text_clean — boilerplate lines
+    (present in >= WEB_LINE_MIN_DOCS distinct docs) stripped; surviving
+    lines re-joined with newlines (untouched docs stay byte-identical
+    because trim() is a no-op on the generator's lines)."""
+    lined = docs.select("doc_id", F.expr(WEB_LINES_S).alias("lines"))
+    freq = (
+        lined.select("doc_id", F.explode("lines").alias("line"))
+        .select("doc_id", F.md5("line").alias("h"))
+        .distinct()
+        .groupBy("h")
+        .count()
+        .filter(F.col("count") >= WEB_LINE_MIN_DOCS)
+        .agg(F.sort_array(F.collect_list("h")).alias("freq"))
+    )
+    return (
+        lined.crossJoin(F.broadcast(freq))
+        .withColumn(
+            "kept",
+            F.expr("filter(lines, l -> NOT array_contains(freq, md5(l)))"),
+        )
+        .select(
+            "doc_id",
+            F.size("lines").cast("long").alias("n_lines"),
+            (F.size("lines") - F.size("kept"))
+            .cast("long")
+            .alias("n_boiler"),
+            F.array_join("kept", "\n").alias("text_clean"),
+        )
+    )
+
+
+WEB_DEDUP_LINES_SQL = f"""
+WITH lined AS (
+  SELECT doc_id, {WEB_LINES_D} AS lines
+  FROM '{WEBTEXT_FIXTURE}'
+),
+freq_rows AS (
+  SELECT md5(line) AS h
+  FROM (SELECT DISTINCT doc_id, unnest(lines) AS line FROM lined)
+  GROUP BY md5(line) HAVING count(*) >= {WEB_LINE_MIN_DOCS}
+),
+freq AS (SELECT coalesce(list_sort(list(h)), []) AS fr FROM freq_rows)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(lines) - len(kept) AS BIGINT) AS n_boiler,
+       coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+FROM (
+  SELECT doc_id, lines,
+         list_filter(lines, l -> NOT list_contains(fr, md5(l))) AS kept
+  FROM lined, freq
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Learned quality classifier (integer NB, driver-trained)
+
+MODEL_V = 512  # model vocabulary: top types by training-split count
+NB_SCALE = 1000  # per-mille integer log-odds
+
+
+@lru_cache(maxsize=1)
+def _nb_model() -> tuple[int, tuple[tuple[str, int], ...]]:
+    """(prior_w, ((token, weight), ...)) — multinomial NB log-odds,
+    trained in pure Python on the fixture's EVEN doc_ids (deterministic;
+    the odd half is the held-out accuracy set the tests pin). Weights
+    are round(NB_SCALE * ln(p(t|spam)/p(t|prose))) with add-1 smoothing
+    over the model vocabulary; libm lives HERE, never in an engine
+    expression — both engines consume the same integer literals."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        WEBTEXT_FIXTURE, columns=["doc_id", "label", "text"]
+    )
+    counts: dict[str, dict[str, int]] = {"spam": {}, "prose": {}}
+    n_docs = {"spam": 0, "prose": 0}
+    for did, lab, text in zip(
+        tbl["doc_id"].to_pylist(),
+        tbl["label"].to_pylist(),
+        tbl["text"].to_pylist(),
+    ):
+        if did % 2 != 0:
+            continue
+        n_docs[lab] += 1
+        c = counts[lab]
+        for t in text.replace("\n", " ").split(" "):
+            if t:
+                c[t] = c.get(t, 0) + 1
+    total = {t: counts["spam"].get(t, 0) + counts["prose"].get(t, 0)
+             for t in set(counts["spam"]) | set(counts["prose"])}
+    vocab = sorted(sorted(total), key=lambda t: -total[t])[:MODEL_V]
+    tot_s = sum(counts["spam"].get(t, 0) for t in vocab)
+    tot_p = sum(counts["prose"].get(t, 0) for t in vocab)
+    v = len(vocab)
+    weights = tuple(
+        (
+            t,
+            round(
+                NB_SCALE
+                * math.log(
+                    (counts["spam"].get(t, 0) + 1)
+                    / (tot_s + v)
+                    / ((counts["prose"].get(t, 0) + 1) / (tot_p + v))
+                )
+            ),
+        )
+        for t in vocab
+    )
+    prior = round(NB_SCALE * math.log(n_docs["spam"] / n_docs["prose"]))
+    return prior, weights
+
+
+def web_quality_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_quality_classify_of(_web_docs(spark))
+
+
+def web_quality_classify_of(docs: DataFrame) -> DataFrame:
+    """doc_id, label, score, pred — integer NB score over token
+    occurrences (OOV tokens weigh 0); pred = 'spam' iff score > 0.
+    Scoring shape: explode -> broadcast weight join -> per-doc sum
+    (map-side partials; the model table is O(MODEL_V))."""
+    prior, weights = _nb_model()
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(list(weights), "tok string, w long")
+    toks = docs.select(
+        "doc_id", "label", F.explode(F.expr(WEB_TOKS_S)).alias("tok")
+    )
+    scored = (
+        toks.join(F.broadcast(wdf), on="tok", how="inner")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("wsum"))
+    )
+    return (
+        docs.join(scored, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "label",
+            (F.coalesce(F.col("wsum"), F.lit(0)) + F.lit(prior))
+            .cast("long")
+            .alias("score"),
+        )
+        .withColumn(
+            "pred",
+            F.when(F.col("score") > 0, F.lit("spam")).otherwise(
+                F.lit("prose")
+            ),
+        )
+    )
+
+
+def _nb_sql() -> str:
+    prior, weights = _nb_model()
+    vals = ", ".join(
+        f"('{t}', {w})" for t, w in weights
+    )  # tokens are [a-z]+ pseudo-words — no quoting hazards
+    return f"""
+WITH wts(tok, w) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id, unnest({WEB_TOKS_D}) AS tok
+  FROM '{WEBTEXT_FIXTURE}'
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wsum
+  FROM toks JOIN wts USING (tok) GROUP BY doc_id
+)
+SELECT d.doc_id, d.label,
+       CAST(coalesce(wsum, 0) + {prior} AS BIGINT) AS score,
+       CASE WHEN coalesce(wsum, 0) + {prior} > 0
+            THEN 'spam' ELSE 'prose' END AS pred
+FROM '{WEBTEXT_FIXTURE}' d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
+
+# evaluated lazily via a property-style callable in catalog.py (the SQL
+# depends on the trained model; training is cached and deterministic)

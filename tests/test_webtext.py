@@ -1,0 +1,178 @@
+"""Heaps-law webtext corpus + its query entries (cross-engine value
+parity is covered by the catalog oracle suite):
+
+- fixture/spec identity: the committed parquet equals the generator's
+  output for (SEED, N_DOCS) — the golden-drift discipline;
+- the corpus's lexical statistics ARE Heaps/Zipf: type count grows
+  sublinearly with corpus size, and prefix-filter candidate pairs grow
+  far below quadratically per corpus doubling (the property the
+  fixture exists to exhibit — the closed-vocab sf* documents table
+  measures ~4x per doubling);
+- web_dedup_lines: plain-Python differential; documents with no
+  boilerplate hits pass through byte-identical; boilerplate is found;
+- web_quality_classify: plain-Python differential (same integer
+  weights); held-out accuracy (odd doc_ids — never seen in training)
+  far above the majority baseline — the learnable-signal property the
+  31-token corpus could not provide (STATE r4.5 dead end);
+- plan pins: line cleaning never shuffles text; classifier scoring
+  broadcasts the O(V) weight table.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+from pdf_extractor_spark.corpus.webtext import webtext_rows
+from pdf_extractor_spark.queries import CATALOG
+from pdf_extractor_spark.queries.dedup import PREFIX_TAU_PM
+from pdf_extractor_spark.queries.webtext import (
+    WEB_LINE_MIN_DOCS,
+    WEBTEXT_FIXTURE,
+    _nb_model,
+    web_dedup_lines_of,
+    web_quality_classify_of,
+)
+
+SF = "/root/testdata/sf0.001"  # unused by fixture entries; API shape
+FIX_SEED, FIX_N = 7, 1200  # scripts/build_webtext_fixture.py
+
+
+def _toks(text: str) -> list[str]:
+    return [t for t in text.replace("\n", " ").split(" ") if t]
+
+
+def test_fixture_matches_generator_spec():
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(WEBTEXT_FIXTURE).to_pylist()
+    assert tbl == webtext_rows(FIX_SEED, FIX_N)
+
+
+def test_heaps_type_growth_is_sublinear():
+    rows = webtext_rows(FIX_SEED, 2400)
+    sizes = [600, 1200, 2400]
+    types = []
+    for n in sizes:
+        ts = set()
+        for r in rows[:n]:
+            ts.update(_toks(r["text"]))
+        types.append(len(ts))
+    for a, b in zip(types, types[1:]):
+        assert 1.0 < b / a < 1.8, (types, "type growth not Heaps-like")
+
+
+def _prefix_cand_pairs(rows) -> int:
+    """Pure-Python prefix-filter candidate count (the operator's
+    candidate stage, independent implementation)."""
+    sets = {}
+    for r in rows:
+        t = _toks(r["text"])
+        sets[r["doc_id"]] = set(zip(t, t[1:]))
+    df: Counter = Counter()
+    for s in sets.values():
+        for sh in s:
+            df[sh] += 1
+    occ = defaultdict(list)
+    for d, s in sets.items():
+        order = sorted(s, key=lambda sh: (df[sh], sh))
+        plen = len(order) - math.ceil(PREFIX_TAU_PM * len(order) / 1000) + 1
+        for sh in order[:plen]:
+            occ[sh].append(d)
+    return sum(len(v) * (len(v) - 1) // 2 for v in occ.values())
+
+
+def test_prefix_candidates_grow_subquadratically():
+    """THE property the fixture exists for: per-doubling candidate
+    growth stays well under 4x (quadratic). Measured ~2-2.6x at these
+    sizes; 3.2 leaves noise margin while still failing any
+    closed-vocabulary regression (which measures ~3.5-4x by 2,400
+    docs — see the generator's docstring for the three re-creations
+    that were measured and designed out)."""
+    counts = [_prefix_cand_pairs(webtext_rows(FIX_SEED, n))
+              for n in (600, 1200, 2400)]
+    for a, b in zip(counts, counts[1:]):
+        assert b / a < 3.2, (counts, "candidate growth looks quadratic")
+    assert counts[0] > 100  # the measurement has signal
+
+
+def _py_line_dedup(rows):
+    lines = {
+        r["doc_id"]: [
+            ln.strip() for ln in r["text"].split("\n") if ln.strip()
+        ]
+        for r in rows
+    }
+    df: Counter = Counter()
+    for ls in lines.values():
+        for ln in set(ls):
+            df[ln] += 1
+    out = {}
+    for d, ls in lines.items():
+        kept = [ln for ln in ls if df[ln] < WEB_LINE_MIN_DOCS]
+        out[d] = (len(ls), len(ls) - len(kept), "\n".join(kept))
+    return out
+
+
+def test_web_dedup_lines_equals_python_spec(spark):
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    rows = docs.select("doc_id", "text").collect()
+    expected = _py_line_dedup(rows)
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_boiler"], r["text_clean"])
+        for r in web_dedup_lines_of(docs).collect()
+    }
+    assert got == expected
+    # boilerplate is real on this corpus (the pool recurs)
+    assert sum(1 for _, b, _ in got.values() if b > 0) > 500
+    # a doc with zero boilerplate hits passes through byte-identical
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    untouched = [d for d, (_, b, _) in got.items() if b == 0]
+    assert untouched, "corpus unexpectedly has no boilerplate-free doc"
+    for d in untouched:
+        assert got[d][2] == texts[d]
+
+
+def test_classifier_equals_python_spec_and_generalizes(spark):
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    prior, weights = _nb_model()
+    w = dict(weights)
+    rows = docs.select("doc_id", "label", "text").collect()
+    expected = {}
+    for r in rows:
+        s = prior + sum(w.get(t, 0) for t in _toks(r["text"]))
+        expected[r["doc_id"]] = (
+            r["label"], s, "spam" if s > 0 else "prose"
+        )
+    got = {
+        r["doc_id"]: (r["label"], r["score"], r["pred"])
+        for r in web_quality_classify_of(docs).collect()
+    }
+    assert got == expected
+    # held-out generalization: odd doc_ids were never in training
+    held = [(lab, pred) for d, (lab, _, pred) in got.items() if d % 2]
+    acc = sum(lab == pred for lab, pred in held) / len(held)
+    majority = max(
+        sum(1 for lab, _ in held if lab == "spam"),
+        sum(1 for lab, _ in held if lab == "prose"),
+    ) / len(held)
+    assert acc >= 0.95 > majority, (acc, majority)
+
+
+def test_web_lines_plan_text_never_shuffles(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_dedup_lines"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row freq crossJoin
+    assert "SortMergeJoin" not in plan
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "lines" not in head and "text" not in head, head
+
+
+def test_classifier_plan_broadcasts_weights(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_quality_classify"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
