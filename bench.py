@@ -165,6 +165,9 @@ HEADLINE = [
     "text_fingerprint",
     "text_winnow",
     "dedup_winnow_pairs",
+    "dedup_jaccard_prefix_web",
+    "web_dedup_lines",
+    "web_quality_classify",
     "text_embed_hash",
     "text_embed_topk",
     "text_embed_centroid_topk",

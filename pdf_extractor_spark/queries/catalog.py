@@ -1096,6 +1096,13 @@ CATALOG: dict[str, QuerySpec] = {
         "NEWLINE-aware cross-document boilerplate line removal over the "
         "Heaps-law webtext fixture (C4/CCNet line dedup on real lines); "
         "line-frequency table broadcasts, text never shuffles"),
+    "dedup_jaccard_prefix_web": QuerySpec(
+        webtext.dedup_jaccard_prefix_web, webtext.WEB_JACCARD_PREFIX_SQL,
+        "Exact-recall threshold-Jaccard join (AllPairs/PPJoin) over the "
+        "Heaps-law webtext fixture — the corpus class the prefix filter "
+        "is designed for (rare-shingle prefixes; sub-quadratic candidate "
+        "growth per doubling, test-pinned in-engine); candidate-budget "
+        "guard trips loudly on closed-vocabulary blowups"),
     "web_quality_classify": QuerySpec(
         webtext.web_quality_classify, webtext._nb_sql(),
         "CCNet-style LEARNED quality classifier: integer NB log-odds "

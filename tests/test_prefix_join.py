@@ -73,6 +73,27 @@ def test_prefix_prunes_but_never_misses(spark):
     assert len(cand) < n_docs * (n_docs - 1) // 2  # real pruning
 
 
+def test_candidate_budget_guard_trips_loudly(spark):
+    """Round-4 VERDICT 'wrong' #1: a closed-vocabulary corpus makes
+    prefix candidates quadratic — the guard's exact pre-join bound
+    (sum of C(occ, 2) over prefix keys) must refuse rather than burn
+    the cluster. 80 identical 24-token docs: every prefix shingle has
+    occ=80, bound = plen * C(80, 2) >> 10_000."""
+    import pytest
+
+    text = " ".join(f"tok{i}" for i in range(24))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(80)], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="prefix-candidate bound"):
+        jaccard_prefix_pairs_of(docs, cand_budget=10_000).collect()
+    # the same corpus passes under an explicit larger budget (the
+    # escape hatch the error message names) with the right answer
+    rows = jaccard_prefix_pairs_of(docs, cand_budget=10**7).collect()
+    assert len(rows) == 80 * 79 // 2
+    assert all(r["jaccard"] == 1.0 for r in rows)
+
+
 def test_identical_docs_always_pair(spark):
     docs = spark.createDataFrame(
         [

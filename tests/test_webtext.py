@@ -159,6 +159,69 @@ def test_classifier_equals_python_spec_and_generalizes(spark):
     assert acc >= 0.95 > majority, (acc, majority)
 
 
+def _brute_jaccard(rows, tau_pm):
+    sets = {}
+    for r in rows:
+        t = _toks(r["text"])
+        sets[r["doc_id"]] = (
+            set(f"{a} {b}" for a, b in zip(t, t[1:]))
+            if len(t) >= 2
+            else {r["text"].replace("\n", " ")}
+        )
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            if inter * 1000 >= tau_pm * union:
+                out.add((a, b, inter, len(sets[a]), len(sets[b])))
+    return out
+
+
+def test_web_jaccard_prefix_equals_brute_force(spark):
+    """Exact recall AND precision on natural Heaps-law text — the
+    corpus class the prefix filter exists for."""
+    from pdf_extractor_spark.queries.dedup import PREFIX_TAU_PM
+    from pdf_extractor_spark.queries.webtext import dedup_jaccard_prefix_web
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    expected = _brute_jaccard(
+        docs.select("doc_id", "text").collect(), PREFIX_TAU_PM
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["n_inter"], r["n_a"], r["n_b"])
+        for r in dedup_jaccard_prefix_web(spark, SF).collect()
+    }
+    assert got == expected
+    assert len(expected) > 10  # the fixture's near-dup pairs are real
+
+
+def test_prefix_candidates_subquadratic_in_engine(spark):
+    """The ENGINE's candidate stage (prefix + size + positional filters,
+    post-distinct) grows well under 4x per corpus doubling on Heaps-law
+    text — the in-engine twin of the pure-Python growth pin above, and
+    the property that makes the exact join the 100 TB choice on real
+    webtext."""
+    from pdf_extractor_spark.queries.dedup import _prefix_candidates
+
+    counts = []
+    for n in (600, 1200, 2400):
+        docs = spark.createDataFrame(
+            [
+                (r["doc_id"], r["text"].replace("\n", " "))
+                for r in webtext_rows(FIX_SEED, n)
+            ],
+            "doc_id long, text string",
+        )
+        counts.append(_prefix_candidates(docs).count())
+    for a, b in zip(counts, counts[1:]):
+        assert b / a < 3.2, (counts, "candidate growth looks quadratic")
+    # post size/positional-filter candidates are fewer than the raw
+    # prefix-occurrence pairs the pure-Python pin counts; 50 is signal
+    assert counts[0] > 50
+
+
 def test_web_lines_plan_text_never_shuffles(spark):
     from tests.test_plans import plan_of
 
