@@ -59,10 +59,162 @@ def _commit_lock(root: pathlib.Path) -> threading.RLock:
         return _COMMIT_LOCKS.setdefault(key, threading.RLock())
 
 
+# Per-file column min/max stats (Iceberg data-file `lower_bounds` /
+# `upper_bounds` analog). Collected from the parquet FOOTER only (no data
+# pages read) at manifest-write time; data files are immutable
+# (uuid-named, never rewritten in place), so a process-level cache keyed
+# by absolute path is safe and makes re-manifesting an appended-to
+# partition O(new files) footer reads.
+_FILE_STATS_CACHE: dict[str, dict] = {}
+
+_STATS_STR_MAX = 120  # longer strings: skip the bound (conservative)
+
+
+def _encode_bound(v):
+    """Parquet-footer min/max → (tag, json-safe value), or None when the
+    value can't be compared faithfully across engines (conservative: a
+    file with no usable bound is never skipped)."""
+    import datetime
+
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, float):
+        return ("f", v)
+    if isinstance(v, str):
+        # ASCII-only: Python compares by code point, Spark/parquet by
+        # UTF-8 byte — identical orders only within ASCII
+        if len(v) <= _STATS_STR_MAX and v.isascii():
+            return ("s", v)
+        return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return ("t", int(v.timestamp() * 1_000_000))
+    if isinstance(v, datetime.date):
+        return ("d", v.toordinal())
+    return None
+
+
+def _file_column_stats(path: str, cols: tuple[str, ...]) -> dict:
+    """{col: [tag, lo, hi]} for the requested columns present in the
+    file, from row-group footer statistics. Parquet guarantees
+    min <= all values <= max even for writer-truncated string bounds,
+    so these are always safe skipping bounds."""
+    cached = _FILE_STATS_CACHE.get(path)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    out: dict = {}
+    try:
+        md = pq.ParquetFile(path).metadata
+        if md.num_row_groups == 0:
+            _FILE_STATS_CACHE[path] = {}
+            return {}
+        idx = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.num_columns)
+        }
+        for col in cols:
+            if col not in idx:
+                continue
+            lo = hi = None
+            ok = md.num_row_groups > 0
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                b_lo, b_hi = _encode_bound(st.min), _encode_bound(st.max)
+                if b_lo is None or b_hi is None or b_lo[0] != b_hi[0]:
+                    ok = False
+                    break
+                lo = b_lo if lo is None or b_lo[1] < lo[1] else lo
+                hi = b_hi if hi is None or b_hi[1] > hi[1] else hi
+            if ok and lo is not None:
+                out[col] = [lo[0], lo[1], hi[1]]
+    except Exception:
+        out = {}  # unreadable footer → no stats → file never skipped
+    _FILE_STATS_CACHE[path] = out
+    return out
+
+
+def _normalize_pred_value(tag: str, value):
+    """Predicate constant → the stats encoding's comparable form, or
+    None when incomparable (→ no skipping)."""
+    import datetime
+
+    if tag == "s":
+        return value if isinstance(value, str) and value.isascii() else None
+    if tag == "i":
+        return value if isinstance(value, int) and not isinstance(value, bool) else None
+    if tag == "f":
+        return float(value) if isinstance(value, (int, float)) and not isinstance(value, bool) else None
+    if tag == "t":
+        if isinstance(value, str):
+            try:
+                value = datetime.datetime.fromisoformat(value)
+            except ValueError:
+                return None
+        if isinstance(value, datetime.datetime):
+            if value.tzinfo is None:
+                value = value.replace(tzinfo=datetime.timezone.utc)
+            return int(value.timestamp() * 1_000_000)
+        return value if isinstance(value, int) else None
+    if tag == "d":
+        if isinstance(value, str):
+            try:
+                value = datetime.date.fromisoformat(value)
+            except ValueError:
+                return None
+        if isinstance(value, datetime.date) and not isinstance(
+            value, datetime.datetime
+        ):
+            return value.toordinal()
+        return None
+    return None
+
+
+_PRED_OPS = ("=", "==", "<", "<=", ">", ">=")
+
+
+def _bounds_exclude(lo, hi, op: str, v) -> bool:
+    """True iff NO value in [lo, hi] can satisfy `col <op> v` — the file
+    provably holds no matching row and is skipped."""
+    if op in ("=", "=="):
+        return v < lo or v > hi
+    if op == "<":
+        return lo >= v
+    if op == "<=":
+        return lo > v
+    if op == ">":
+        return hi <= v
+    if op == ">=":
+        return hi < v
+    raise ValueError(f"unsupported predicate op {op!r}")
+
+
 class IceTable:
-    def __init__(self, root: str | os.PathLike, partition_col: str = "partition_date"):
+    # columns whose per-file min/max land in manifests by default — the
+    # pages/extraction tables' selective-read columns; override per table
+    # via the constructor. Columns absent from a file's schema are
+    # simply not collected for it.
+    DEFAULT_STATS_COLS = ("url", "warc_ts")
+
+    def __init__(
+        self,
+        root: str | os.PathLike,
+        partition_col: str = "partition_date",
+        stats_cols: tuple[str, ...] | None = None,
+    ):
         self.root = pathlib.Path(root)
         self.partition_col = partition_col
+        self.stats_cols = (
+            tuple(stats_cols) if stats_cols is not None
+            else self.DEFAULT_STATS_COLS
+        )
         self.data_dir = self.root / "data"
         self.meta_dir = self.root / "metadata"
 
@@ -90,22 +242,49 @@ class IceTable:
         snap = self.current_snapshot()
         return sorted(snap["partitions"]) if snap else []
 
-    def _manifest_files(self, ref) -> list[str]:
-        """Resolve a partition entry to its relative data-file list. The
-        entry is either a manifest-file relpath (hierarchical form) or an
-        inline list (legacy form) — readers accept both."""
+    def _manifest_entry(self, ref) -> tuple[list[str], dict]:
+        """Resolve a partition entry to (relative data-file list,
+        {file: {col: [tag, lo, hi]}} stats). The entry is a manifest-file
+        relpath (hierarchical form) or an inline list (legacy); manifest
+        content is either the legacy sorted file list or the dict form
+        carrying per-file column stats — readers accept all three."""
         if isinstance(ref, list):
-            return ref
+            return ref, {}
         with open(self.root / ref, encoding="utf-8") as f:
-            return json.load(f)
+            content = json.load(f)
+        if isinstance(content, dict):
+            return content["files"], content.get("stats", {})
+        return content, {}
+
+    def _manifest_files(self, ref) -> list[str]:
+        return self._manifest_entry(ref)[0]
 
     def _write_manifest(self, files: list[str]) -> str:
         """Write (or reuse) a content-addressed per-partition manifest and
         return its relpath. Content addressing dedups across snapshots:
         an unchanged partition re-references the same manifest file, so a
         commit's metadata work is O(changed partitions), never O(table) —
-        the property that keeps commits cheap at 10^12 rows."""
-        content = json.dumps(sorted(files), sort_keys=True)
+        the property that keeps commits cheap at 10^12 rows.
+
+        Each referenced file's column min/max (``stats_cols``) rides the
+        manifest — Iceberg's lower/upper-bounds analog, enabling FILE-level
+        skipping on non-partition predicates in ``files()``/``read()``.
+        Bounds come from parquet footers only (immutable files → cached),
+        so a manifest rewrite costs O(new files) footer reads."""
+        stats = {}
+        if self.stats_cols:
+            for rel in files:
+                s = _file_column_stats(
+                    str(self.root / rel), self.stats_cols
+                )
+                if s:
+                    stats[rel] = s
+        payload: object = (
+            {"files": sorted(files), "stats": stats}
+            if stats
+            else sorted(files)
+        )
+        content = json.dumps(payload, sort_keys=True)
         h = hashlib.sha256(content.encode("utf-8")).hexdigest()[:20]
         rel = f"metadata/manifests/m-{h}.json"
         path = self.root / rel
@@ -119,21 +298,49 @@ class IceTable:
     def partition_files(self, part_ref) -> list[str]:
         return self._manifest_files(part_ref)
 
-    def files(self, partitions: list[str] | None = None) -> list[str]:
+    def files(
+        self,
+        partitions: list[str] | None = None,
+        where: list[tuple] | None = None,
+    ) -> list[str]:
         """Absolute data-file paths, optionally pruned to given partitions
         (manifest-level pruning: unselected partitions' manifests are
-        never even opened)."""
+        never even opened) and/or by ``where`` — a conjunction of
+        ``(column, op, value)`` triples (op in =/==/</<=/>/>=): a file is
+        skipped only when its manifest min/max bounds PROVE no row can
+        match (files without bounds for the column are always kept, so
+        skipping is never lossy)."""
         snap = self.current_snapshot()
         if snap is None:
             return []
+        if where:
+            for _, op, _ in where:
+                if op not in _PRED_OPS:
+                    raise ValueError(f"unsupported predicate op {op!r}")
         out: list[str] = []
         for part, ref in sorted(snap["partitions"].items()):
             if partitions is not None and part not in set(partitions):
                 continue
-            out.extend(
-                str(self.root / r) for r in self._manifest_files(ref)
-            )
+            fs, stats = self._manifest_entry(ref)
+            for r in fs:
+                if where and self._excluded(stats.get(r, {}), where):
+                    continue
+                out.append(str(self.root / r))
         return out
+
+    @staticmethod
+    def _excluded(col_stats: dict, where: list[tuple]) -> bool:
+        for col, op, value in where:
+            b = col_stats.get(col)
+            if not b:
+                continue
+            tag, lo, hi = b
+            v = _normalize_pred_value(tag, value)
+            if v is None:
+                continue
+            if _bounds_exclude(lo, hi, op, v):
+                return True
+        return False
 
     _CORE_SNAPSHOT_KEYS = frozenset(
         {
@@ -588,16 +795,44 @@ class IceTable:
         ).parquet(*files)
 
     # -- reads -------------------------------------------------------------------
-    def read(self, spark: SparkSession, partitions: list[str] | None = None) -> DataFrame:
-        files = self.files(partitions)
+    def read(
+        self,
+        spark: SparkSession,
+        partitions: list[str] | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
+        """Read the current snapshot. ``partitions`` prunes at manifest
+        level; ``where`` (conjunction of ``(col, op, value)`` triples)
+        additionally skips data files whose manifest min/max bounds
+        prove them predicate-free — Iceberg file-level data skipping on
+        NON-partition columns — and is re-applied as a row filter on the
+        survivors, so the result is exactly the matching rows."""
+        files = self.files(partitions, where)
         if not files:
             snap = self.current_snapshot()
             if snap and snap.get("schema_json"):
                 from pyspark.sql import types as T
 
                 schema = T.StructType.fromJson(json.loads(snap["schema_json"]))
-                return spark.createDataFrame([], schema)
-            raise FileNotFoundError(f"IceTable at {self.root} is empty/unknown")
-        return (
-            spark.read.option("basePath", str(self.data_dir)).parquet(*files)
-        )
+                df = spark.createDataFrame([], schema)
+            else:
+                raise FileNotFoundError(
+                    f"IceTable at {self.root} is empty/unknown"
+                )
+        else:
+            df = spark.read.option(
+                "basePath", str(self.data_dir)
+            ).parquet(*files)
+        if where:
+            from pyspark.sql import functions as F
+
+            for col, op, value in where:
+                c, v = F.col(col), F.lit(value)
+                df = df.filter(
+                    c == v if op in ("=", "==")
+                    else c < v if op == "<"
+                    else c <= v if op == "<="
+                    else c > v if op == ">"
+                    else c >= v
+                )
+        return df

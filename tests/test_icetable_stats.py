@@ -1,0 +1,164 @@
+"""Per-file column min/max stats in IceTable manifests (the Iceberg
+lower/upper-bounds analog — round-4 VERDICT missing #3):
+
+- IO proof: under a selective non-partition predicate, ``files(where=)``
+  lists FEWER files and ``read(where=)``'s scan opens only those
+  (``inputFiles()``), while returning exactly the rows a full-scan
+  filter returns — skipping is an optimization, never a semantics
+  change;
+- range predicates on a timestamp column skip too (bounds are encoded
+  as epoch-micros integers);
+- conservatism: files without usable bounds (stats disabled, non-ASCII
+  strings) are never skipped; a stats-free table answers identically;
+- appends merge: the re-manifested partition keeps bounds for old AND
+  new files;
+- maintenance interplay: compact() rewrites files and the new manifest
+  carries fresh bounds; time travel to the pre-compact snapshot is
+  unchanged.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pdf_extractor_spark.tables.icetable import IceTable
+
+
+def _mkdf(spark, n0: int, n1: int):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n0, n1)
+        .select(
+            F.format_string("https://site-%05d.example/page", "id").alias(
+                "url"
+            ),
+            (
+                F.lit(datetime.datetime(2025, 6, 1, tzinfo=datetime.timezone.utc))
+                + F.make_interval(mins=F.col("id").cast("int"))
+            ).alias("warc_ts"),
+            F.lit("2025-06-01").alias("partition_date"),
+        )
+    )
+
+
+@pytest.fixture()
+def ts_micros_conf(spark):
+    """INT96 parquet timestamps carry no footer statistics — production
+    tables that want warc_ts bounds write TIMESTAMP_MICROS."""
+    key = "spark.sql.parquet.outputTimestampType"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "TIMESTAMP_MICROS")
+    yield
+    spark.conf.set(key, old)
+
+
+def test_file_skipping_lists_and_opens_fewer_files(
+    spark, tmp_path, ts_micros_conf
+):
+    t = IceTable(tmp_path / "t")
+    # 4 files with disjoint url ranges inside ONE partition
+    t.append(_mkdf(spark, 0, 400).repartitionByRange(4, "url"))
+    all_files = t.files()
+    assert len(all_files) == 4
+
+    probe = "https://site-00007.example/page"
+    where = [("url", "=", probe)]
+    pruned = t.files(where=where)
+    assert len(pruned) < len(all_files)  # fewer files LISTED
+
+    got = t.read(spark, where=where)
+    opened = {f.removeprefix("file://") for f in got.inputFiles()}
+    assert opened <= set(pruned)  # fewer files OPENED
+    expected = t.read(spark).filter(f"url = '{probe}'")
+    assert sorted(got.collect()) == sorted(expected.collect())
+
+    # a probe matching nothing anywhere: every file skipped, zero rows
+    nowhere = [("url", "=", "zzz-not-a-url")]
+    assert t.files(where=nowhere) == []
+    assert t.read(spark, where=nowhere).count() == 0
+
+
+def test_timestamp_range_predicate_skips(spark, tmp_path, ts_micros_conf):
+    t = IceTable(tmp_path / "t")
+    t.append(_mkdf(spark, 0, 400).repartitionByRange(4, "warc_ts"))
+    cut = datetime.datetime(
+        2025, 6, 1, 5, 30, tzinfo=datetime.timezone.utc
+    )  # minute 330 of 400 → only the tail file(s) survive
+    where = [("warc_ts", ">=", cut)]
+    pruned = t.files(where=where)
+    assert 0 < len(pruned) < len(t.files())
+    got = t.read(spark, where=where)
+    full = t.read(spark).filter(
+        "warc_ts >= timestamp'2025-06-01 05:30:00'"
+    )
+    assert sorted(r["url"] for r in got.collect()) == sorted(
+        r["url"] for r in full.collect()
+    )
+    assert got.count() == 70
+
+
+def test_stats_free_table_never_skips_but_answers_identically(
+    spark, tmp_path
+):
+    t = IceTable(tmp_path / "t", stats_cols=())
+    t.append(_mkdf(spark, 0, 200).repartitionByRange(4, "url"))
+    probe = "https://site-00003.example/page"
+    where = [("url", "=", probe)]
+    assert len(t.files(where=where)) == len(t.files())  # nothing skipped
+    assert t.read(spark, where=where).count() == 1  # filter still applied
+
+
+def test_non_ascii_bounds_are_conservative(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = IceTable(tmp_path / "t")
+    df = spark.createDataFrame(
+        [("ünïcode-url-ÿ", "2025-06-01"), ("średni-url-ż", "2025-06-01")],
+        "url string, partition_date string",
+    ).repartition(1)
+    t.append(df.select("url", F.lit(None).cast("timestamp").alias("warc_ts"), "partition_date"))
+    # non-ASCII min/max → no bound recorded → file kept under any probe
+    assert len(t.files(where=[("url", "=", "anything")])) == len(t.files())
+
+
+def test_append_merges_stats_across_old_and_new_files(
+    spark, tmp_path, ts_micros_conf
+):
+    t = IceTable(tmp_path / "t")
+    t.append(_mkdf(spark, 0, 100).repartition(1))
+    t.append(_mkdf(spark, 100, 200).repartition(1))
+    assert len(t.files()) == 2
+    lo = [("url", "=", "https://site-00005.example/page")]
+    hi = [("url", "=", "https://site-00155.example/page")]
+    assert len(t.files(where=lo)) == 1
+    assert len(t.files(where=hi)) == 1
+    assert t.files(where=lo) != t.files(where=hi)
+    assert t.read(spark, where=lo).count() == 1
+    assert t.read(spark, where=hi).count() == 1
+
+
+def test_compact_refreshes_stats_and_time_travel_unchanged(
+    spark, tmp_path, ts_micros_conf
+):
+    t = IceTable(tmp_path / "t")
+    t.append(_mkdf(spark, 0, 100).repartition(1))
+    t.append(_mkdf(spark, 100, 200).repartition(1))
+    pre = t.snapshot_id()
+    pre_rows = sorted(r["url"] for r in t.read(spark).collect())
+    t.compact(spark)
+    assert len(t.files()) == 1
+    # the compacted file's manifest carries fresh full-range bounds:
+    # an out-of-range probe still skips everything
+    assert t.files(where=[("url", "=", "zzz")]) == []
+    # and an in-range probe keeps (and finds) the single file
+    probe = [("url", "=", "https://site-00150.example/page")]
+    assert len(t.files(where=probe)) == 1
+    assert t.read(spark, where=probe).count() == 1
+    # time travel to the pre-compact snapshot is untouched
+    old = sorted(
+        r["url"] for r in t.read_snapshot(spark, pre).collect()
+    )
+    assert old == pre_rows
