@@ -126,6 +126,9 @@ def build_corpus(
     substring_cut: bool = False,
     seen_index: str | None = None,
     seen_drop_pm: int = 800,
+    mix_budget: int | None = None,
+    drift_check: str | None = None,
+    drift_max_pm: int = 500,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -379,14 +382,144 @@ def build_corpus(
             ).localCheckpoint(eager=True)
             n_decontaminated = survivors.count()
 
-        sampled_ids = sample_stratified_of(survivors, budget=budget)
-        final = survivors.join(
-            sampled_ids.select("doc_id", "quality_band", "sample_rank"),
-            on="doc_id",
-        ).select(
-            "url", "ts", "text", "lang_pred", "quality",
-            "quality_band", "sample_rank",
-        )
+        # sampling: either the flat per-(lang, quality-band) stratified
+        # budget, or — with --mix-budget N — per-SOURCE (url host) doc
+        # budgets derived from the exact-integer token waterfill
+        # (corpus_mix_weights → corpus_budget_alloc chain): per-source
+        # capacity = its surviving token mass, global budget = N tokens,
+        # saturated sources keep everything, the rest get their
+        # proportional share converted to a doc budget at the source's
+        # own tokens-per-doc rate. Doc selection inside a source is the
+        # sampler's two-phase hash-order discipline (broadcast
+        # per-source budgets → hash-threshold prefilter → exact rank on
+        # ~margin×budget survivors), so no hot source key ever funnels
+        # the corpus through one task.
+        mix = None
+        if mix_budget is not None:
+            from pdf_extractor_spark.queries.corpus_select import (
+                _BAND,
+                SAMPLE_MARGIN,
+                waterfill_of,
+            )
+
+            src = survivors.withColumn(
+                "source",
+                F.expr("coalesce(parse_url(url, 'HOST'), 'unknown')"),
+            )
+            per = (
+                src.withColumn(
+                    "toks", F.expr("filter(split(text, ' '), t -> t <> '')")
+                )
+                .groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("w_docs"),
+                    F.sum(F.expr("size(toks)"))
+                    .cast("long")
+                    .alias("cap_tokens"),
+                )
+            )
+            alloc = (
+                waterfill_of(per, budget_tokens=mix_budget)
+                .withColumn(
+                    "n_alloc",
+                    F.expr(
+                        "CAST(CAST(alloc_tokens AS DECIMAL(38, 0)) "
+                        "* w_docs DIV cap_tokens AS BIGINT)"
+                    ),
+                )
+                .localCheckpoint(eager=True)
+            )
+            h = shuffle_hash_expr("url")
+            pre = src.join(
+                F.broadcast(
+                    alloc.select(
+                        "source",
+                        "n_alloc",
+                        F.col("w_docs").alias("src_docs"),
+                    )
+                ),
+                on="source",
+            ).filter(
+                F.expr(
+                    f"{h} / 4294967296.0 < "
+                    f"least({SAMPLE_MARGIN}.0 * n_alloc / src_docs, 1.0)"
+                )
+            )
+            sw = Window.partitionBy("source").orderBy(F.expr(h), "url")
+            final = (
+                pre.withColumn(
+                    "sample_rank", F.row_number().over(sw).cast("long")
+                )
+                .filter(F.col("sample_rank") <= F.col("n_alloc"))
+                .withColumn("quality_band", F.expr(_BAND))
+                .select(
+                    "url", "ts", "text", "lang_pred", "quality",
+                    "quality_band", "sample_rank",
+                )
+            )
+            a = alloc.agg(
+                F.count(F.lit(1)).alias("n_sources"),
+                F.sum("saturated").alias("n_saturated"),
+                F.sum("alloc_tokens").alias("alloc_tokens"),
+                F.sum("n_alloc").alias("alloc_docs"),
+            ).collect()[0]
+            mix = {
+                "budget_tokens": mix_budget,
+                "sources": int(a["n_sources"]),
+                "saturated": int(a["n_saturated"] or 0),
+                "alloc_tokens": int(a["alloc_tokens"] or 0),
+                "alloc_docs": int(a["alloc_docs"] or 0),
+            }
+        else:
+            sampled_ids = sample_stratified_of(survivors, budget=budget)
+            final = survivors.join(
+                sampled_ids.select("doc_id", "quality_band", "sample_rank"),
+                on="doc_id",
+            ).select(
+                "url", "ts", "text", "lang_pred", "quality",
+                "quality_band", "sample_rank",
+            )
+
+        # optional drift gate BEFORE anything is written: the new
+        # export's unigram distribution vs the PREVIOUS export
+        # (--drift-check <prior out dir>). The hard gate is the OOV
+        # mass signal chi-square cannot carry — new_mass_pm per-mille
+        # of the batch's token mass unseen in the prior corpus; the
+        # chi-square over shared tokens rides the summary for trend
+        # monitoring. On breach the job raises and writes NOTHING.
+        drift = None
+        if drift_check is not None:
+            from pdf_extractor_spark.queries.corpus_select import (
+                drift_chi2_two,
+            )
+
+            prev_exp = spark.read.json(drift_check)
+            if "text" not in prev_exp.columns:
+                raise RuntimeError(
+                    f"--drift-check {drift_check}: previous export has "
+                    "no text rows"
+                )
+            prev_exp = prev_exp.filter(
+                F.col("text").isNotNull()
+            ).select("text")
+            d = drift_chi2_two(prev_exp, final.select("text")).collect()[0]
+            drift = {
+                "chi2": d["chi2"],
+                "n_shared": int(d["n_shared"]),
+                "n_new_tokens": int(d["n_new_tokens"]),
+                "new_mass_pm": int(d["new_mass_pm"] or 0),
+                "max_pm": drift_max_pm,
+            }
+            if drift["new_mass_pm"] > drift_max_pm:
+                raise RuntimeError(
+                    "drift gate: "
+                    f"{drift['new_mass_pm']}‰ of the new export's "
+                    "token mass is unseen in the previous batch "
+                    f"(limit {drift_max_pm}‰, chi2={drift['chi2']}, "
+                    f"{drift['n_new_tokens']} new token types) — "
+                    "refusing to export; inspect the batch or raise "
+                    "--drift-max-pm"
+                )
         if mix_shards:
             # deterministic mixed export (the corpus_shuffle_shards
             # semantic, keyed on url): seeded-hash shard assignment is
@@ -471,6 +604,8 @@ def build_corpus(
             "rows_decontaminated": n_decontaminated,
             "rows_exported": n_out,
             "budget_per_stratum": budget,
+            "mix": mix,
+            "drift": drift,
             "out": out,
         }
         (pathlib.Path(out) / "_SUMMARY.json").write_text(
@@ -536,6 +671,23 @@ def main(argv: list[str] | None = None) -> None:
         help="per-mille seen-shingle threshold above which a doc is "
         "dropped as already-kept content (default 800)",
     )
+    ap.add_argument(
+        "--mix-budget", type=int, default=None,
+        help="global token budget: per-source (url host) doc budgets "
+        "come from the exact-integer waterfill over surviving token "
+        "mass (replaces the flat per-stratum sampling budget)",
+    )
+    ap.add_argument(
+        "--drift-check", default=None,
+        help="previous export directory: gate this export's unigram "
+        "distribution against it (corpus_drift_chi2) and refuse to "
+        "write when > --drift-max-pm per-mille of token mass is unseen",
+    )
+    ap.add_argument(
+        "--drift-max-pm", type=int, default=500,
+        help="per-mille new-token-mass threshold for --drift-check "
+        "(default 500)",
+    )
     ap.add_argument("--partitions", nargs="*", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
@@ -549,6 +701,8 @@ def main(argv: list[str] | None = None) -> None:
         contam_ngram=args.contam_ngram, line_dedup=args.line_dedup,
         intradoc=args.intradoc, substring_cut=args.substring_cut,
         seen_index=args.seen_index, seen_drop_pm=args.seen_drop_pm,
+        mix_budget=args.mix_budget, drift_check=args.drift_check,
+        drift_max_pm=args.drift_max_pm,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -720,10 +720,18 @@ def budget_alloc_of(docs: DataFrame) -> DataFrame:
     return waterfill_of(per)
 
 
-def waterfill_of(per: DataFrame) -> DataFrame:
+def waterfill_of(
+    per: DataFrame, budget_tokens: int | None = None
+) -> DataFrame:
     """Waterfill over an explicit (source, w_docs, cap_tokens) table —
     the seam tests use to drive design-scale magnitudes (1e13 tokens ×
-    1e10 docs) through the DECIMAL chain condition."""
+    1e10 docs) through the DECIMAL chain condition.
+
+    ``budget_tokens``: explicit global token budget (the corpus job's
+    --mix-budget); default derives the budget as BUDGET_PCT% of total
+    capacity (the catalog entry's contract). An explicit budget is
+    clamped to total capacity — asking for more than exists allocates
+    everything (every source saturates at its cap)."""
     # materialize the O(#sources) table ONCE: the totals crossJoin, the
     # rank windows, and the saturated-totals agg are four independent
     # plan branches, and Spark shares no subplans — unmaterialized, the
@@ -773,6 +781,10 @@ def waterfill_of(per: DataFrame) -> DataFrame:
             F.expr(
                 f"CAST(CAST(tot_c AS DECIMAL(38, 0)) * {BUDGET_PCT} "
                 "DIV 100 AS BIGINT)"
+                if budget_tokens is None
+                else "CAST(least("
+                f"CAST({int(budget_tokens)} AS DECIMAL(38, 0)), "
+                "CAST(tot_c AS DECIMAL(38, 0))) AS BIGINT)"
             ),
         )
         .withColumn(
@@ -919,12 +931,16 @@ def corpus_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def drift_chi2_of(docs: DataFrame) -> DataFrame:
-    corpus = docs.filter(
-        F.col("doc_id") % BATCH_DRIFT_MOD < BATCH_DRIFT_MIN
+    return drift_chi2_two(
+        docs.filter(F.col("doc_id") % BATCH_DRIFT_MOD < BATCH_DRIFT_MIN),
+        docs.filter(F.col("doc_id") % BATCH_DRIFT_MOD >= BATCH_DRIFT_MIN),
     )
-    batch = docs.filter(
-        F.col("doc_id") % BATCH_DRIFT_MOD >= BATCH_DRIFT_MIN
-    )
+
+
+def drift_chi2_two(corpus: DataFrame, batch: DataFrame) -> DataFrame:
+    """Two-table form (needs a `text` column on each side) — the corpus
+    job's --drift-check gates a new export against the PREVIOUS export
+    through this seam; the catalog entry is the doc_id-mod split above."""
 
     def counts(side: DataFrame) -> DataFrame:
         return (

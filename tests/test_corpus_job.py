@@ -353,3 +353,94 @@ def test_corpus_job_substring_cut(spark, tmp_path):
     assert s3["rows_substr_cleaned"] == s3["rows_gated"]
     assert s3["substr_spans_removed"] == 0
     assert s3["substr_tokens_removed"] == 0
+
+
+def test_corpus_job_mix_budget_waterfill(spark, tmp_path):
+    """--mix-budget N: per-source (url host) doc budgets derive from
+    the exact-integer token waterfill over surviving token mass;
+    selection is deterministic hash-order; funnel carries the mix
+    block; export schema unchanged."""
+    import gzip as _gz
+
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=17, n_rows=150, n_days=3)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    # measure surviving token mass once via an unbudgeted run, then
+    # budget ~60% of it so the waterfill is a REAL constraint
+    out0 = str(tmp_path / "m0")
+    build_corpus(spark, wh, out0, budget=10**6)
+    total_toks = sum(
+        len([t for t in r["text"].split(" ") if t])
+        for r in _read_jsonl(out0)
+    )
+    budget = int(total_toks * 0.6)
+
+    out1 = str(tmp_path / "m1")
+    s1 = build_corpus(spark, wh, out1, mix_budget=budget)
+    mix = s1["mix"]
+    assert mix["budget_tokens"] == budget
+    assert 0 < mix["alloc_tokens"] <= budget
+    assert mix["sources"] > 1  # the waterfill has real input
+    assert 0 <= mix["saturated"] <= mix["sources"]
+    assert s1["rows_exported"] == mix["alloc_docs"] > 0
+    rows = _read_jsonl(out1)
+    assert len(rows) == s1["rows_exported"]
+    for r in rows:
+        assert set(r) == {
+            "url", "ts", "text", "lang_pred", "quality",
+            "quality_band", "sample_rank",
+        }
+    # fewer docs than the unbudgeted corpus (the budget binds)
+    assert s1["rows_exported"] < len(_read_jsonl(out0))
+
+    # determinism: identical re-run
+    out2 = str(tmp_path / "m2")
+    s2 = build_corpus(spark, wh, out2, mix_budget=budget)
+    a = sorted(json.dumps(r, sort_keys=True) for r in rows)
+    b = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out2))
+    assert a == b and s2["mix"] == mix
+
+
+def test_corpus_job_drift_gate(spark, tmp_path):
+    """--drift-check: an export gated against an identical previous
+    export passes with zero new mass and chi2 0; a previous export
+    with disjoint vocabulary trips the gate and nothing is written."""
+    import gzip as _gz
+
+    import pytest
+
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=23, n_rows=120, n_days=2)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out1 = str(tmp_path / "d1")
+    build_corpus(spark, wh, out1, budget=10)
+
+    # same warehouse, gated against its own previous export: identical
+    # unigram distribution -> residuals all zero -> chi2 == 0.0 and no
+    # new mass at all
+    out2 = str(tmp_path / "d2")
+    s2 = build_corpus(spark, wh, out2, budget=10, drift_check=out1)
+    assert s2["drift"]["new_mass_pm"] == 0
+    assert s2["drift"]["chi2"] == 0.0
+    assert s2["rows_exported"] > 0
+
+    # a fabricated prior export with disjoint vocabulary: every batch
+    # token is unseen -> 1000 per-mille -> the gate raises and the out
+    # dir holds no export
+    fake = tmp_path / "fake_prev"
+    fake.mkdir()
+    with _gz.open(fake / "part-000.json.gz", "wt", encoding="utf-8") as f:
+        for i in range(30):
+            f.write(json.dumps({"text": f"zzz{i} yyy{i} xxx{i}"}) + "\n")
+    out3 = tmp_path / "d3"
+    with pytest.raises(RuntimeError, match="drift gate"):
+        build_corpus(
+            spark, wh, str(out3), budget=10, drift_check=str(fake)
+        )
+    assert not list(out3.glob("part-*.json.gz"))
