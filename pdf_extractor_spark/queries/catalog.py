@@ -1096,6 +1096,12 @@ CATALOG: dict[str, QuerySpec] = {
         "NEWLINE-aware cross-document boilerplate line removal over the "
         "Heaps-law webtext fixture (C4/CCNet line dedup on real lines); "
         "line-frequency table broadcasts, text never shuffles"),
+    "web_dedup_intradoc": QuerySpec(
+        webtext.web_dedup_intradoc, webtext.WEB_DEDUP_INTRADOC_SQL,
+        "Newline-aware WITHIN-document repeated-line removal "
+        "(keep-first) over the Heaps-law fixture — zero-shuffle "
+        "projection (first-occurrence-index filter HOF); the real-text "
+        "twin of dedup_intradoc's token-segment form"),
     "dedup_jaccard_prefix_web": QuerySpec(
         webtext.dedup_jaccard_prefix_web, webtext.WEB_JACCARD_PREFIX_SQL,
         "Exact-recall threshold-Jaccard join (AllPairs/PPJoin) over the "

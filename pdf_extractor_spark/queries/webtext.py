@@ -128,6 +128,56 @@ FROM (
 
 
 # ---------------------------------------------------------------------------
+# Newline-aware WITHIN-document repeated-line removal (keep-first) —
+# the real-text twin of dedup_intradoc's token-segment stand-in
+# (round-4 VERDICT: "8-token windows never repeat intra-doc" on the
+# closed corpus; here 156/1200 fixture docs carry genuine intra-doc
+# duplicate lines). Pure zero-shuffle projection: keep line i iff its
+# FIRST occurrence index is i (Spark filter lambda index is 0-based,
+# array_position 1-based; DuckDB lambda index and list_position are
+# both 1-based — mirrored).
+
+
+def web_dedup_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_dedup_intradoc_of(_web_docs(spark))
+
+
+def web_dedup_intradoc_of(docs: DataFrame) -> DataFrame:
+    lined = docs.select("doc_id", F.expr(WEB_LINES_S).alias("lines"))
+    return lined.select(
+        "doc_id",
+        F.size("lines").cast("long").alias("n_lines"),
+        F.expr(
+            "filter(lines, (l, i) -> array_position(lines, l) = i + 1)"
+        ).alias("kept"),
+    ).select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - F.size("kept")).cast("long").alias("n_dup"),
+        F.array_join("kept", "\n").alias("text_clean"),
+    )
+
+
+WEB_DEDUP_INTRADOC_SQL = f"""
+WITH lined AS (
+  SELECT doc_id, {WEB_LINES_D} AS lines
+  FROM '{WEBTEXT_FIXTURE}'
+),
+kept AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         list_filter(lines, (l, i) -> list_position(lines, l) = i)
+           AS kept
+  FROM lined
+)
+SELECT doc_id, n_lines,
+       CAST(n_lines - len(kept) AS BIGINT) AS n_dup,
+       coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+FROM kept
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact threshold-Jaccard join on Heaps-law text (the corpus class the
 # AllPairs/PPJoin prefix filter is DESIGNED for — round-4 VERDICT item 1:
 # the closed-vocabulary sf* documents table is its documented worst case;

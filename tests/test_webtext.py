@@ -159,6 +159,45 @@ def test_classifier_equals_python_spec_and_generalizes(spark):
     assert acc >= 0.95 > majority, (acc, majority)
 
 
+def test_web_intradoc_equals_python_spec(spark):
+    """Keep-first within-doc line dedup == plain-Python spec; docs
+    without intra-doc repeats pass through byte-identical; the fixture
+    carries real signal (>100 docs with duplicate lines)."""
+    from pdf_extractor_spark.queries.webtext import web_dedup_intradoc_of
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    rows = docs.select("doc_id", "text").collect()
+    expected = {}
+    for r in rows:
+        lines = [ln.strip() for ln in r["text"].split("\n") if ln.strip()]
+        kept, seen = [], set()
+        for ln in lines:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        expected[r["doc_id"]] = (
+            len(lines), len(lines) - len(kept), "\n".join(kept)
+        )
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_dup"], r["text_clean"])
+        for r in web_dedup_intradoc_of(docs).collect()
+    }
+    assert got == expected
+    assert sum(1 for _, d, _ in got.values() if d > 0) > 100
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    untouched = [d for d, (_, dup, _) in got.items() if dup == 0]
+    assert untouched
+    for d in untouched:
+        assert got[d][2] == texts[d]
+
+
+def test_web_intradoc_plan_is_projection(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_dedup_intradoc"].fn(spark, SF))
+    assert "Exchange" not in plan  # zero-shuffle projection
+
+
 def _brute_jaccard(rows, tau_pm):
     sets = {}
     for r in rows:
