@@ -167,6 +167,7 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "dedup_jaccard_prefix_web",
     "web_dedup_lines",
+    "web_dedup_lines_cut",
     "web_quality_classify",
     "text_embed_hash",
     "text_embed_topk",

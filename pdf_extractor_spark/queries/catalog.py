@@ -1102,6 +1102,13 @@ CATALOG: dict[str, QuerySpec] = {
         "(keep-first) over the Heaps-law fixture — zero-shuffle "
         "projection (first-occurrence-index filter HOF); the real-text "
         "twin of dedup_intradoc's token-segment form"),
+    "web_dedup_lines_cut": QuerySpec(
+        webtext.web_dedup_lines_cut, webtext.WEB_DEDUP_LINES_CUT_SQL,
+        "C4-style GLOBAL keep-one line dedup over the Heaps-law fixture "
+        "(Raffel et al. 2020: discard all but one occurrence of a "
+        "repeated span) — keeper is a map-side-combinable "
+        "min(struct(doc_id, idx)) aggregate, only line hashes + indices "
+        "shuffle"),
     "dedup_jaccard_prefix_web": QuerySpec(
         webtext.dedup_jaccard_prefix_web, webtext.WEB_JACCARD_PREFIX_SQL,
         "Exact-recall threshold-Jaccard join (AllPairs/PPJoin) over the "

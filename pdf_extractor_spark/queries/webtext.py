@@ -178,6 +178,107 @@ FROM kept
 
 
 # ---------------------------------------------------------------------------
+# C4-style GLOBAL keep-one line dedup (Raffel et al. 2020 discard all
+# but ONE occurrence of any repeated span; here at line granularity,
+# completing the line-dedup triple: web_dedup_lines strips boilerplate
+# from EVERY doc, web_dedup_intradoc dedups WITHIN a doc, this keeps
+# exactly one corpus-wide occurrence — the canonical keeper
+# min(struct(doc_id, idx)), chosen as a map-side-combinable AGGREGATE,
+# never a per-hash row_number (a corpus-wide boilerplate line would be
+# a one-key sort bomb at 10^7 docs: the dedup_substring_cut rule).
+# Only line HASHES + integer indices shuffle; document text meets the
+# per-doc cut-index list in one hash join at the end.
+
+
+def web_dedup_lines_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_dedup_lines_cut_of(_web_docs(spark))
+
+
+def web_dedup_lines_cut_of(docs: DataFrame) -> DataFrame:
+    """doc_id, n_lines, n_cut, text_clean — every line occurrence whose
+    (doc_id, idx) is not the global minimum for its line hash is cut;
+    count(*) > 1 includes intra-doc repeats (C4 semantics)."""
+    lined = docs.select("doc_id", F.expr(WEB_LINES_S).alias("lines"))
+    occ = lined.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(lines, (l, i) -> "
+                "struct(i AS idx, md5(l) AS h))"
+            )
+        ).alias("o"),
+    ).select("doc_id", "o.idx", "o.h")
+    keeper = (
+        occ.groupBy("h")
+        .agg(
+            F.min(F.struct("doc_id", "idx")).alias("k"),
+            F.count("*").alias("c"),
+        )
+        .filter(F.col("c") > 1)
+        .select("h", "k")
+    )
+    cut = (
+        occ.join(keeper, on="h")
+        .filter(F.expr("NOT (doc_id = k.doc_id AND idx = k.idx)"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("idx")).alias("cut_idx"))
+    )
+    return (
+        lined.join(cut, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.size("lines").cast("long").alias("n_lines"),
+            F.coalesce(F.size("cut_idx"), F.lit(0))
+            .cast("long")
+            .alias("n_cut"),
+            F.expr(
+                "array_join(CASE WHEN cut_idx IS NULL THEN lines "
+                "ELSE filter(lines, (l, i) -> "
+                "NOT array_contains(cut_idx, i)) END, '\\n')"
+            ).alias("text_clean"),
+        )
+    )
+
+
+# DuckDB list lambdas carry a 1-based index; Spark's transform/filter
+# index is 0-based — each side's cut_idx stays in its own convention,
+# so membership checks line up while outputs are index-free.
+WEB_DEDUP_LINES_CUT_SQL = f"""
+WITH lined AS (
+  SELECT doc_id, {WEB_LINES_D} AS lines
+  FROM '{WEBTEXT_FIXTURE}'
+),
+occ AS (
+  SELECT doc_id, o['idx'] AS idx, o['h'] AS h FROM (
+    SELECT doc_id,
+           unnest(list_transform(lines,
+                  (l, i) -> {{'idx': i, 'h': md5(l)}})) AS o
+    FROM lined
+  )
+),
+keeper AS (
+  SELECT h, min({{'doc_id': doc_id, 'idx': idx}}) AS k
+  FROM occ GROUP BY h HAVING count(*) > 1
+),
+cut AS (
+  SELECT doc_id, list_sort(list(idx)) AS cut_idx
+  FROM occ JOIN keeper USING (h)
+  WHERE NOT (doc_id = k['doc_id'] AND idx = k['idx'])
+  GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(coalesce(len(cut_idx), 0) AS BIGINT) AS n_cut,
+       coalesce(array_to_string(
+         CASE WHEN cut_idx IS NULL THEN lines
+              ELSE list_filter(lines, (x, i) ->
+                   NOT list_contains(cut_idx, i)) END,
+         chr(10)), '') AS text_clean
+FROM lined l LEFT JOIN cut USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Exact threshold-Jaccard join on Heaps-law text (the corpus class the
 # AllPairs/PPJoin prefix filter is DESIGNED for — round-4 VERDICT item 1:
 # the closed-vocabulary sf* documents table is its documented worst case;

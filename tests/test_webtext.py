@@ -278,3 +278,51 @@ def test_classifier_plan_broadcasts_weights(spark):
     plan = plan_of(CATALOG["web_quality_classify"].fn(spark, SF))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_web_lines_cut_equals_python_spec(spark):
+    """C4 global keep-one line dedup == plain-Python spec (keeper =
+    lexicographically least (doc_id, idx), count includes intra-doc
+    repeats); after cleaning every distinct trimmed line survives
+    EXACTLY once corpus-wide — the C4 invariant."""
+    from pdf_extractor_spark.queries.webtext import web_dedup_lines_cut_of
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    rows = sorted(
+        docs.select("doc_id", "text").collect(), key=lambda r: r["doc_id"]
+    )
+    lines_of = {
+        r["doc_id"]: [
+            ln.strip() for ln in r["text"].split("\n") if ln.strip()
+        ]
+        for r in rows
+    }
+    counts = Counter(ln for ls in lines_of.values() for ln in ls)
+    first = {}
+    for r in rows:  # ascending doc_id, ascending idx == global min
+        for i, ln in enumerate(lines_of[r["doc_id"]]):
+            first.setdefault(ln, (r["doc_id"], i))
+    expected = {}
+    for did, ls in lines_of.items():
+        kept = [
+            ln
+            for i, ln in enumerate(ls)
+            if counts[ln] == 1 or first[ln] == (did, i)
+        ]
+        expected[did] = (len(ls), len(ls) - len(kept), "\n".join(kept))
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_cut"], r["text_clean"])
+        for r in web_dedup_lines_cut_of(docs).collect()
+    }
+    assert got == expected
+    # real signal: the shared boilerplate pool means many docs get cut
+    assert sum(1 for _, c, _ in got.values() if c > 0) > 100
+    # the C4 invariant: every distinct line exactly once corpus-wide
+    survived = Counter(
+        ln
+        for _, _, txt in got.values()
+        if txt
+        for ln in txt.split("\n")
+    )
+    assert survived and set(survived) == set(counts)
+    assert max(survived.values()) == 1
