@@ -167,7 +167,9 @@ HEADLINE = [
     "dedup_winnow_pairs",
     "dedup_jaccard_prefix_web",
     "web_dedup_lines",
+    "web_dedup_intradoc",
     "web_dedup_lines_cut",
+    "dedup_winnow_pairs_web",
     "web_quality_classify",
     "text_embed_hash",
     "text_embed_topk",

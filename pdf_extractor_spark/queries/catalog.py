@@ -1116,6 +1116,12 @@ CATALOG: dict[str, QuerySpec] = {
         "is designed for (rare-shingle prefixes; sub-quadratic candidate "
         "growth per doubling, test-pinned in-engine); candidate-budget "
         "guard trips loudly on closed-vocabulary blowups"),
+    "dedup_winnow_pairs_web": QuerySpec(
+        webtext.dedup_winnow_pairs_web, webtext.WEB_WINNOW_PAIRS_SQL,
+        "Winnow-indexed overlap pairs (MOSS) over the Heaps-law "
+        "fixture — fingerprints rare by default on natural text, fp-df "
+        "cap suppresses per-host boilerplate runs; detection rides "
+        "genuine shared token runs"),
     "web_quality_classify": QuerySpec(
         webtext.web_quality_classify, webtext._nb_sql(),
         "CCNet-style LEARNED quality classifier: integer NB log-odds "

@@ -314,6 +314,46 @@ WEB_JACCARD_PREFIX_SQL = _web_jaccard_prefix_sql()
 
 
 # ---------------------------------------------------------------------------
+# Winnow-indexed overlap pairs on natural text — the MOSS fingerprint
+# index (dedup_winnow_pairs) exercised on the corpus class it exists
+# for: Heaps-law text where fingerprints are rare by default and the
+# fp-df cap (WINNOW_PAIR_CAP) suppresses the per-host boilerplate
+# runs, leaving the mutation near-dups' shared runs as candidates.
+# On the sf* documents table the same operator found pairs only
+# because high-overlap pairs coincide with its closed templates
+# (round-4 STATE); here detection rides genuine >= NG+K-1 token runs.
+
+
+def dedup_winnow_pairs_web(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.queries.textstats import winnow_pairs_of
+
+    docs = _web_docs(spark).select(
+        "doc_id", F.translate("text", "\n", " ").alias("text")
+    )
+    return winnow_pairs_of(docs)
+
+
+def _web_winnow_pairs_sql() -> str:
+    from pdf_extractor_spark.queries.textstats import (
+        DEDUP_WINNOW_PAIRS_SQL,
+    )
+
+    # fixture CTE shadows the driver-registered `documents` view; the
+    # newline normalization mirrors the Spark-side translate().
+    return DEDUP_WINNOW_PAIRS_SQL.replace(
+        "WITH wins AS (",
+        "WITH documents AS (\n"
+        "  SELECT doc_id, replace(text, chr(10), ' ') AS text\n"
+        f"  FROM '{WEBTEXT_FIXTURE}'\n"
+        "),\nwins AS (",
+        1,
+    )
+
+
+WEB_WINNOW_PAIRS_SQL = _web_winnow_pairs_sql()
+
+
+# ---------------------------------------------------------------------------
 # Learned quality classifier (integer NB, driver-trained)
 
 MODEL_V = 512  # model vocabulary: top types by training-split count

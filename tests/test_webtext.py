@@ -326,3 +326,28 @@ def test_web_lines_cut_equals_python_spec(spark):
     )
     assert survived and set(survived) == set(counts)
     assert max(survived.values()) == 1
+
+
+def test_web_winnow_pairs_spec_and_jaccard_containment(spark):
+    """Winnow-indexed pairs on natural text == the plain-Python spec
+    (reusing test_winnow_pairs' implementation of winnow fingerprints /
+    fp-df cap / shared-distinct-window verify); measured corpus
+    property: every >= tau threshold-Jaccard pair also shares a
+    detected run — the winnow index finds all the near-dup mutations
+    the exact join finds, at index cost."""
+    from tests.test_winnow_pairs import _py_pairs
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    rows = docs.select("doc_id", "text").collect()
+    texts = {r["doc_id"]: r["text"].replace("\n", " ") for r in rows}
+    expected = _py_pairs(texts)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_windows"]
+        for r in CATALOG["dedup_winnow_pairs_web"].fn(spark, SF).collect()
+    }
+    assert got == expected
+    assert len(got) >= 50  # real signal (mutation near-dups + runs)
+    jacc_pairs = {
+        (a, b) for a, b, *_ in _brute_jaccard(rows, PREFIX_TAU_PM)
+    }
+    assert jacc_pairs and jacc_pairs <= set(got)
