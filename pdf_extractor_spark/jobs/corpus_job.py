@@ -13,7 +13,15 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
       → [optional] line dedup   (queries/dedup.dedup_lines_of:
                                  --line-dedup strips cross-document
                                  repeated segments over the gated
-                                 checkpoint; emptied docs dropped)
+                                 checkpoint; emptied docs dropped.
+                                 --line-mode newline runs BOTH line
+                                 stages on real trimmed '\\n' lines via
+                                 a line-preserving canonical twin —
+                                 extracted text joins blocks with
+                                 newlines, which the single-line
+                                 canonicalization would erase — then
+                                 re-collapses for downstream; untouched
+                                 docs keep the identical canonical text)
       → [optional] seen-index gate
                                 (queries/dedup.bloom_seen_of:
                                  --seen-index probes a persisted Bloom
@@ -88,6 +96,15 @@ _DOC_ID = (
 # text (the documents-table convention); extracted text carries the
 # block-joining newlines, so canonicalize first
 _CANON = r"trim(regexp_replace(extracted_text, '\\s+', ' '))"
+# line-PRESERVING canonical twin for --line-mode newline: interior
+# whitespace collapsed per line, empty lines dropped, '\n' joins kept —
+# collapsing ITS newlines reproduces _CANON exactly (both reduce to the
+# non-space tokens joined by single spaces), so untouched docs keep the
+# identical single-line canonical text downstream.
+_CANON_NL = (
+    r"array_join(filter(transform(split(extracted_text, '\n'), "
+    r"l -> trim(regexp_replace(l, '\\s+', ' '))), l -> l <> ''), '\n')"
+)
 
 
 def _count_and_guard_doc_keys(gated) -> int:
@@ -123,6 +140,7 @@ def build_corpus(
     contam_ngram: int | None = None,
     line_dedup: bool = False,
     intradoc: bool = False,
+    line_mode: str = "tokens",
     substring_cut: bool = False,
     seen_index: str | None = None,
     seen_drop_pm: int = 800,
@@ -169,6 +187,14 @@ def build_corpus(
                 ).alias("ts"),
                 F.expr(_DOC_ID).alias("doc_id"),
                 F.expr(_CANON).alias("text"),
+                # line-preserving twin, consumed only by the newline
+                # line stages (features/dedup stay on the single-line
+                # convention)
+                *(
+                    [F.expr(_CANON_NL).alias("text_nl")]
+                    if line_mode == "newline"
+                    else []
+                ),
             )
             .observe(obs_clean, F.count(F.lit(1)).alias("n"))
         )
@@ -184,7 +210,10 @@ def build_corpus(
                 (F.col("quality") >= QUALITY_MIN)
                 & (F.col("lang_pred") != "und")
             )
-            .select("doc_id", "url", "ts", "text", "quality", "lang_pred")
+            .select(
+                "doc_id", "url", "ts", "text", "quality", "lang_pred",
+                *(["text_nl"] if line_mode == "newline" else []),
+            )
             .localCheckpoint(eager=True)
         )
         n_in = int(obs_in.get["n"])
@@ -205,21 +234,50 @@ def build_corpus(
         # line-dedup stage's.
         n_intradoc_segs = 0
         n_gated_intra = n_gated
-        if intradoc:
-            from pdf_extractor_spark.queries.dedup import dedup_intradoc_of
+        if line_mode not in ("tokens", "newline"):
+            raise ValueError(f"line_mode must be tokens|newline: {line_mode}")
+        nl = line_mode == "newline"
+        # in newline mode the line stages consume the line-preserving
+        # twin and the cleaned twin is re-collapsed into the job's
+        # single-line canonical `text` for every downstream stage
+        # (equal by construction for untouched docs — see _CANON_NL)
+        _stage_in = (
+            (lambda g: g.select(
+                "doc_id", F.col("text_nl").alias("text")))
+            if nl
+            else (lambda g: g.select("doc_id", "text"))
+        )
 
-            cleaned = dedup_intradoc_of(gated.select("doc_id", "text"))
-            gated = (
-                gated.drop("text")
-                .join(
-                    cleaned.filter(F.length("text_clean") > 0).select(
+        def _stage_out(g, cleaned, cnt_col):
+            kept = cleaned.filter(F.length("text_clean") > 0)
+            if nl:
+                return g.drop("text", "text_nl").join(
+                    kept.select(
                         "doc_id",
-                        F.col("text_clean").alias("text"),
-                        "n_dup",
+                        F.col("text_clean").alias("text_nl"),
+                        F.expr(
+                            r"trim(regexp_replace(text_clean, "
+                            r"'\\s+', ' '))"
+                        ).alias("text"),
+                        cnt_col,
                     ),
                     on="doc_id",
                 )
-                .localCheckpoint(eager=True)
+            return g.drop("text").join(
+                kept.select(
+                    "doc_id",
+                    F.col("text_clean").alias("text"),
+                    cnt_col,
+                ),
+                on="doc_id",
+            )
+
+        if intradoc:
+            from pdf_extractor_spark.queries.dedup import dedup_intradoc_of
+
+            cleaned = dedup_intradoc_of(_stage_in(gated), newline=nl)
+            gated = _stage_out(gated, cleaned, "n_dup").localCheckpoint(
+                eager=True
             )
             agg = gated.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -234,19 +292,10 @@ def build_corpus(
             from pdf_extractor_spark.queries.dedup import dedup_lines_of
 
             cleaned = dedup_lines_of(
-                gated.select("doc_id", "text"), id_col="doc_id"
+                _stage_in(gated), id_col="doc_id", newline=nl
             )
-            gated = (
-                gated.drop("text")
-                .join(
-                    cleaned.filter(F.length("text_clean") > 0).select(
-                        "doc_id",
-                        F.col("text_clean").alias("text"),
-                        "n_boiler",
-                    ),
-                    on="doc_id",
-                )
-                .localCheckpoint(eager=True)
+            gated = _stage_out(gated, cleaned, "n_boiler").localCheckpoint(
+                eager=True
             )
             agg = gated.agg(
                 F.count(F.lit(1)).alias("n"),
@@ -257,6 +306,11 @@ def build_corpus(
             gated = gated.drop("n_boiler")
         else:
             n_gated_clean = n_gated_intra
+        if nl:
+            # the twin served the line stages only; everything below
+            # (substring-cut, seen-index, near-dup, sampler, export)
+            # stays on the single-line canonical `text`
+            gated = gated.drop("text_nl")
 
         # optional exact-substring deletion (Lee et al., the
         # dedup_substring_cut operator): cut every cross-document
@@ -642,6 +696,13 @@ def main(argv: list[str] | None = None) -> None:
         "after gating, before near-dup detection and export",
     )
     ap.add_argument(
+        "--line-mode", choices=("tokens", "newline"), default="tokens",
+        help="segmenter for --line-dedup/--intradoc: 'tokens' = "
+        "8-token windows (corpora without newlines); 'newline' = real "
+        "trimmed lines (the production form on extracted text — "
+        "untouched docs stay byte-identical)",
+    )
+    ap.add_argument(
         "--substring-cut", action="store_true",
         help="cut cross-document duplicated W-token spans keeping one "
         "global occurrence (Lee et al. exact-substring deletion) after "
@@ -699,7 +760,8 @@ def main(argv: list[str] | None = None) -> None:
         args.min_chars, args.shards, args.partitions,
         benchmark=args.benchmark, mix_shards=args.mix_shards,
         contam_ngram=args.contam_ngram, line_dedup=args.line_dedup,
-        intradoc=args.intradoc, substring_cut=args.substring_cut,
+        intradoc=args.intradoc, line_mode=args.line_mode,
+        substring_cut=args.substring_cut,
         seen_index=args.seen_index, seen_drop_pm=args.seen_drop_pm,
         mix_budget=args.mix_budget, drift_check=args.drift_check,
         drift_max_pm=args.drift_max_pm,

@@ -1374,6 +1374,14 @@ def _segs_expr_duck(seg_len: int) -> str:
 _LINE_SEGS_S = _segs_expr_spark(LINE_SEG_LEN)
 _LINE_SEGS_D = _segs_expr_duck(LINE_SEG_LEN)
 
+# Real-text segmenter: trimmed non-empty NEWLINE lines (the production
+# form — extracted text joins blocks/pages with '\n', so "lines" are
+# real here; the token-window grid above is the stand-in for corpora
+# without newlines). Operates on the `text` column directly.
+_NL_SEGS_S = (
+    "filter(transform(split(text, '\\n'), l -> trim(l)), l -> l <> '')"
+)
+
 
 INTRADOC_SEG_LEN = 2  # see docstring: the window length with actual
 # within-doc repetition signal on this corpus
@@ -1401,25 +1409,46 @@ def dedup_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_intradoc_of(
-    docs: DataFrame, seg_len: int = INTRADOC_SEG_LEN
+    docs: DataFrame,
+    seg_len: int = INTRADOC_SEG_LEN,
+    newline: bool = False,
 ) -> DataFrame:
-    """The operator form over any (doc_id, text) DataFrame."""
-    segd = docs.select("doc_id", F.expr(TOKS_S).alias("toks")).select(
-        "doc_id", F.expr(_segs_expr_spark(seg_len)).alias("segs")
-    )
+    """The operator form over any (doc_id, text) DataFrame.
+
+    ``newline=True`` segments on real newline lines (trimmed,
+    non-empty) instead of the token-window grid, rejoins with '\\n',
+    and returns docs with zero removals BYTE-IDENTICAL (the
+    substring-cut discipline: rejoining an untouched doc would
+    silently normalize its whitespace)."""
+    if newline:
+        segd = docs.select(
+            "doc_id", "text", F.expr(_NL_SEGS_S).alias("segs")
+        )
+    else:
+        segd = docs.select(
+            "doc_id", F.expr(TOKS_S).alias("toks")
+        ).select("doc_id", F.expr(_segs_expr_spark(seg_len)).alias("segs"))
     # Spark HOF lambda index is 0-based; array_position is 1-based
     # first-match — keep s at position i iff its first occurrence IS i
-    return segd.select(
+    kept = segd.select(
         "doc_id",
+        *(["text"] if newline else []),
         F.size("segs").cast("long").alias("n_segs"),
         F.expr(
             "filter(segs, (s, i) -> array_position(segs, s) = i + 1)"
         ).alias("kept"),
-    ).select(
+    )
+    clean = (
+        F.expr("CASE WHEN size(kept) = n_segs THEN text "
+               "ELSE array_join(kept, '\\n') END")
+        if newline
+        else F.array_join("kept", " ")
+    )
+    return kept.select(
         "doc_id",
         "n_segs",
         (F.col("n_segs") - F.size("kept")).cast("long").alias("n_dup"),
-        F.array_join("kept", " ").alias("text_clean"),
+        clean.alias("text_clean"),
     )
 
 
@@ -1452,6 +1481,7 @@ def dedup_lines_of(
     docs: DataFrame,
     id_col: str = "doc_id",
     freq_dir: str | None = None,
+    newline: bool = False,
 ) -> DataFrame:
     """<id_col>, n_segs, n_boiler, text_clean — cross-document repeated
     segments stripped from every document. `id_col` may be any
@@ -1463,10 +1493,20 @@ def dedup_lines_of(
     path: a daily job computes the corpus boilerplate vocabulary once
     and every downstream run (and every retry) reads the tiny table
     instead of re-scanning the corpus; it also makes the cleaning pass
-    a SINGLE corpus scan."""
-    segd = docs.select(id_col, F.expr(TOKS_S).alias("toks")).select(
-        id_col, F.expr(_LINE_SEGS_S).alias("segs")
-    )
+    a SINGLE corpus scan.
+
+    ``newline=True`` segments on real newline lines (trimmed,
+    non-empty — the production form on extracted text, which joins
+    blocks with '\\n'), rejoins with '\\n', and returns docs with zero
+    removals BYTE-IDENTICAL instead of whitespace-normalized."""
+    if newline:
+        segd = docs.select(
+            id_col, "text", F.expr(_NL_SEGS_S).alias("segs")
+        )
+    else:
+        segd = docs.select(id_col, F.expr(TOKS_S).alias("toks")).select(
+            id_col, F.expr(_LINE_SEGS_S).alias("segs")
+        )
     freq_rows = (
         segd.select(id_col, F.explode("segs").alias("seg"))
         .select(id_col, F.md5("seg").alias("h"))
@@ -1484,6 +1524,12 @@ def dedup_lines_of(
             freq_rows.write.mode("overwrite").parquet(freq_dir)
         freq_rows = spark.read.parquet(freq_dir)
     freq = freq_rows.agg(F.sort_array(F.collect_list("h")).alias("freq"))
+    clean = (
+        F.expr("CASE WHEN size(kept) = size(segs) THEN text "
+               "ELSE array_join(kept, '\\n') END")
+        if newline
+        else F.array_join("kept", " ")
+    )
     return (
         segd.crossJoin(F.broadcast(freq))
         .withColumn(
@@ -1494,7 +1540,7 @@ def dedup_lines_of(
             id_col,
             F.size("segs").cast("long").alias("n_segs"),
             (F.size("segs") - F.size("kept")).cast("long").alias("n_boiler"),
-            F.array_join("kept", " ").alias("text_clean"),
+            clean.alias("text_clean"),
         )
     )
 

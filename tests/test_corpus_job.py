@@ -444,3 +444,86 @@ def test_corpus_job_drift_gate(spark, tmp_path):
             spark, wh, str(out3), budget=10, drift_check=str(fake)
         )
     assert not list(out3.glob("part-*.json.gz"))
+
+
+def _is_line_subseq(groups: list[list[str]], toks: list[str]) -> bool:
+    """True iff toks == concatenation of a subsequence of the token
+    groups (one group per original line) — i.e. the cleaning only ever
+    removed WHOLE lines, in order."""
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def f(i: int, p: int) -> bool:
+        if p == len(toks):
+            return True  # remaining groups are all skippable
+        if i == len(groups):
+            return False
+        if f(i + 1, p):  # skip line i
+            return True
+        g = groups[i]
+        return toks[p:p + len(g)] == g and f(i + 1, p + len(g))
+
+    return f(0, 0)
+
+
+def test_corpus_job_line_mode_newline(spark, tmp_path):
+    """--line-mode newline: the line stages run on a line-PRESERVING
+    canonical twin of the extracted text (the job's single-line
+    canonicalization would otherwise erase the newlines the segmenter
+    needs), then re-collapse for downstream. Real boilerplate lines are
+    stripped (funnel > 0 — token mode finds none on this corpus's
+    gated set); every exported text is the collapse of a subsequence
+    of its document's original lines; untouched docs come through
+    byte-identical to the plain canonical form; rerun deterministic."""
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=23, n_rows=120, n_days=2)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out1 = str(tmp_path / "c1")
+    s1 = build_corpus(
+        spark, wh, out1, budget=10,
+        line_dedup=True, intradoc=True, line_mode="newline",
+    )
+    assert s1["rows_exported"] > 0
+    assert s1["boiler_segments_removed"] > 0  # real newline signal
+    assert (
+        s1["rows_gated"]
+        >= s1["rows_intradoc_cleaned"]
+        >= s1["rows_line_cleaned"]
+        >= s1["rows_survivors"]
+        >= s1["rows_exported"]
+    )
+
+    orig = {
+        r["url"]: r["extracted_text"]
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{wh}/extracted/data")
+        .select("url", "extracted_text")
+        .collect()
+    }
+    exported = _read_jsonl(out1)
+    assert exported
+    n_identical = 0
+    for row in exported:
+        groups = [
+            ln.split() for ln in orig[row["url"]].split("\n") if ln.split()
+        ]
+        toks = row["text"].split(" ") if row["text"] else []
+        assert _is_line_subseq(groups, toks), row["url"]
+        flat = [t for g in groups for t in g]
+        if toks == flat:
+            assert row["text"] == " ".join(flat)  # canonical collapse
+            n_identical += 1
+    assert n_identical > 0
+
+    out2 = str(tmp_path / "c2")
+    s2 = build_corpus(
+        spark, wh, out2, budget=10,
+        line_dedup=True, intradoc=True, line_mode="newline",
+    )
+    assert s1["rows_exported"] == s2["rows_exported"]
+    r1 = {(r["url"], r["text"]) for r in _read_jsonl(out1)}
+    r2 = {(r["url"], r["text"]) for r in _read_jsonl(out2)}
+    assert r1 == r2

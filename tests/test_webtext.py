@@ -351,3 +351,64 @@ def test_web_winnow_pairs_spec_and_jaccard_containment(spark):
         (a, b) for a, b, *_ in _brute_jaccard(rows, PREFIX_TAU_PM)
     }
     assert jacc_pairs and jacc_pairs <= set(got)
+
+
+def test_newline_mode_operator_forms_equal_python_spec(spark):
+    """dedup_lines_of/dedup_intradoc_of(newline=True) — the production
+    segmenter (real trimmed lines) — match plain-Python specs on the
+    fixture, and docs with zero removals come back BYTE-IDENTICAL
+    (never whitespace-normalized)."""
+    from pdf_extractor_spark.queries.dedup import (
+        LINE_MIN_DOCS,
+        dedup_intradoc_of,
+        dedup_lines_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE)).select(
+        "doc_id", "text"
+    )
+    rows = docs.collect()
+    texts = {r["doc_id"]: r["text"] for r in rows}
+    lines_of = {
+        d: [ln.strip() for ln in t.split("\n") if ln.strip()]
+        for d, t in texts.items()
+    }
+
+    docfreq = Counter()
+    for ls in lines_of.values():
+        for ln in set(ls):
+            docfreq[ln] += 1
+    boiler = {ln for ln, c in docfreq.items() if c >= LINE_MIN_DOCS}
+    exp = {}
+    for d, ls in lines_of.items():
+        kept = [ln for ln in ls if ln not in boiler]
+        exp[d] = (
+            len(ls),
+            len(ls) - len(kept),
+            texts[d] if len(kept) == len(ls) else "\n".join(kept),
+        )
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_boiler"], r["text_clean"])
+        for r in dedup_lines_of(docs, newline=True).collect()
+    }
+    assert got == exp
+    assert any(c > 0 for _, c, _ in got.values())
+    assert any(c == 0 for _, c, _ in got.values())
+
+    exp2 = {}
+    for d, ls in lines_of.items():
+        kept, seen = [], set()
+        for ln in ls:
+            if ln not in seen:
+                seen.add(ln)
+                kept.append(ln)
+        exp2[d] = (
+            len(ls),
+            len(ls) - len(kept),
+            texts[d] if len(kept) == len(ls) else "\n".join(kept),
+        )
+    got2 = {
+        r["doc_id"]: (r["n_segs"], r["n_dup"], r["text_clean"])
+        for r in dedup_intradoc_of(docs, newline=True).collect()
+    }
+    assert got2 == exp2
