@@ -1116,6 +1116,14 @@ CATALOG: dict[str, QuerySpec] = {
         "is designed for (rare-shingle prefixes; sub-quadratic candidate "
         "growth per doubling, test-pinned in-engine); candidate-budget "
         "guard trips loudly on closed-vocabulary blowups"),
+    "web_dedup_substring_bytes": QuerySpec(
+        webtext.web_dedup_substring_bytes, webtext.WEB_SUBSTR_BYTES_SQL,
+        "BYTE-level exact-substring duplicated spans (Lee et al. 2022 "
+        "ExactSubstr) over the Heaps-law fixture: every 40-byte window "
+        "occurring >= 2 times corpus-wide (cross- OR intra-doc) merges "
+        "into maximal per-doc byte spans; window stage is a projection "
+        "(text never shuffles), frequency pass map-side-combines on "
+        "uniform md5 keys, span merge is one per-doc ordered pass"),
     "dedup_winnow_pairs_web": QuerySpec(
         webtext.dedup_winnow_pairs_web, webtext.WEB_WINNOW_PAIRS_SQL,
         "Winnow-indexed overlap pairs (MOSS) over the Heaps-law "

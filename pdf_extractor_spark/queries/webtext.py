@@ -474,3 +474,145 @@ FROM '{WEBTEXT_FIXTURE}' d LEFT JOIN scored ON d.doc_id = scored.doc_id
 
 # evaluated lazily via a property-style callable in catalog.py (the SQL
 # depends on the trained model; training is cached and deterministic)
+
+
+# ---------------------------------------------------------------------------
+# BYTE-level exact-substring duplicated spans over the webtext fixture —
+# the Lee et al. 2022 ("Deduplicating Training Data Makes Language
+# Models Better") ExactSubstr contract at byte granularity: any
+# WEB_SUBSTR_L-byte window that occurs at >= WEB_SUBSTR_MIN_OCC global
+# positions (ACROSS docs or repeated WITHIN one — the paper counts any
+# second occurrence) is duplicated, and the union of duplicated windows
+# is exactly the union of all duplicated substrings of length >= L
+# (every byte of a longer duplicated substring lies inside one of its
+# L-windows, each itself duplicated). Output: maximal merged byte spans
+# per document.
+#
+# Byte == char here by construction: the fixture is pure 7-bit ASCII
+# (test-pinned in tests/test_webtext.py), so substr/length are byte
+# operations in both engines and windows may span newlines — TRUE byte
+# semantics, unlike the token-window family (dedup_substring_*), which
+# quantizes to whitespace tokens. md5-key equality is the repo-wide
+# exactness discipline (dedup_exact precedent).
+#
+# Plan shape at 100 TB: the window stage is a per-partition projection
+# (text never shuffles) emitting (doc_id, idx, md5) — 48 bytes per
+# corpus BYTE, the documented stride-1 price (the reference
+# implementation pays a suffix array at 8 bytes/byte plus a
+# single-machine sort; this is the shuffle-disciplined relational
+# equivalent). Production crawls take the strided form
+# (dedup_substring_strided precedent: hash every s-th window, 1/s
+# volume, long runs still caught) or the token family when byte
+# exactness isn't required. The frequency pass is a map-side-combined
+# count on uniform md5 keys; span merging is ONE ordered window pass
+# per document over duplicated starts only.
+
+WEB_SUBSTR_L = 40  # bytes — Lee et al. use 50 on real crawls
+WEB_SUBSTR_MIN_OCC = 2
+
+WEB_BWINS_S = (
+    f"CASE WHEN length(text) >= {WEB_SUBSTR_L} THEN "
+    f"transform(sequence(0, CAST(length(text) - {WEB_SUBSTR_L} AS INT)), "
+    f"i -> named_struct('idx', CAST(i AS BIGINT), "
+    f"'h', md5(substr(text, i + 1, {WEB_SUBSTR_L})))) "
+    "ELSE CAST(array() AS ARRAY<STRUCT<idx: BIGINT, h: STRING>>) END"
+)
+
+WEB_BWINS_D = (
+    f"CASE WHEN length(text) >= {WEB_SUBSTR_L} THEN "
+    f"list_transform(range(length(text) - {WEB_SUBSTR_L} + 1), "
+    f"i -> {{'idx': CAST(i AS BIGINT), "
+    f"'h': md5(substring(text, i + 1, {WEB_SUBSTR_L}))}}) "
+    "ELSE [] END"
+)
+
+
+def web_dedup_substring_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_dedup_substring_bytes_of(_web_docs(spark))
+
+
+def web_dedup_substring_bytes_of(docs: DataFrame) -> DataFrame:
+    """doc_id, span_start, span_end, span_len — maximal merged byte
+    spans covered by some corpus-duplicated >= WEB_SUBSTR_L-byte
+    substring (0-based offsets, end exclusive). Two duplicated window
+    starts merge while the gap between them is <= L (their L-byte
+    intervals overlap or touch, so the union is one contiguous
+    duplicated region)."""
+    from pyspark.sql import Window
+
+    wins = docs.select(
+        "doc_id", F.explode(F.expr(WEB_BWINS_S)).alias("w")
+    ).select(
+        "doc_id",
+        F.col("w.idx").alias("idx"),
+        F.col("w.h").alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .count()
+        .filter(F.col("count") >= WEB_SUBSTR_MIN_OCC)
+        .select("h")
+    )
+    flagged = wins.join(dup, "h").select("doc_id", "idx")
+    ow = Window.partitionBy("doc_id").orderBy("idx")
+    spans = (
+        flagged.withColumn("prev", F.lag("idx").over(ow))
+        .withColumn(
+            "brk",
+            F.expr(
+                f"CASE WHEN prev IS NULL OR idx - prev > {WEB_SUBSTR_L} "
+                "THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(ow.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("idx").alias("s"),
+            (F.max("idx") + F.lit(WEB_SUBSTR_L)).alias("e"),
+        )
+    )
+    return spans.select(
+        "doc_id",
+        F.col("s").cast("long").alias("span_start"),
+        F.col("e").cast("long").alias("span_end"),
+        (F.col("e") - F.col("s")).cast("long").alias("span_len"),
+    )
+
+
+WEB_SUBSTR_BYTES_SQL = f"""
+WITH wins AS (
+  SELECT doc_id, CAST(w['idx'] AS BIGINT) AS idx, w['h'] AS h FROM (
+    SELECT doc_id, unnest({WEB_BWINS_D}) AS w
+    FROM '{WEBTEXT_FIXTURE}'
+  )
+),
+dup AS (
+  SELECT h FROM wins GROUP BY h
+  HAVING count(*) >= {WEB_SUBSTR_MIN_OCC}
+),
+flagged AS (
+  SELECT w.doc_id, w.idx FROM wins w JOIN dup d ON w.h = d.h
+),
+marked AS (
+  SELECT doc_id, idx,
+         CASE WHEN lag(idx) OVER ow IS NULL
+              OR idx - lag(idx) OVER ow > {WEB_SUBSTR_L}
+              THEN 1 ELSE 0 END AS brk
+  FROM flagged
+  WINDOW ow AS (PARTITION BY doc_id ORDER BY idx)
+),
+isl AS (
+  SELECT doc_id, idx,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(idx) AS BIGINT) AS span_start,
+       CAST(MAX(idx) + {WEB_SUBSTR_L} AS BIGINT) AS span_end,
+       CAST(MAX(idx) + {WEB_SUBSTR_L} - MIN(idx) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, g
+"""

@@ -412,3 +412,109 @@ def test_newline_mode_operator_forms_equal_python_spec(spark):
         for r in dedup_intradoc_of(docs, newline=True).collect()
     }
     assert got2 == exp2
+
+
+# ---------------------------------------------------------------------------
+# web_dedup_substring_bytes — byte-level ExactSubstr spans
+
+
+def test_webtext_fixture_is_pure_ascii():
+    """Byte == char precondition for the byte-level substring entry:
+    every fixture text is 7-bit ASCII, so substr/length are byte
+    operations in both engines."""
+    import pyarrow.parquet as pq
+
+    texts = pq.read_table(WEBTEXT_FIXTURE, columns=["text"])["text"]
+    for t in texts.to_pylist():
+        assert len(t.encode("utf-8")) == len(t)
+
+
+def _python_byte_spans(texts: dict[int, str], L: int, min_occ: int):
+    """Plain-Python reference: duplicated L-byte windows -> merged
+    per-doc spans (start, end) with end exclusive."""
+    from collections import Counter
+
+    cnt = Counter()
+    for t in texts.values():
+        for i in range(len(t) - L + 1):
+            cnt[t[i : i + L]] += 1
+    spans = {}
+    for d, t in texts.items():
+        starts = [
+            i
+            for i in range(len(t) - L + 1)
+            if cnt[t[i : i + L]] >= min_occ
+        ]
+        merged = []
+        for s in starts:
+            if merged and s - (merged[-1][1] - L) <= L:
+                merged[-1] = (merged[-1][0], s + L)
+            else:
+                merged.append((s, s + L))
+        if merged:
+            spans[d] = merged
+    return spans
+
+
+def test_web_dedup_substring_bytes_differential(spark):
+    """The Spark entry matches the plain-Python byte-window reference
+    on the full fixture — spans exist, cover cross-doc boilerplate,
+    and every span is >= L bytes."""
+    from pdf_extractor_spark.queries.webtext import (
+        WEB_SUBSTR_L,
+        WEB_SUBSTR_MIN_OCC,
+        web_dedup_substring_bytes_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    exp = _python_byte_spans(texts, WEB_SUBSTR_L, WEB_SUBSTR_MIN_OCC)
+    got = {}
+    for r in web_dedup_substring_bytes_of(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+        assert r["span_len"] == r["span_end"] - r["span_start"]
+        assert r["span_len"] >= WEB_SUBSTR_L
+    got = {d: sorted(v) for d, v in got.items()}
+    assert got == exp
+    assert len(got) > 0  # the fixture's near-dups + boilerplate hit
+
+
+def test_web_dedup_substring_bytes_crafted(spark):
+    """Crafted corpus: a shared >= L run is reported at byte-exact
+    offsets in both docs (windows span newlines — byte semantics);
+    a unique doc reports nothing; an INTRA-doc repeat is caught."""
+    from pdf_extractor_spark.queries.webtext import (
+        WEB_SUBSTR_L,
+        web_dedup_substring_bytes_of,
+    )
+
+    run = "the quick brown fox jumps over\nthe lazy dog again and again"
+    assert len(run) >= WEB_SUBSTR_L
+    rep = "X" * WEB_SUBSTR_L
+    rows = [
+        (1, "AAA " + run + " TAIL-ONE"),
+        (2, "BBBBBBB " + run + " tail-two"),
+        (3, "totally unique content with no repeats at all " + "q" * 40),
+        (4, rep + " middle filler text " + rep),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in web_dedup_substring_bytes_of(docs).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    texts = {d: t for d, t in rows}
+    exp = _python_byte_spans(texts, WEB_SUBSTR_L, 2)
+    assert {d: sorted(v) for d, v in got.items()} == exp
+    assert 1 in got and 2 in got and 3 not in got and 4 in got
+    # doc 1's span covers the shared run (the maximal shared region
+    # also includes the identical flanking spaces)
+    (s, e), = got[1]
+    assert run in texts[1][s:e]
+    # doc 4's intra-doc repeats are two DISJOINT spans (gap > L)
+    assert sorted(got[4]) == [(0, 40), (60, 100)]
