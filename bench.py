@@ -187,6 +187,8 @@ HEADLINE = [
     "corpus_shuffle_shards",
     "corpus_pack_sequences",
     "corpus_filter_report",
+    "web_dedup_substring_bytes",
+    "web_gopher_repetition",
 ]
 
 

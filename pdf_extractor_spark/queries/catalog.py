@@ -1130,6 +1130,14 @@ CATALOG: dict[str, QuerySpec] = {
         "fixture — fingerprints rare by default on natural text, fp-df "
         "cap suppresses per-host boilerplate runs; detection rides "
         "genuine shared token runs"),
+    "web_gopher_repetition": QuerySpec(
+        webtext.web_gopher_repetition, webtext.WEB_GOPHER_SQL,
+        "Gopher repetition-filter battery (Rae et al. 2021 Table A1) "
+        "over the Heaps-law fixture: dup-line fracs, top-{2,3,4}-gram "
+        "char mass, dup-{5,10}-gram position-coverage char mass, and "
+        "the published-threshold flag; all five n-gram sizes explode "
+        "once into a single uniform-key hash aggregation, line/total "
+        "metrics are shuffle-free array-HOF projections"),
     "web_quality_classify": QuerySpec(
         webtext.web_quality_classify, webtext._nb_sql(),
         "CCNet-style LEARNED quality classifier: integer NB log-odds "

@@ -616,3 +616,300 @@ SELECT doc_id,
        CAST(MAX(idx) + {WEB_SUBSTR_L} - MIN(idx) AS BIGINT) AS span_len
 FROM isl GROUP BY doc_id, g
 """
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition filters (Rae et al. 2021, "Scaling Language Models:
+# Methods, Analysis & Insights from Training Gopher", Table A1) over the
+# webtext fixture — the rule-based repetition battery every large-crawl
+# pipeline runs BEFORE learned quality scoring:
+#
+#   - dup_line_frac / dup_line_char_frac: fraction of lines (and of
+#     line characters) that are repeats of an earlier identical line
+#     within the document;
+#   - top_{2,3,4}gram_char_frac: character mass of the most frequent
+#     n-gram (occurrences x n-gram chars) over total token chars —
+#     among count ties the largest char mass is taken (deterministic
+#     sup of the paper's underspecified tie);
+#   - dup_{5,10}gram_char_frac: character mass of token POSITIONS
+#     covered by any n-gram occurring >= 2 times in the doc (position
+#     union, overlaps counted once — the paper's "characters contained
+#     within duplicate n-grams") over total token chars.
+#
+# "Char mass" counts token characters only (whitespace separators
+# excluded) — stated convention, identical in both engines. The final
+# gopher_flag applies the paper's published thresholds (0.30 / 0.20 /
+# 0.20 / 0.18 / 0.16 / 0.15 / 0.10); paragraph rules are omitted (the
+# fixture has no paragraph structure — lines are the only segments).
+#
+# Plan shape at 100 TB: line metrics and total char mass are pure
+# per-doc projections (array HOFs — text never shuffles). All five
+# n-gram sizes explode ONCE into (doc_id, n, idx, glen, md5) rows —
+# a single map-side projection and ONE uniform-key hash aggregation
+# for counts; top-mass is a per-(doc, n) window over the counted
+# grams (state bounded by per-doc distinct grams), coverage is
+# explode -> distinct -> equi-join with per-token lengths. Per-group
+# collect_list(idx) state is bounded by the gram's within-doc
+# occurrence count (<= doc length).
+
+GOPHER_TOP_NS = (2, 3, 4)
+GOPHER_DUP_NS = (5, 10)
+_GOPHER_NS = GOPHER_TOP_NS + GOPHER_DUP_NS
+
+
+def _gopher_gram_expr_s(n: int) -> str:
+    return (
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, CAST(size(toks) - {n} AS INT)), i -> "
+        f"named_struct('n', {n}, 'idx', CAST(i AS BIGINT), "
+        f"'glen', aggregate(slice(toks, i + 1, {n}), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + length(x)), "
+        f"'h', md5(array_join(slice(toks, i + 1, {n}), ' ')))) "
+        f"ELSE CAST(array() AS "
+        f"ARRAY<STRUCT<n: INT, idx: BIGINT, glen: BIGINT, h: STRING>>) END"
+    )
+
+
+def _gopher_gram_expr_d(n: int) -> str:
+    return (
+        f"CASE WHEN len(toks) >= {n} THEN "
+        f"list_transform(range(len(toks) - {n} + 1), i -> "
+        f"{{'n': {n}, 'idx': CAST(i AS BIGINT), "
+        f"'glen': CAST(list_sum(list_transform(toks[i + 1:i + {n}], "
+        f"x -> length(x))) AS BIGINT), "
+        f"'h': md5(array_to_string(toks[i + 1:i + {n}], ' '))}}) "
+        f"ELSE [] END"
+    )
+
+
+GOPHER_GRAMS_S = (
+    "flatten(array("
+    + ", ".join(_gopher_gram_expr_s(n) for n in _GOPHER_NS)
+    + "))"
+)
+GOPHER_GRAMS_D = (
+    "flatten(["
+    + ", ".join(_gopher_gram_expr_d(n) for n in _GOPHER_NS)
+    + "])"
+)
+
+
+def _gopher_frac(num: str, den: str) -> str:
+    return (
+        f"CASE WHEN {den} > 0 THEN "
+        f"round(CAST(coalesce({num}, 0) AS DOUBLE) "
+        f"/ CAST({den} AS DOUBLE), 5) "
+        "ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+_GOPHER_FLAG = (
+    "CAST(CASE WHEN dup_line_frac > 0.30 OR dup_line_char_frac > 0.20 "
+    "OR top_2gram_char_frac > 0.20 OR top_3gram_char_frac > 0.18 "
+    "OR top_4gram_char_frac > 0.16 OR dup_5gram_char_frac > 0.15 "
+    "OR dup_10gram_char_frac > 0.10 THEN 1 ELSE 0 END AS INT)"
+)
+
+
+def web_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_gopher_repetition_of(_web_docs(spark))
+
+
+def web_gopher_repetition_of(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window
+
+    toked = docs.select(
+        "doc_id",
+        F.expr(WEB_TOKS_S).alias("toks"),
+        F.expr(WEB_LINES_S).alias("lines"),
+    )
+    base = toked.select(
+        "doc_id",
+        F.expr("CAST(size(lines) AS BIGINT)").alias("n_lines"),
+        F.expr("CAST(size(array_distinct(lines)) AS BIGINT)").alias(
+            "n_dlines"
+        ),
+        F.expr(
+            "aggregate(lines, CAST(0 AS BIGINT), (a, l) -> a + length(l))"
+        ).alias("line_chars"),
+        F.expr(
+            "aggregate(array_distinct(lines), CAST(0 AS BIGINT), "
+            "(a, l) -> a + length(l))"
+        ).alias("dline_chars"),
+        F.expr(
+            "aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))"
+        ).alias("tok_chars"),
+    )
+    grams = toked.select(
+        "doc_id", F.explode(F.expr(GOPHER_GRAMS_S)).alias("g")
+    ).select(
+        "doc_id",
+        F.col("g.n").alias("n"),
+        F.col("g.idx").alias("idx"),
+        F.col("g.glen").alias("glen"),
+        F.col("g.h").alias("h"),
+    )
+    counts = grams.groupBy("doc_id", "n", "h").agg(
+        F.count("*").alias("c"),
+        F.max("glen").alias("glen"),
+        F.collect_list("idx").alias("idxs"),
+    )
+    wnd = Window.partitionBy("doc_id", "n")
+    top = (
+        counts.withColumn("mx", F.max("c").over(wnd))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max(F.expr("CASE WHEN c = mx THEN c * glen END")).alias(
+                "top_mass"
+            )
+        )
+    )
+    top_p = top.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("top_mass"))).alias(
+                f"top{n}_mass"
+            )
+            for n in GOPHER_TOP_NS
+        ]
+    )
+    cov = (
+        counts.filter(F.col("c") >= 2)
+        .select("doc_id", "n", F.explode("idxs").alias("s"))
+        .select(
+            "doc_id", "n", F.explode(F.expr("sequence(s, s + n - 1)")).alias("p")
+        )
+        .distinct()
+    )
+    tokpos = toked.select(
+        "doc_id", F.posexplode("toks").alias("p", "tok")
+    ).select("doc_id", "p", F.length("tok").cast("long").alias("tl"))
+    covmass = (
+        cov.join(tokpos, ["doc_id", "p"])
+        .groupBy("doc_id", "n")
+        .agg(F.sum("tl").alias("cov_mass"))
+    )
+    cov_p = covmass.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("cov_mass"))).alias(
+                f"dup{n}_mass"
+            )
+            for n in GOPHER_DUP_NS
+        ]
+    )
+    fr = (
+        base.join(top_p, "doc_id", "left")
+        .join(cov_p, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            F.expr(_gopher_frac("n_lines - n_dlines", "n_lines")).alias(
+                "dup_line_frac"
+            ),
+            F.expr(
+                _gopher_frac("line_chars - dline_chars", "line_chars")
+            ).alias("dup_line_char_frac"),
+            F.expr(_gopher_frac("top2_mass", "tok_chars")).alias(
+                "top_2gram_char_frac"
+            ),
+            F.expr(_gopher_frac("top3_mass", "tok_chars")).alias(
+                "top_3gram_char_frac"
+            ),
+            F.expr(_gopher_frac("top4_mass", "tok_chars")).alias(
+                "top_4gram_char_frac"
+            ),
+            F.expr(_gopher_frac("dup5_mass", "tok_chars")).alias(
+                "dup_5gram_char_frac"
+            ),
+            F.expr(_gopher_frac("dup10_mass", "tok_chars")).alias(
+                "dup_10gram_char_frac"
+            ),
+        )
+    )
+    return fr.withColumn("gopher_flag", F.expr(_GOPHER_FLAG))
+
+
+WEB_GOPHER_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, {WEB_TOKS_D} AS toks, {WEB_LINES_D} AS lines
+  FROM '{WEBTEXT_FIXTURE}'
+),
+base AS (
+  SELECT doc_id,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_distinct(lines)) AS BIGINT) AS n_dlines,
+         CAST(coalesce(list_sum(list_transform(lines,
+           l -> length(l))), 0) AS BIGINT) AS line_chars,
+         CAST(coalesce(list_sum(list_transform(list_distinct(lines),
+           l -> length(l))), 0) AS BIGINT) AS dline_chars,
+         CAST(coalesce(list_sum(list_transform(toks,
+           t -> length(t))), 0) AS BIGINT) AS tok_chars
+  FROM toked
+),
+grams AS (
+  SELECT doc_id, g['n'] AS n, g['idx'] AS idx,
+         g['glen'] AS glen, g['h'] AS h
+  FROM (SELECT doc_id, unnest({GOPHER_GRAMS_D}) AS g FROM toked)
+),
+counts AS (
+  SELECT doc_id, n, h, count(*) AS c, max(glen) AS glen,
+         list(idx) AS idxs
+  FROM grams GROUP BY doc_id, n, h
+),
+topw AS (
+  SELECT doc_id, n, c, glen,
+         max(c) OVER (PARTITION BY doc_id, n) AS mx
+  FROM counts
+),
+top AS (
+  SELECT doc_id, n, max(CASE WHEN c = mx THEN c * glen END) AS top_mass
+  FROM topw GROUP BY doc_id, n
+),
+top_p AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 2 THEN top_mass END) AS top2_mass,
+         max(CASE WHEN n = 3 THEN top_mass END) AS top3_mass,
+         max(CASE WHEN n = 4 THEN top_mass END) AS top4_mass
+  FROM top GROUP BY doc_id
+),
+cov AS (
+  SELECT DISTINCT doc_id, n, p FROM (
+    SELECT doc_id, n,
+           unnest(list_transform(range(n), o -> s + o)) AS p
+    FROM (SELECT doc_id, n, unnest(idxs) AS s
+          FROM counts WHERE c >= 2)
+  )
+),
+tokpos AS (
+  SELECT doc_id, tp['p'] AS p, tp['tl'] AS tl FROM (
+    SELECT doc_id, unnest(list_transform(range(len(toks)), i ->
+      {{'p': CAST(i AS BIGINT),
+        'tl': CAST(length(toks[i + 1]) AS BIGINT)}})) AS tp
+    FROM toked)
+),
+covmass AS (
+  SELECT c.doc_id, c.n, SUM(t.tl) AS cov_mass
+  FROM cov c JOIN tokpos t ON c.doc_id = t.doc_id AND c.p = t.p
+  GROUP BY c.doc_id, c.n
+),
+cov_p AS (
+  SELECT doc_id,
+         max(CASE WHEN n = 5 THEN cov_mass END) AS dup5_mass,
+         max(CASE WHEN n = 10 THEN cov_mass END) AS dup10_mass
+  FROM covmass GROUP BY doc_id
+),
+fr AS (
+  SELECT doc_id, n_lines,
+    {_gopher_frac("n_lines - n_dlines", "n_lines")} AS dup_line_frac,
+    {_gopher_frac("line_chars - dline_chars", "line_chars")}
+      AS dup_line_char_frac,
+    {_gopher_frac("top2_mass", "tok_chars")} AS top_2gram_char_frac,
+    {_gopher_frac("top3_mass", "tok_chars")} AS top_3gram_char_frac,
+    {_gopher_frac("top4_mass", "tok_chars")} AS top_4gram_char_frac,
+    {_gopher_frac("dup5_mass", "tok_chars")} AS dup_5gram_char_frac,
+    {_gopher_frac("dup10_mass", "tok_chars")} AS dup_10gram_char_frac
+  FROM base
+  LEFT JOIN top_p USING (doc_id)
+  LEFT JOIN cov_p USING (doc_id)
+)
+SELECT fr.*, {_GOPHER_FLAG} AS gopher_flag FROM fr
+"""

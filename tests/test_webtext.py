@@ -518,3 +518,131 @@ def test_web_dedup_substring_bytes_crafted(spark):
     assert run in texts[1][s:e]
     # doc 4's intra-doc repeats are two DISJOINT spans (gap > L)
     assert sorted(got[4]) == [(0, 40), (60, 100)]
+
+
+# ---------------------------------------------------------------------------
+# web_gopher_repetition — Gopher (Rae et al. 2021) repetition battery
+
+
+def _python_gopher(text: str):
+    """Plain-Python reference for the per-doc Gopher metrics, returning
+    UNROUNDED fractions (the engines round to 5; compare with tol)."""
+    toks = [t for t in text.replace("\n", " ").split(" ") if t]
+    lines = [ln.strip() for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln]
+    dl = set(lines)
+    line_chars = sum(map(len, lines))
+    dline_chars = sum(map(len, dl))
+    T = sum(map(len, toks))
+    out = {
+        "n_lines": len(lines),
+        "dup_line_frac": (len(lines) - len(dl)) / len(lines)
+        if lines
+        else 0.0,
+        "dup_line_char_frac": (line_chars - dline_chars) / line_chars
+        if line_chars
+        else 0.0,
+    }
+    for n in (2, 3, 4):
+        grams = Counter(
+            tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        if grams and T:
+            mx = max(grams.values())
+            mass = max(
+                c * sum(map(len, g))
+                for g, c in grams.items()
+                if c == mx
+            )
+            out[f"top_{n}gram_char_frac"] = mass / T
+        else:
+            out[f"top_{n}gram_char_frac"] = 0.0
+    for n in (5, 10):
+        occ = defaultdict(list)
+        for i in range(len(toks) - n + 1):
+            occ[tuple(toks[i : i + n])].append(i)
+        pos = set()
+        for idxs in occ.values():
+            if len(idxs) >= 2:
+                for s in idxs:
+                    pos.update(range(s, s + n))
+        out[f"dup_{n}gram_char_frac"] = (
+            sum(len(toks[p]) for p in pos) / T if T else 0.0
+        )
+    return out
+
+
+_GOPHER_COLS = (
+    "dup_line_frac dup_line_char_frac top_2gram_char_frac "
+    "top_3gram_char_frac top_4gram_char_frac dup_5gram_char_frac "
+    "dup_10gram_char_frac"
+).split()
+_GOPHER_THRESH = (0.30, 0.20, 0.20, 0.18, 0.16, 0.15, 0.10)
+
+
+def test_web_gopher_repetition_differential(spark):
+    """Engine metrics match the plain-Python reference on the full
+    fixture (tol = rounding half-step), and gopher_flag is exactly the
+    threshold disjunction of the engine's own reported fractions."""
+    from pdf_extractor_spark.queries.webtext import (
+        web_gopher_repetition_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    rows = {
+        r["doc_id"]: r for r in web_gopher_repetition_of(docs).collect()
+    }
+    assert set(rows) == set(texts)
+    for d, t in texts.items():
+        exp = _python_gopher(t)
+        got = rows[d]
+        assert got["n_lines"] == exp["n_lines"]
+        for c in _GOPHER_COLS:
+            assert abs(got[c] - exp[c]) <= 5.1e-6, (d, c, got[c], exp[c])
+        want_flag = int(
+            any(
+                got[c] > th
+                for c, th in zip(_GOPHER_COLS, _GOPHER_THRESH)
+            )
+        )
+        assert got["gopher_flag"] == want_flag
+
+
+def test_web_gopher_repetition_crafted(spark):
+    """Pinned values on crafted docs: a clean all-distinct doc (flag
+    0, all fracs 0), a repeated-line doc (dup_line_frac = 3/5), and a
+    two-token spam loop (top-2-gram mass ~ total, full 5-gram
+    coverage) — both repetition arms flag."""
+    from pdf_extractor_spark.queries.webtext import (
+        web_gopher_repetition_of,
+    )
+
+    clean = " ".join(f"word{i:02d}" for i in range(40))
+    rep_line = "hello world line\nhello world line\nhello world line\n" \
+        "hello world line\nunique closing line"
+    spam = " ".join(["buy", "now"] * 25)
+    docs = spark.createDataFrame(
+        [(1, clean), (2, rep_line), (3, spam)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r for r in web_gopher_repetition_of(docs).collect()
+    }
+    assert got[1]["gopher_flag"] == 0
+    for c in _GOPHER_COLS:
+        if c.startswith("dup_"):
+            assert got[1][c] == 0.0
+    # an all-distinct doc still has a most-frequent (count-1) 2-gram:
+    # mass 1 x 12 chars over T = 40 x 6 chars
+    assert got[1]["top_2gram_char_frac"] == round(12 / 240, 5)
+    assert got[2]["n_lines"] == 5
+    assert got[2]["dup_line_frac"] == round(3 / 5, 5)
+    assert got[2]["gopher_flag"] == 1
+    # spam: the top 2-gram ("buy now" x 25 or "now buy" x 24 — the
+    # 25-count one wins) has mass 25 * 6 over T = 50 * 3
+    assert got[3]["top_2gram_char_frac"] == round(25 * 6 / 150, 5)
+    assert got[3]["dup_5gram_char_frac"] == 1.0
+    assert got[3]["gopher_flag"] == 1
