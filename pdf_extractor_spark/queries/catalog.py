@@ -1130,6 +1130,14 @@ CATALOG: dict[str, QuerySpec] = {
         "fixture — fingerprints rare by default on natural text, fp-df "
         "cap suppresses per-host boilerplate runs; detection rides "
         "genuine shared token runs"),
+    "web_substring_bytes_cut": QuerySpec(
+        webtext.web_substring_bytes_cut, webtext.WEB_SUBSTR_BYTES_CUT_SQL,
+        "Byte-level exact-substring CUT (Lee et al. 2022 deletion "
+        "form): every duplicated 40-byte window keeps its global "
+        "min(doc_id, idx) occurrence — a map-side-combinable "
+        "aggregate — and non-keeper byte ranges are spliced out by "
+        "concatenating kept ranges (no rejoin normalization: "
+        "untouched docs byte-identical, cut docs byte-exact splices)"),
     "web_gopher_repetition": QuerySpec(
         webtext.web_gopher_repetition, webtext.WEB_GOPHER_SQL,
         "Gopher repetition-filter battery (Rae et al. 2021 Table A1) "

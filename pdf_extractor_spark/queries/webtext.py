@@ -913,3 +913,190 @@ fr AS (
 )
 SELECT fr.*, {_GOPHER_FLAG} AS gopher_flag FROM fr
 """
+
+
+# ---------------------------------------------------------------------------
+# Byte-level exact-substring CUT (the deletion form of
+# web_dedup_substring_bytes — Lee et al. 2022 actually DELETE the
+# duplicated spans): for every duplicated 40-byte window the GLOBAL
+# keeper occurrence is min(struct(doc_id, idx)) — an AGGREGATE, never a
+# one-key sort (dedup_substring_cut precedent) — and every non-keeper
+# occurrence's bytes are cut. Non-keeper window starts merge into
+# maximal islands (gap <= L => their L-byte intervals overlap or touch,
+# so the merged ranges equal the exact position union of the cut
+# windows), and cleaning rebuilds the text as the CONCATENATION OF KEPT
+# BYTE RANGES — unlike token-range deletion there is NO rejoin
+# normalization: untouched docs return the original string, cut docs
+# are byte-exact splices of it.
+#
+# Plan shape at 100 TB: identical to web_dedup_substring_bytes through
+# the frequency pass (projection-only window stage, uniform md5 keys)
+# plus one keeper aggregate (map-side combinable min-struct) and one
+# hash join back; range assembly is per-doc (collect_list bounded by
+# the doc's cut-window count); document text appears only in the first
+# projection and the final join — it never shuffles through the
+# frequency or keeper stages.
+
+
+def web_substring_bytes_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_substring_bytes_cut_of(_web_docs(spark))
+
+
+def web_substring_bytes_cut_of(docs: DataFrame) -> DataFrame:
+    """doc_id, n_bytes_before, n_bytes_after, n_spans_cut,
+    cleaned_text — every duplicated >= L-byte window keeps exactly its
+    global min(doc_id, idx) occurrence; all other occurrences' byte
+    ranges are removed (keeper bytes may still be cut by OTHER hashes'
+    non-keeper windows overlapping them — same rule as the token
+    form, pinned by the differential)."""
+    from pyspark.sql import Window
+
+    wins = docs.select(
+        "doc_id", F.explode(F.expr(WEB_BWINS_S)).alias("w")
+    ).select(
+        "doc_id",
+        F.col("w.idx").alias("idx"),
+        F.col("w.h").alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .count()
+        .filter(F.col("count") >= WEB_SUBSTR_MIN_OCC)
+        .select("h")
+    )
+    dwins = wins.join(dup, on="h", how="left_semi")
+    keeper = dwins.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("k")
+    )
+    cut = (
+        dwins.join(keeper, on="h")
+        .filter(F.expr("NOT (doc_id = k.doc_id AND idx = k.idx)"))
+        .select("doc_id", "idx")
+        .distinct()
+    )
+    ow = Window.partitionBy("doc_id").orderBy("idx")
+    ranges = (
+        cut.withColumn("prev", F.lag("idx").over(ow))
+        .withColumn(
+            "brk",
+            F.expr(
+                f"CASE WHEN prev IS NULL OR idx - prev > {WEB_SUBSTR_L} "
+                "THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(ow.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("idx").alias("s"),
+            (F.max("idx") + F.lit(WEB_SUBSTR_L)).alias("e"),
+        )
+    )
+    rng_arr = ranges.groupBy("doc_id").agg(
+        F.expr("sort_array(collect_list(struct(s, e)))").alias("rngs"),
+        F.count("*").cast("long").alias("n_spans_cut"),
+    )
+    kept_rngs = (
+        "filter(zip_with("
+        "concat(array(CAST(0 AS BIGINT)), transform(rngs, r -> r.e)), "
+        "concat(transform(rngs, r -> r.s), "
+        "array(CAST(length(text) AS BIGINT))), "
+        "(ks, ke) -> named_struct('s', ks, 'e', ke)), r -> r.e > r.s)"
+    )
+    return (
+        docs.join(rng_arr, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.expr("CAST(length(text) AS BIGINT)").alias("n_bytes_before"),
+            F.expr("coalesce(n_spans_cut, 0)").alias("n_spans_cut"),
+            F.expr(
+                "CASE WHEN rngs IS NULL THEN text "
+                f"ELSE array_join(transform({kept_rngs}, "
+                "r -> substr(text, CAST(r.s AS INT) + 1, "
+                "CAST(r.e - r.s AS INT))), '') END"
+            ).alias("cleaned_text"),
+        )
+        .withColumn(
+            "n_bytes_after",
+            F.expr("CAST(length(cleaned_text) AS BIGINT)"),
+        )
+        .select(
+            "doc_id",
+            "n_bytes_before",
+            "n_bytes_after",
+            "n_spans_cut",
+            "cleaned_text",
+        )
+    )
+
+
+_BCUT_KEPT_D = (
+    "list_filter(list_transform(range(len(rngs) + 1), i -> "
+    "{'s': ([CAST(0 AS BIGINT)] || list_transform(rngs, "
+    "r -> r['e']))[i + 1], "
+    "'e': (list_transform(rngs, r -> r['s']) || "
+    "[CAST(length(text) AS BIGINT)])[i + 1]}), r -> r['e'] > r['s'])"
+)
+
+WEB_SUBSTR_BYTES_CUT_SQL = f"""
+WITH wins AS (
+  SELECT doc_id, CAST(w['idx'] AS BIGINT) AS idx, w['h'] AS h FROM (
+    SELECT doc_id, unnest({WEB_BWINS_D}) AS w
+    FROM '{WEBTEXT_FIXTURE}'
+  )
+),
+dup AS (
+  SELECT h FROM wins GROUP BY h
+  HAVING count(*) >= {WEB_SUBSTR_MIN_OCC}
+),
+dwins AS (SELECT w.* FROM wins w WHERE w.h IN (SELECT h FROM dup)),
+keeper AS (
+  SELECT h, min({{'doc_id': doc_id, 'idx': idx}}) AS k
+  FROM dwins GROUP BY h
+),
+cut AS (
+  SELECT DISTINCT d.doc_id, d.idx
+  FROM dwins d JOIN keeper USING (h)
+  WHERE NOT (d.doc_id = k['doc_id'] AND d.idx = k['idx'])
+),
+marked AS (
+  SELECT doc_id, idx,
+         CASE WHEN lag(idx) OVER ow IS NULL
+              OR idx - lag(idx) OVER ow > {WEB_SUBSTR_L}
+              THEN 1 ELSE 0 END AS brk
+  FROM cut
+  WINDOW ow AS (PARTITION BY doc_id ORDER BY idx)
+),
+isl AS (
+  SELECT doc_id, idx,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+ranges AS (
+  SELECT doc_id, MIN(idx) AS s, MAX(idx) + {WEB_SUBSTR_L} AS e
+  FROM isl GROUP BY doc_id, g
+),
+rng_arr AS (
+  SELECT doc_id,
+         list({{'s': s, 'e': e}} ORDER BY s, e) AS rngs,
+         CAST(COUNT(*) AS BIGINT) AS n_spans_cut
+  FROM ranges GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_bytes_before,
+       CAST(length(CASE WHEN rngs IS NULL THEN d.text
+            ELSE coalesce(array_to_string(list_transform({_BCUT_KEPT_D},
+                 r -> substring(d.text, CAST(r['s'] AS BIGINT) + 1,
+                 CAST(r['e'] - r['s'] AS BIGINT))), ''), '') END)
+         AS BIGINT) AS n_bytes_after,
+       coalesce(n_spans_cut, 0) AS n_spans_cut,
+       CASE WHEN rngs IS NULL THEN d.text
+            ELSE coalesce(array_to_string(list_transform({_BCUT_KEPT_D},
+                 r -> substring(d.text, CAST(r['s'] AS BIGINT) + 1,
+                 CAST(r['e'] - r['s'] AS BIGINT))), ''), '') END
+         AS cleaned_text
+FROM '{WEBTEXT_FIXTURE}' d LEFT JOIN rng_arr r ON d.doc_id = r.doc_id
+"""

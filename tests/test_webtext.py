@@ -646,3 +646,98 @@ def test_web_gopher_repetition_crafted(spark):
     assert got[3]["top_2gram_char_frac"] == round(25 * 6 / 150, 5)
     assert got[3]["dup_5gram_char_frac"] == 1.0
     assert got[3]["gopher_flag"] == 1
+
+
+# ---------------------------------------------------------------------------
+# web_substring_bytes_cut — byte-level ExactSubstr deletion form
+
+
+def _python_byte_cut(texts: dict[int, str], L: int, min_occ: int):
+    """Plain-Python reference for the keep-one byte cut."""
+    occ = defaultdict(list)
+    for d, t in texts.items():
+        for i in range(len(t) - L + 1):
+            occ[t[i : i + L]].append((d, i))
+    cutpos: dict[int, set] = defaultdict(set)
+    for positions in occ.values():
+        if len(positions) >= min_occ:
+            k = min(positions)
+            for d, i in positions:
+                if (d, i) != k:
+                    cutpos[d].update(range(i, i + L))
+    out = {}
+    for d, t in texts.items():
+        cp = cutpos.get(d, set())
+        cleaned = "".join(ch for p, ch in enumerate(t) if p not in cp)
+        spans, prev = 0, None
+        for p in sorted(cp):
+            if prev is None or p > prev + 1:
+                spans += 1
+            prev = p
+        out[d] = (len(t), len(cleaned), spans, cleaned)
+    return out
+
+
+def test_web_substring_bytes_cut_differential(spark):
+    """Engine == plain-Python keep-one reference on the full fixture;
+    untouched docs pass through byte-identical; cuts are real."""
+    from pdf_extractor_spark.queries.webtext import (
+        WEB_SUBSTR_L,
+        WEB_SUBSTR_MIN_OCC,
+        web_substring_bytes_cut_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    exp = _python_byte_cut(texts, WEB_SUBSTR_L, WEB_SUBSTR_MIN_OCC)
+    got = {
+        r["doc_id"]: (
+            r["n_bytes_before"],
+            r["n_bytes_after"],
+            r["n_spans_cut"],
+            r["cleaned_text"],
+        )
+        for r in web_substring_bytes_cut_of(docs).collect()
+    }
+    assert got == exp
+    cut_docs = [d for d, (b, a, s, _) in got.items() if a < b]
+    assert cut_docs, "fixture unexpectedly has no cuttable bytes"
+    untouched = [d for d, (b, a, s, t) in got.items() if s == 0]
+    assert untouched
+    for d in untouched:
+        assert got[d][3] == texts[d]
+
+
+def test_web_substring_bytes_cut_keeps_one_occurrence(spark):
+    """Crafted keep-one pin: of two docs sharing a >= L run, the
+    min(doc_id, idx) occurrence survives and the other is spliced out
+    byte-exactly."""
+    from pdf_extractor_spark.queries.webtext import (
+        WEB_SUBSTR_L,
+        web_substring_bytes_cut_of,
+    )
+
+    run = "shared boilerplate sentence that is long enough to window"
+    assert len(run) >= WEB_SUBSTR_L
+    rows = [
+        (1, "AAA " + run + " TAIL-ONE"),
+        (2, "BBBBBBB " + run + " tail-two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in web_substring_bytes_cut_of(docs).collect()
+    }
+    texts = dict(rows)
+    exp = _python_byte_cut(texts, WEB_SUBSTR_L, 2)
+    for d in (1, 2):
+        assert got[d]["cleaned_text"] == exp[d][3]
+    # doc 1 (the global min) keeps its text; doc 2 loses the shared
+    # region but keeps byte-exact head/tail remnants
+    assert got[1]["cleaned_text"] == texts[1]
+    assert got[2]["n_spans_cut"] == 1
+    assert got[2]["cleaned_text"].startswith("BBBBBBB")
+    assert got[2]["cleaned_text"].endswith("tail-two")
+    assert run not in got[2]["cleaned_text"]
