@@ -142,6 +142,7 @@ def build_corpus(
     intradoc: bool = False,
     line_mode: str = "tokens",
     substring_cut: bool = False,
+    substring_mode: str = "tokens",
     seen_index: str | None = None,
     seen_drop_pm: int = 800,
     mix_budget: int | None = None,
@@ -322,10 +323,44 @@ def build_corpus(
         # the funnel summary.
         n_substr_spans = 0
         n_substr_tokens = 0
+        n_substr_bytes = 0
         if substring_cut:
-            from pdf_extractor_spark.queries.dedup import substring_cut_of
+            # --substring-mode bytes: the byte-granular ExactSubstr
+            # form (web_substring_bytes_cut_of is doc_id-type agnostic
+            # — min(struct(doc_id, idx)) works on the job's 120-bit
+            # struct keys) — cleaning is a byte-exact splice of kept
+            # ranges, so there is no token-rejoin normalization and
+            # cuts may land mid-token (inherent to byte semantics).
+            if substring_mode == "bytes":
+                from pdf_extractor_spark.queries.webtext import (
+                    web_substring_bytes_cut_of,
+                )
 
-            cleaned = substring_cut_of(gated.select("doc_id", "text"))
+                cleaned = web_substring_bytes_cut_of(
+                    gated.select("doc_id", "text")
+                ).select(
+                    "doc_id",
+                    "cleaned_text",
+                    "n_spans_cut",
+                    F.expr("n_bytes_before - n_bytes_after").alias(
+                        "n_cut_units"
+                    ),
+                )
+            else:
+                from pdf_extractor_spark.queries.dedup import (
+                    substring_cut_of,
+                )
+
+                cleaned = substring_cut_of(
+                    gated.select("doc_id", "text")
+                ).select(
+                    "doc_id",
+                    "cleaned_text",
+                    "n_spans_cut",
+                    F.expr("n_tokens_before - n_tokens_after").alias(
+                        "n_cut_units"
+                    ),
+                )
             gated = (
                 gated.drop("text")
                 .join(
@@ -333,9 +368,7 @@ def build_corpus(
                         "doc_id",
                         F.col("cleaned_text").alias("text"),
                         "n_spans_cut",
-                        F.expr(
-                            "n_tokens_before - n_tokens_after"
-                        ).alias("n_cut_toks"),
+                        "n_cut_units",
                     ),
                     on="doc_id",
                 )
@@ -344,12 +377,15 @@ def build_corpus(
             agg = gated.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum("n_spans_cut").alias("s"),
-                F.sum("n_cut_toks").alias("t"),
+                F.sum("n_cut_units").alias("t"),
             ).collect()[0]
             n_gated_substr = int(agg["n"])
             n_substr_spans = int(agg["s"] or 0)
-            n_substr_tokens = int(agg["t"] or 0)
-            gated = gated.drop("n_spans_cut", "n_cut_toks")
+            if substring_mode == "bytes":
+                n_substr_bytes = int(agg["t"] or 0)
+            else:
+                n_substr_tokens = int(agg["t"] or 0)
+            gated = gated.drop("n_spans_cut", "n_cut_units")
         else:
             n_gated_substr = n_gated_clean
 
@@ -652,6 +688,7 @@ def build_corpus(
             "rows_substr_cleaned": n_gated_substr,
             "substr_spans_removed": n_substr_spans,
             "substr_tokens_removed": n_substr_tokens,
+            "substr_bytes_removed": n_substr_bytes,
             "rows_seen_dropped": n_seen_dropped,
             "seen_index": seen_state,
             "rows_survivors": n_survivors,
@@ -711,6 +748,14 @@ def main(argv: list[str] | None = None) -> None:
         "(token-range deletion normalizes whitespace)",
     )
     ap.add_argument(
+        "--substring-mode", choices=("tokens", "bytes"),
+        default="tokens",
+        help="granularity for --substring-cut: 'tokens' = W-token "
+        "windows with token-rejoin; 'bytes' = 40-byte windows with "
+        "byte-exact splicing of kept ranges (no rejoin normalization; "
+        "cuts may land mid-token — the Lee et al. byte form)",
+    )
+    ap.add_argument(
         "--mix-shards", type=int, default=None,
         help="export as N deterministically hash-mixed shards "
         "(rerun-identical order, no global sort)",
@@ -762,6 +807,7 @@ def main(argv: list[str] | None = None) -> None:
         contam_ngram=args.contam_ngram, line_dedup=args.line_dedup,
         intradoc=args.intradoc, line_mode=args.line_mode,
         substring_cut=args.substring_cut,
+        substring_mode=args.substring_mode,
         seen_index=args.seen_index, seen_drop_pm=args.seen_drop_pm,
         mix_budget=args.mix_budget, drift_check=args.drift_check,
         drift_max_pm=args.drift_max_pm,

