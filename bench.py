@@ -188,6 +188,7 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_filter_report",
     "web_dedup_substring_bytes",
+    "web_substring_bytes_strided",
     "web_substring_bytes_cut",
     "web_gopher_repetition",
 ]

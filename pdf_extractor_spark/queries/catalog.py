@@ -1130,6 +1130,14 @@ CATALOG: dict[str, QuerySpec] = {
         "fixture — fingerprints rare by default on natural text, fp-df "
         "cap suppresses per-host boilerplate runs; detection rides "
         "genuine shared token runs"),
+    "web_substring_bytes_strided": QuerySpec(
+        webtext.web_substring_bytes_strided,
+        webtext.WEB_SUBSTR_BYTES_STRIDED_SQL,
+        "Strided byte-window spans (production-cost form of "
+        "web_dedup_substring_bytes): hash every 4th byte position — "
+        "1/4 the window volume shuffled; phase-aligned matches only, "
+        "so long runs are still caught and every reported span is a "
+        "true duplicated region (subset of stride-1, test-pinned)"),
     "web_substring_bytes_cut": QuerySpec(
         webtext.web_substring_bytes_cut, webtext.WEB_SUBSTR_BYTES_CUT_SQL,
         "Byte-level exact-substring CUT (Lee et al. 2022 deletion "

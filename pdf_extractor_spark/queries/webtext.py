@@ -1100,3 +1100,134 @@ SELECT d.doc_id,
          AS cleaned_text
 FROM '{WEBTEXT_FIXTURE}' d LEFT JOIN rng_arr r ON d.doc_id = r.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Strided byte-window variant (the production-cost form, mirroring
+# dedup_substring_strided): hash only every s-th byte position — 1/s of
+# the windows computed AND shuffled (the stride-1 price above is 48
+# shuffle bytes per corpus byte; at stride 4 it is 12). The trade is
+# phase alignment: a cross-occurrence match is found only when both
+# occurrences window at the same offset mod s, so long duplicated runs
+# are still caught (a run of R bytes yields ~(R - L)/s strided windows)
+# while isolated borderline-L spans can slip. Every strided-detected
+# span is a TRUE duplicated region (both occurrences exist at the
+# reported offsets), so strided span positions are a subset of the
+# stride-1 entry's — test-pinned.
+
+WEB_SUBSTR_STRIDE = 4
+
+
+def _bwins_expr_s(stride: int) -> str:
+    return (
+        f"CASE WHEN length(text) >= {WEB_SUBSTR_L} THEN "
+        f"transform(sequence(0, CAST((length(text) - {WEB_SUBSTR_L}) "
+        f"DIV {stride} AS INT)), "
+        f"i -> named_struct('idx', CAST(i * {stride} AS BIGINT), "
+        f"'h', md5(substr(text, i * {stride} + 1, {WEB_SUBSTR_L})))) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<idx: BIGINT, h: STRING>>) END"
+    )
+
+
+def _bwins_expr_d(stride: int) -> str:
+    return (
+        f"CASE WHEN length(text) >= {WEB_SUBSTR_L} THEN "
+        f"list_transform(range((length(text) - {WEB_SUBSTR_L}) "
+        f"// {stride} + 1), "
+        f"i -> {{'idx': CAST(i * {stride} AS BIGINT), "
+        f"'h': md5(substring(text, i * {stride} + 1, "
+        f"{WEB_SUBSTR_L}))}}) "
+        "ELSE [] END"
+    )
+
+
+def web_substring_bytes_strided(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return web_substring_bytes_strided_of(_web_docs(spark))
+
+
+def web_substring_bytes_strided_of(
+    docs: DataFrame, stride: int = WEB_SUBSTR_STRIDE
+) -> DataFrame:
+    """Same contract and plan shape as web_dedup_substring_bytes_of but
+    over the strided window universe; idx stays the BYTE offset so
+    spans report true positions."""
+    from pyspark.sql import Window
+
+    wins = docs.select(
+        "doc_id", F.explode(F.expr(_bwins_expr_s(stride))).alias("w")
+    ).select(
+        "doc_id",
+        F.col("w.idx").alias("idx"),
+        F.col("w.h").alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .count()
+        .filter(F.col("count") >= WEB_SUBSTR_MIN_OCC)
+        .select("h")
+    )
+    flagged = wins.join(dup, "h").select("doc_id", "idx")
+    ow = Window.partitionBy("doc_id").orderBy("idx")
+    spans = (
+        flagged.withColumn("prev", F.lag("idx").over(ow))
+        .withColumn(
+            "brk",
+            F.expr(
+                f"CASE WHEN prev IS NULL OR idx - prev > {WEB_SUBSTR_L} "
+                "THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(ow.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("idx").alias("s"),
+            (F.max("idx") + F.lit(WEB_SUBSTR_L)).alias("e"),
+        )
+    )
+    return spans.select(
+        "doc_id",
+        F.col("s").cast("long").alias("span_start"),
+        F.col("e").cast("long").alias("span_end"),
+        (F.col("e") - F.col("s")).cast("long").alias("span_len"),
+    )
+
+
+WEB_SUBSTR_BYTES_STRIDED_SQL = f"""
+WITH wins AS (
+  SELECT doc_id, CAST(w['idx'] AS BIGINT) AS idx, w['h'] AS h FROM (
+    SELECT doc_id, unnest({_bwins_expr_d(WEB_SUBSTR_STRIDE)}) AS w
+    FROM '{WEBTEXT_FIXTURE}'
+  )
+),
+dup AS (
+  SELECT h FROM wins GROUP BY h
+  HAVING count(*) >= {WEB_SUBSTR_MIN_OCC}
+),
+flagged AS (
+  SELECT w.doc_id, w.idx FROM wins w JOIN dup d ON w.h = d.h
+),
+marked AS (
+  SELECT doc_id, idx,
+         CASE WHEN lag(idx) OVER ow IS NULL
+              OR idx - lag(idx) OVER ow > {WEB_SUBSTR_L}
+              THEN 1 ELSE 0 END AS brk
+  FROM flagged
+  WINDOW ow AS (PARTITION BY doc_id ORDER BY idx)
+),
+isl AS (
+  SELECT doc_id, idx,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+)
+SELECT doc_id,
+       CAST(MIN(idx) AS BIGINT) AS span_start,
+       CAST(MAX(idx) + {WEB_SUBSTR_L} AS BIGINT) AS span_end,
+       CAST(MAX(idx) + {WEB_SUBSTR_L} - MIN(idx) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, g
+"""

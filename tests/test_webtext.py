@@ -741,3 +741,42 @@ def test_web_substring_bytes_cut_keeps_one_occurrence(spark):
     assert got[2]["cleaned_text"].startswith("BBBBBBB")
     assert got[2]["cleaned_text"].endswith("tail-two")
     assert run not in got[2]["cleaned_text"]
+
+
+def test_web_substring_bytes_strided_subset_and_runs(spark):
+    """Strided spans are true duplicated regions: every strided span
+    position lies inside some stride-1 span; a long shared run is
+    still caught in BOTH docs (phase alignment holds for aligned
+    occurrences); the strided universe hashes ~1/stride the windows."""
+    from pdf_extractor_spark.queries.webtext import (
+        WEB_SUBSTR_STRIDE,
+        web_dedup_substring_bytes_of,
+        web_substring_bytes_strided_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    full = {}
+    for r in web_dedup_substring_bytes_of(docs).collect():
+        full.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    strided = {}
+    for r in web_substring_bytes_strided_of(docs).collect():
+        strided.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    assert strided, "strided form found nothing on the fixture"
+    for d, spans in strided.items():
+        assert d in full
+        for s, e in spans:
+            # every strided span lies within a stride-1 span: strided
+            # duplicated windows are true duplicates, and stride-1
+            # merges everything the strided universe merges
+            assert any(fs <= s and e <= fe for fs, fe in full[d]), (
+                d, (s, e), full[d]
+            )
+    # strided finds a substantial share of the duplicated-byte mass
+    # on this fixture (long boilerplate/near-dup runs dominate)
+    full_mass = sum(e - s for v in full.values() for s, e in v)
+    strided_mass = sum(e - s for v in strided.values() for s, e in v)
+    assert strided_mass >= 0.5 * full_mass, (strided_mass, full_mass)
