@@ -754,6 +754,12 @@ def web_gopher_repetition_of(docs: DataFrame) -> DataFrame:
         F.max("glen").alias("glen"),
         F.collect_list("idx").alias("idxs"),
     )
+    # the counted-gram table feeds BOTH the top-mass and the coverage
+    # branches; Spark shares no subplans, so without materialization
+    # the explode + hash-agg re-executes per branch (measured: 4
+    # FileScans → 3, pinned in tests/test_plans.py — the
+    # corpus_budget_alloc precedent)
+    counts = counts.localCheckpoint(eager=True)
     wnd = Window.partitionBy("doc_id", "n")
     top = (
         counts.withColumn("mx", F.max("c").over(wnd))

@@ -270,3 +270,32 @@ def test_budget_alloc_single_scan(spark):
     plan = plan_of(df)
     assert plan.count("FileScan") <= 2  # per + tot branches off one agg
     assert "SortMergeJoin" not in plan
+
+
+def test_byte_substring_family_text_never_shuffles(spark):
+    """The byte-level ExactSubstr family (spans / strided / cut): every
+    Exchange may carry only (doc_id, idx, md5)-shaped rows or the tiny
+    per-doc range lists — the document text appears in the window
+    projection and the final splice join only, never in a shuffle."""
+    for name in (
+        "web_dedup_substring_bytes",
+        "web_substring_bytes_strided",
+        "web_substring_bytes_cut",
+    ):
+        plan = plan_of(CATALOG[name].fn(spark, SF))
+        for frag in plan.split("Exchange")[1:]:
+            head = frag.split("\n", 1)[0]
+            assert "text" not in head, (name, head)
+
+
+def test_gopher_gram_stage_single_scan(spark):
+    """web_gopher_repetition: Exchanges carry gram hashes / counted
+    masses, never document text; the five n-gram sizes ride ONE
+    exploded projection (no per-n re-scan of the fixture: at most
+    one scan feeds the gram pipeline plus one for line/total stats
+    and one for per-token positions)."""
+    plan = plan_of(CATALOG["web_gopher_repetition"].fn(spark, SF))
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head, head
+    assert plan.count("FileScan") <= 3, plan.count("FileScan")
