@@ -191,6 +191,7 @@ HEADLINE = [
     "web_substring_bytes_strided",
     "web_substring_bytes_cut",
     "web_gopher_repetition",
+    "web_dedup_near_keep",
 ]
 
 

@@ -1146,6 +1146,14 @@ CATALOG: dict[str, QuerySpec] = {
         "aggregate — and non-keeper byte ranges are spliced out by "
         "concatenating kept ranges (no rejoin normalization: "
         "untouched docs byte-identical, cut docs byte-exact splices)"),
+    "web_dedup_near_keep": QuerySpec(
+        webtext.web_dedup_near_keep, webtext._web_near_keep_sql(),
+        "Composed near-dup keep-one pipeline on NATURAL text: "
+        "MinHash-LSH candidates -> exact DF-pruned Jaccard verify -> "
+        "min-label-propagation clusters -> keep min doc_id, over the "
+        "Heaps-law fixture's ~10% planted token-mutation near-dups; "
+        "reuses near_dup_labels_of verbatim (generic over doc_id, "
+        "text) and the documents-table oracle via a shadowing CTE"),
     "web_gopher_repetition": QuerySpec(
         webtext.web_gopher_repetition, webtext.WEB_GOPHER_SQL,
         "Gopher repetition-filter battery (Rae et al. 2021 Table A1) "

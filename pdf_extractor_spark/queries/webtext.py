@@ -1237,3 +1237,45 @@ SELECT doc_id,
        CAST(MAX(idx) + {WEB_SUBSTR_L} - MIN(idx) AS BIGINT) AS span_len
 FROM isl GROUP BY doc_id, g
 """
+
+
+# ---------------------------------------------------------------------------
+# Composed near-duplicate keep-one pipeline ON NATURAL TEXT: the exact
+# dedup_near_pipeline machinery (MinHash-LSH candidates -> exact
+# DF-pruned Jaccard verify -> min-label-propagation clusters -> keep
+# the minimum doc_id per cluster) run over the Heaps-law fixture, whose
+# ~10% planted token-mutation near-dups give true threshold pairs.
+# near_dup_labels_of is (doc_id, text)-generic; the only adaptation is
+# newline -> space normalization so the whitespace tokenizer sees the
+# same token stream both engines. The oracle REUSES the documents-table
+# oracle verbatim with a CTE shadowing `documents` with the fixture
+# (CTE names take precedence over registered views in DuckDB) — one
+# definition, two corpora.
+
+
+def web_dedup_near_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_extractor_spark.queries.dedup import near_dup_labels_of
+
+    docs = _web_docs(spark).select(
+        "doc_id",
+        F.expr("translate(text, '\\n', ' ')").alias("text"),
+    )
+    return near_dup_labels_of(docs)
+
+
+def _web_near_keep_sql() -> str:
+    from pdf_extractor_spark.queries.dedup import DEDUP_NEAR_PIPELINE_SQL
+
+    body = DEDUP_NEAR_PIPELINE_SQL.strip()
+    assert body.startswith("WITH RECURSIVE"), (
+        "dedup_near_pipeline oracle changed shape; update the webtext "
+        "shadow composition"
+    )
+    return (
+        "WITH RECURSIVE\n"
+        "documents AS (\n"
+        "  SELECT doc_id, replace(text, chr(10), ' ') AS text\n"
+        f"  FROM '{WEBTEXT_FIXTURE}'\n"
+        "),"
+        + body.removeprefix("WITH RECURSIVE")
+    )

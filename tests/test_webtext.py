@@ -780,3 +780,62 @@ def test_web_substring_bytes_strided_subset_and_runs(spark):
     full_mass = sum(e - s for v in full.values() for s, e in v)
     strided_mass = sum(e - s for v in strided.values() for s, e in v)
     assert strided_mass >= 0.5 * full_mass, (strided_mass, full_mass)
+
+
+# ---------------------------------------------------------------------------
+# web_dedup_near_keep — composed near-dup keep-one on natural text
+
+
+def test_web_near_keep_removes_planted_neardups(spark):
+    """The composed pipeline on the fixture's planted near-dups:
+    (a) exactly one keeper (the min doc_id) per cluster; (b) strongly
+    similar brute pairs (J >= 0.8) land in one cluster — which with
+    (a) implies no such pair survives as two keepers; (c) the removal
+    rate matches the ~10% planted mutation rate. (The engine-verified
+    survivor-set guarantee itself is pinned on the documents corpus in
+    tests/test_dedup_pipeline.py — same code path.)"""
+    from pdf_extractor_spark.queries.dedup import NEAR_DUP_JACCARD
+    from pdf_extractor_spark.queries.webtext import web_dedup_near_keep
+
+    rows = web_dedup_near_keep(spark, SF).collect()
+    assert len(rows) == FIX_N
+    clusters = defaultdict(list)
+    kept = set()
+    for r in rows:
+        clusters[r["cluster_id"]].append(r["doc_id"])
+        if r["keep"] == 1:
+            kept.add(r["doc_id"])
+    for cid, members in clusters.items():
+        ks = [d for d in members if d in kept]
+        assert ks == [min(members)] and cid == min(members), (
+            cid, members, ks
+        )
+    # brute-force ground truth on 2-gram shingle sets
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(WEBTEXT_FIXTURE, columns=["doc_id", "text"])
+    sets = {}
+    for d, t in zip(
+        tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()
+    ):
+        toks = _toks(t)
+        sets[d] = set(zip(toks, toks[1:]))
+    docs_sorted = sorted(sets)
+    cluster_of = {
+        d: cid for cid, members in clusters.items() for d in members
+    }
+    n_pairs = n_strong = 0
+    for i, a in enumerate(docs_sorted):
+        for b in docs_sorted[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= NEAR_DUP_JACCARD:
+                n_pairs += 1
+            if j >= 0.8:
+                n_strong += 1
+                assert cluster_of[a] == cluster_of[b], (a, b, j)
+    assert n_strong > 20, n_strong  # planted near-dups are real
+    removed = FIX_N - len(kept)
+    assert 60 <= removed <= 240, removed  # ~10% mutation rate
