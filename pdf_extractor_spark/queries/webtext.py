@@ -974,11 +974,13 @@ def web_substring_bytes_cut_of(docs: DataFrame) -> DataFrame:
     keeper = dwins.groupBy("h").agg(
         F.min(F.struct("doc_id", "idx")).alias("k")
     )
+    # no distinct needed: wins carries exactly one row per (doc_id,
+    # idx) and keeper has one row per h, so the join cannot fan out —
+    # a dedup here would be a pure extra shuffle
     cut = (
         dwins.join(keeper, on="h")
         .filter(F.expr("NOT (doc_id = k.doc_id AND idx = k.idx)"))
         .select("doc_id", "idx")
-        .distinct()
     )
     ow = Window.partitionBy("doc_id").orderBy("idx")
     ranges = (
@@ -1063,7 +1065,7 @@ keeper AS (
   FROM dwins GROUP BY h
 ),
 cut AS (
-  SELECT DISTINCT d.doc_id, d.idx
+  SELECT d.doc_id, d.idx
   FROM dwins d JOIN keeper USING (h)
   WHERE NOT (d.doc_id = k['doc_id'] AND d.idx = k['idx'])
 ),
