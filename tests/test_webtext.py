@@ -839,3 +839,61 @@ def test_web_near_keep_removes_planted_neardups(spark):
     assert n_strong > 20, n_strong  # planted near-dups are real
     removed = FIX_N - len(kept)
     assert 60 <= removed <= 240, removed  # ~10% mutation rate
+
+
+def test_byte_family_on_adversarial_random_corpora(spark):
+    """Seeded random corpora over a 3-char alphabet — far denser
+    window collisions than any real text: periodic runs (overlapping
+    intra-doc duplicates), docs shorter than / exactly L, newlines
+    inside windows. Spans and cut must equal the plain-Python
+    references on every corpus."""
+    import random
+
+    from pdf_extractor_spark.queries.webtext import (
+        WEB_SUBSTR_L,
+        WEB_SUBSTR_MIN_OCC,
+        web_dedup_substring_bytes_of,
+        web_substring_bytes_cut_of,
+    )
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        rows = []
+        for d in range(25):
+            n = rng.randrange(0, 120)
+            if rng.random() < 0.3:  # periodic run: worst-case overlap
+                period = rng.choice(["a", "ab", "a\n"])
+                t = (period * (n // len(period) + 1))[:n]
+            else:
+                t = "".join(rng.choice("ab\n ") for _ in range(n))
+            rows.append((d, t))
+        # one doc of length exactly L, one of L-1 (boundary)
+        rows.append((100, "a" * WEB_SUBSTR_L))
+        rows.append((101, "b" * (WEB_SUBSTR_L - 1)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        texts = dict(rows)
+
+        exp_spans = _python_byte_spans(
+            texts, WEB_SUBSTR_L, WEB_SUBSTR_MIN_OCC
+        )
+        got_spans = {}
+        for r in web_dedup_substring_bytes_of(docs).collect():
+            got_spans.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        got_spans = {d: sorted(v) for d, v in got_spans.items()}
+        assert got_spans == exp_spans, (seed, got_spans, exp_spans)
+
+        exp_cut = _python_byte_cut(
+            texts, WEB_SUBSTR_L, WEB_SUBSTR_MIN_OCC
+        )
+        got_cut = {
+            r["doc_id"]: (
+                r["n_bytes_before"],
+                r["n_bytes_after"],
+                r["n_spans_cut"],
+                r["cleaned_text"],
+            )
+            for r in web_substring_bytes_cut_of(docs).collect()
+        }
+        assert got_cut == exp_cut, seed
