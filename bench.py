@@ -191,6 +191,9 @@ HEADLINE = [
     "web_substring_bytes_strided",
     "web_substring_bytes_cut",
     "web_gopher_repetition",
+    "web_gopher_quality",
+    "web_c4_filter",
+    "web_host_cap",
     "web_dedup_near_keep",
 ]
 

@@ -1162,6 +1162,33 @@ CATALOG: dict[str, QuerySpec] = {
         "the published-threshold flag; all five n-gram sizes explode "
         "once into a single uniform-key hash aggregation, line/total "
         "metrics are shuffle-free array-HOF projections"),
+    "web_gopher_quality": QuerySpec(
+        webtext.web_gopher_quality, webtext.WEB_GOPHER_QUALITY_SQL,
+        "Gopher quality-filter battery (Rae et al. 2021 Table A1, the "
+        "non-repetition half) over the Heaps-law fixture: word-count "
+        "and mean-word-length bounds, symbol-to-word ratio, "
+        "bullet-start / ellipsis-end line fractions, alpha-word "
+        "fraction, distinct-stop-word containment (corpus function "
+        "words — the per-language stop-list adaptation CCNet makes), "
+        "published-threshold flag; ONE zero-shuffle projection "
+        "(plan-pinned — the cheapest possible 100 TB shape)"),
+    "web_c4_filter": QuerySpec(
+        webtext.web_c4_filter, webtext.WEB_C4_FILTER_SQL,
+        "C4 cleaning rules (Raffel et al. 2020 §2.2) over the golden "
+        "extracted corpus — terminal-punctuation + >= 5-word + "
+        "no-javascript line filter, < 3-sentence / curly-brace / "
+        "lorem-ipsum page gate; the committed corpus with real "
+        "sentence punctuation and heading-like nav lines; one "
+        "zero-shuffle projection (plan-pinned)"),
+    "web_host_cap": QuerySpec(
+        webtext.web_host_cap, webtext.WEB_HOST_CAP_SQL,
+        "Per-host contribution cap (RefinedWeb/FineWeb host balance): "
+        "keep at most K docs per url host as the K smallest md5(url) "
+        "— deterministic uniform sample. Salted partial top-K + "
+        "merged threshold + broadcast filter-back: NO per-host "
+        "row_number window, so a 10^8-page template farm never "
+        "serializes through one task; oracle is the independent "
+        "row_number formulation"),
     "web_quality_classify": QuerySpec(
         webtext.web_quality_classify, webtext._nb_sql(),
         "CCNet-style LEARNED quality classifier: integer NB log-odds "

@@ -1281,3 +1281,379 @@ def _web_near_keep_sql() -> str:
         "),"
         + body.removeprefix("WITH RECURSIVE")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher QUALITY-filter battery (Rae et al. 2021 Table A1, the
+# non-repetition half — web_gopher_repetition covers the repetition
+# rules): per-document
+#
+#   - n_words (published bounds: 50 <= n <= 100,000);
+#   - mean_word_len = token chars / tokens (bounds 3 <= m <= 10);
+#   - symbol_word_ratio: '#' occurrences plus non-overlapping '...'
+#     occurrences over words (> 0.1 rejects);
+#   - bullet_line_frac: lines whose FIRST character is a bullet glyph
+#     ('•', '‣', '▪', '-', '*') — the paper requires >= 90% of lines
+#     to not start with a bullet (> 0.10 rejects);
+#   - ellipsis_line_frac: lines ending in '...' or '…' (> 0.30
+#     rejects);
+#   - alpha_word_frac: tokens containing at least one alphabetic
+#     character, ASCII class [A-Za-z] (< 0.80 rejects) — the one
+#     deliberate narrowing vs the paper's locale-dependent "alphabetic"
+#     (java.util.regex and RE2 agree on the ASCII class byte-for-byte;
+#     the pii_scrub regex-subset discipline);
+#   - n_stop_distinct: distinct stop words present, >= 2 required. The
+#     paper's stop list is English function words; the fixture's
+#     synthetic language uses its own function words — the 8 most
+#     frequent Zipf types (word_for_rank(0..7)), the same adaptation
+#     CCNet makes per language.
+#
+# quality_flag = 1 when ANY rule rejects. All metrics are one pure
+# projection over the scan (array HOFs + constant literals) — zero
+# Exchange, text never leaves the map side; at 100 TB this is the
+# cheapest possible shape (plan-pinned).
+
+GOPHER_STOP_WORDS: tuple[str, ...] = ()  # filled below (needs corpus fn)
+
+
+def _init_stop_words() -> tuple[str, ...]:
+    from pdf_extractor_spark.corpus.webtext import word_for_rank
+
+    return tuple(word_for_rank(r) for r in range(8))
+
+
+GOPHER_STOP_WORDS = _init_stop_words()
+_GOPHER_BULLETS = ("•", "‣", "▪", "-", "*")
+
+_STOPS_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOP_WORDS)
+_BULLETS_SQL = ", ".join(f"'{b}'" for b in _GOPHER_BULLETS)
+
+_GOPHER_Q_FLAG = (
+    "CAST(CASE WHEN n_words < 50 OR n_words > 100000 "
+    "OR mean_word_len < 3.0 OR mean_word_len > 10.0 "
+    "OR symbol_word_ratio > 0.1 OR bullet_line_frac > 0.10 "
+    "OR ellipsis_line_frac > 0.30 OR alpha_word_frac < 0.80 "
+    "OR n_stop_distinct < 2 THEN 1 ELSE 0 END AS INT)"
+)
+
+
+def web_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_gopher_quality_of(_web_docs(spark))
+
+
+def web_gopher_quality_of(docs: DataFrame) -> DataFrame:
+    """doc_id, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    n_stop_distinct, quality_flag — one zero-shuffle projection."""
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.expr(WEB_TOKS_S).alias("toks"),
+        F.expr(WEB_LINES_S).alias("lines"),
+    )
+    m = base.select(
+        "doc_id",
+        F.expr("CAST(size(toks) AS BIGINT)").alias("n_words"),
+        F.expr(
+            "aggregate(toks, CAST(0 AS BIGINT), (a, t) -> a + length(t))"
+        ).alias("tok_chars"),
+        F.expr(
+            "CAST(length(text) - length(replace(text, '#', '')) "
+            "AS BIGINT)"
+        ).alias("n_hash"),
+        F.expr(
+            "CAST((length(text) - length(replace(text, '...', ''))) "
+            "DIV 3 AS BIGINT)"
+        ).alias("n_ell"),
+        F.expr("CAST(size(lines) AS BIGINT)").alias("n_lines"),
+        F.expr(
+            f"CAST(size(filter(lines, l -> array_contains("
+            f"array({_BULLETS_SQL}), substring(l, 1, 1)))) AS BIGINT)"
+        ).alias("n_bullet"),
+        F.expr(
+            "CAST(size(filter(lines, l -> l LIKE '%...' "
+            "OR l LIKE '%…')) AS BIGINT)"
+        ).alias("n_ell_end"),
+        F.expr(
+            "CAST(size(filter(toks, t -> t rlike '[A-Za-z]')) AS BIGINT)"
+        ).alias("n_alpha"),
+        F.expr(
+            f"CAST(size(array_intersect(toks, array({_STOPS_SQL}))) "
+            f"AS BIGINT)"
+        ).alias("n_stop_distinct"),
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.expr(_gopher_frac("tok_chars", "n_words")).alias(
+            "mean_word_len"
+        ),
+        F.expr(_gopher_frac("n_hash + n_ell", "n_words")).alias(
+            "symbol_word_ratio"
+        ),
+        F.expr(_gopher_frac("n_bullet", "n_lines")).alias(
+            "bullet_line_frac"
+        ),
+        F.expr(_gopher_frac("n_ell_end", "n_lines")).alias(
+            "ellipsis_line_frac"
+        ),
+        F.expr(_gopher_frac("n_alpha", "n_words")).alias(
+            "alpha_word_frac"
+        ),
+        "n_stop_distinct",
+    ).withColumn("quality_flag", F.expr(_GOPHER_Q_FLAG))
+
+
+WEB_GOPHER_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {WEB_TOKS_D} AS toks, {WEB_LINES_D} AS lines
+  FROM '{WEBTEXT_FIXTURE}'
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks,
+           t -> length(t))), 0) AS BIGINT) AS tok_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+           AS BIGINT) AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) // 3
+           AS BIGINT) AS n_ell,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> list_contains(
+           [{_BULLETS_SQL}], substring(l, 1, 1)))) AS BIGINT)
+           AS n_bullet,
+         CAST(len(list_filter(lines, l -> l LIKE '%...'
+           OR l LIKE '%…')) AS BIGINT) AS n_ell_end,
+         CAST(len(list_filter(toks, t -> regexp_matches(t,
+           '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         CAST(len(list_intersect(toks, [{_STOPS_SQL}]))
+           AS BIGINT) AS n_stop_distinct
+  FROM base
+),
+fr AS (
+  SELECT doc_id, n_words,
+    {_gopher_frac("tok_chars", "n_words")} AS mean_word_len,
+    {_gopher_frac("n_hash + n_ell", "n_words")} AS symbol_word_ratio,
+    {_gopher_frac("n_bullet", "n_lines")} AS bullet_line_frac,
+    {_gopher_frac("n_ell_end", "n_lines")} AS ellipsis_line_frac,
+    {_gopher_frac("n_alpha", "n_words")} AS alpha_word_frac,
+    n_stop_distinct
+  FROM m
+)
+SELECT fr.*, {_GOPHER_Q_FLAG} AS quality_flag FROM fr
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2, the line/page heuristics
+# that built C4 from Common Crawl) over the GOLDEN extracted corpus —
+# the one committed fixture whose text has real sentence punctuation
+# and heading-like nav lines (the webtext fixture is punctuation-free):
+#
+#   line rules (a line survives iff ALL hold):
+#     - ends in a terminal punctuation mark ('.', '!', '?', '"');
+#     - contains >= 5 words;
+#     - does not contain the word 'javascript' (case-insensitive).
+#   page rules (c4_drop = 1 when ANY holds):
+#     - fewer than 3 sentences after line filtering (sentence count =
+#       terminal-mark occurrences in the kept text — the stated
+#       convention, identical in both engines);
+#     - contains a curly brace (code indicator — C4 drops the page);
+#     - contains the phrase 'lorem ipsum'.
+#   (C4's "naughty words" blocklist is omitted — no list is shipped;
+#   its dedup rule is the dedup family's job.)
+#
+# One zero-shuffle projection over the goldens scan (plan-pinned):
+# line filtering and sentence counting are array HOFs / translate
+# tricks, page flags are LIKE predicates on the raw text.
+
+GOLDENS_FIXTURE = REPO_ROOT / "fixtures" / "golden" / "goldens.parquet"
+
+_C4_KEEP_S = (
+    "filter(lines, l -> "
+    "size(filter(split(l, ' '), t -> t <> '')) >= 5 "
+    "AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' "
+    "OR l LIKE '%\"') "
+    "AND NOT contains(lower(l), 'javascript'))"
+)
+_C4_KEEP_D = (
+    "list_filter(lines, l -> "
+    "len(list_filter(string_split(l, ' '), t -> t <> '')) >= 5 "
+    "AND (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' "
+    "OR l LIKE '%\"') "
+    "AND NOT contains(lower(l), 'javascript'))"
+)
+
+_C4_DROP = (
+    "CAST(CASE WHEN n_sentences < 3 OR has_brace = 1 "
+    "OR has_lorem = 1 THEN 1 ELSE 0 END AS INT)"
+)
+
+
+def web_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(str(GOLDENS_FIXTURE)).select(
+        "url", F.col("extracted_text").alias("text")
+    )
+    return web_c4_filter_of(docs)
+
+
+def web_c4_filter_of(docs: DataFrame) -> DataFrame:
+    """url, n_lines, n_kept, n_sentences, has_brace, has_lorem,
+    c4_drop, text_clean — C4 line filter + page gate as one
+    projection."""
+    lined = docs.select(
+        "url",
+        "text",
+        F.expr(WEB_LINES_S).alias("lines"),
+    ).select(
+        "url",
+        "text",
+        "lines",
+        F.expr(_C4_KEEP_S).alias("kept"),
+    )
+    return lined.select(
+        "url",
+        F.expr("CAST(size(lines) AS BIGINT)").alias("n_lines"),
+        F.expr("CAST(size(kept) AS BIGINT)").alias("n_kept"),
+        F.expr(
+            "CAST(length(array_join(kept, '\\n')) - "
+            "length(translate(array_join(kept, '\\n'), '.!?', '')) "
+            "AS BIGINT)"
+        ).alias("n_sentences"),
+        F.expr(
+            "CAST(CASE WHEN text LIKE '%{%' OR text LIKE '%}%' "
+            "THEN 1 ELSE 0 END AS INT)"
+        ).alias("has_brace"),
+        F.expr(
+            "CAST(CASE WHEN contains(lower(text), 'lorem ipsum') "
+            "THEN 1 ELSE 0 END AS INT)"
+        ).alias("has_lorem"),
+        F.expr("array_join(kept, '\\n')").alias("text_clean"),
+    ).withColumn("c4_drop", F.expr(_C4_DROP)).select(
+        "url",
+        "n_lines",
+        "n_kept",
+        "n_sentences",
+        "has_brace",
+        "has_lorem",
+        "c4_drop",
+        "text_clean",
+    )
+
+
+WEB_C4_FILTER_SQL = f"""
+WITH docs AS (
+  SELECT url, extracted_text AS text FROM '{GOLDENS_FIXTURE}'
+),
+lined AS (
+  SELECT url, text, {WEB_LINES_D} AS lines FROM docs
+),
+kept AS (
+  SELECT url, text, lines, {_C4_KEEP_D} AS kept FROM lined
+),
+m AS (
+  SELECT url,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(kept) AS BIGINT) AS n_kept,
+         CAST(length(coalesce(array_to_string(kept, chr(10)), ''))
+           - length(translate(
+               coalesce(array_to_string(kept, chr(10)), ''),
+               '.!?', '')) AS BIGINT) AS n_sentences,
+         CAST(CASE WHEN text LIKE '%{{%' OR text LIKE '%}}%'
+           THEN 1 ELSE 0 END AS INT) AS has_brace,
+         CAST(CASE WHEN contains(lower(text), 'lorem ipsum')
+           THEN 1 ELSE 0 END AS INT) AS has_lorem,
+         coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+  FROM kept
+)
+SELECT url, n_lines, n_kept, n_sentences, has_brace, has_lorem,
+       {_C4_DROP} AS c4_drop, text_clean
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-host contribution cap (the host-balance pass every web corpus
+# runs — RefinedWeb/FineWeb cap any single host's share so template
+# farms can't dominate the training mix): keep at most WEB_HOST_CAP
+# documents per url host, chosen as the K SMALLEST md5(url) values —
+# a deterministic uniform sample, rerun-identical and independent of
+# partitioning.
+#
+# Physical shape at 100 TB — the naive form is a per-host
+# row_number() window, which serializes every giant host through one
+# task (a template farm with 10^8 pages = one straggler). Instead:
+#   1. salted partial top-K: groupBy(host, salt) keeps each salt
+#      slice's K smallest hashes (per-group state <= host/S docs,
+#      output S x K rows per host);
+#   2. threshold: groupBy(host) merges the S partials into the global
+#      top-K and emits the K-th smallest hash (O(hosts) rows);
+#   3. broadcast the threshold table back and filter h <= kth — no
+#      window, no global sort, document rows shuffle once on
+#      (host, salt) hash keys only.
+# Exactness: urls are distinct so md5 values are distinct — exactly
+# min(K, host size) docs survive per host (no tie ambiguity). The
+# oracle is the INDEPENDENT row_number() formulation.
+
+WEB_HOST_CAP = 8  # fixture hosts carry ~10 docs — the cap must bite
+_HOST_SALT = 16
+
+
+def web_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_host_cap_of(_web_docs(spark))
+
+
+def web_host_cap_of(
+    docs: DataFrame, cap: int = WEB_HOST_CAP
+) -> DataFrame:
+    """host, doc_id, url — at most `cap` docs per host (the cap
+    chooses the K smallest md5(url): deterministic, uniform)."""
+    d = docs.select(
+        "doc_id",
+        "url",
+        F.expr("element_at(split(url, '/'), 3)").alias("host"),
+        F.md5("url").alias("h"),
+    )
+    part = (
+        d.withColumn(
+            "salt", F.pmod(F.xxhash64("url"), F.lit(_HOST_SALT))
+        )
+        .groupBy("host", "salt")
+        .agg(
+            F.expr(
+                f"slice(sort_array(collect_list(h)), 1, {cap})"
+            ).alias("part")
+        )
+    )
+    thresh = (
+        part.groupBy("host")
+        .agg(
+            F.expr(
+                f"slice(sort_array(flatten(collect_list(part))), "
+                f"1, {cap})"
+            ).alias("topk")
+        )
+        .select(
+            "host",
+            F.expr("element_at(topk, size(topk))").alias("kth"),
+        )
+    )
+    return (
+        d.join(F.broadcast(thresh), "host")
+        .filter(F.col("h") <= F.col("kth"))
+        .select("host", "doc_id", "url")
+    )
+
+
+WEB_HOST_CAP_SQL = f"""
+WITH d AS (
+  SELECT doc_id, url, split_part(url, '/', 3) AS host, md5(url) AS h
+  FROM '{WEBTEXT_FIXTURE}'
+),
+ranked AS (
+  SELECT host, doc_id, url,
+         row_number() OVER (PARTITION BY host ORDER BY h) AS rn
+  FROM d
+)
+SELECT host, doc_id, url FROM ranked WHERE rn <= {WEB_HOST_CAP}
+"""

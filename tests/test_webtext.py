@@ -897,3 +897,400 @@ def test_byte_family_on_adversarial_random_corpora(spark):
             for r in web_substring_bytes_cut_of(docs).collect()
         }
         assert got_cut == exp_cut, seed
+
+
+# ---------------------------------------------------------------------------
+# web_gopher_quality — the quality half of the Gopher Table A1 battery
+
+
+_Q_STOPS = ("ta", "re", "mi", "no", "ka", "su", "li", "do")
+_Q_BULLETS = ("•", "‣", "▪", "-", "*")
+
+
+def _python_gopher_quality(text):
+    toks = [t for t in text.replace("\n", " ").split(" ") if t]
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    n_words = len(toks)
+    tok_chars = sum(len(t) for t in toks)
+    n_hash = text.count("#")
+    n_ell = text.count("...")  # str.count: non-overlapping left scan,
+    # same convention as the engines' replace-based count
+    n_bullet = sum(1 for l in lines if l[:1] in _Q_BULLETS)
+    n_ell_end = sum(
+        1 for l in lines if l.endswith("...") or l.endswith("…")
+    )
+    n_alpha = sum(
+        1
+        for t in toks
+        if any("A" <= c <= "Z" or "a" <= c <= "z" for c in t)
+    )
+    n_stop = len(set(toks) & set(_Q_STOPS))
+
+    def frac(n, d):
+        # engines round HALF_UP on the shortest decimal repr (the
+        # repo's _roundn discipline); Python's round() is half-even
+        # and disagrees on exact .5 boundaries like 6.328125
+        if d <= 0:
+            return 0.0
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(
+            Decimal(repr(n / d)).quantize(
+                Decimal("0.00001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    m = {
+        "n_words": n_words,
+        "mean_word_len": frac(tok_chars, n_words),
+        "symbol_word_ratio": frac(n_hash + n_ell, n_words),
+        "bullet_line_frac": frac(n_bullet, len(lines)),
+        "ellipsis_line_frac": frac(n_ell_end, len(lines)),
+        "alpha_word_frac": frac(n_alpha, n_words),
+        "n_stop_distinct": n_stop,
+    }
+    m["quality_flag"] = int(
+        m["n_words"] < 50
+        or m["n_words"] > 100000
+        or m["mean_word_len"] < 3.0
+        or m["mean_word_len"] > 10.0
+        or m["symbol_word_ratio"] > 0.1
+        or m["bullet_line_frac"] > 0.10
+        or m["ellipsis_line_frac"] > 0.30
+        or m["alpha_word_frac"] < 0.80
+        or m["n_stop_distinct"] < 2
+    )
+    return m
+
+
+_Q_FRAC_COLS = (
+    "mean_word_len",
+    "symbol_word_ratio",
+    "bullet_line_frac",
+    "ellipsis_line_frac",
+    "alpha_word_frac",
+)
+
+
+def test_web_gopher_quality_differential(spark):
+    """Engine metrics match the plain-Python reference on the full
+    fixture (tol = rounding half-step on the fractions; integers and
+    the flag exact)."""
+    from pdf_extractor_spark.queries.webtext import (
+        GOPHER_STOP_WORDS,
+        web_gopher_quality_of,
+    )
+
+    assert GOPHER_STOP_WORDS == _Q_STOPS  # test list is the real list
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    rows = {
+        r["doc_id"]: r for r in web_gopher_quality_of(docs).collect()
+    }
+    assert set(rows) == set(texts)
+    n_flagged = 0
+    for d, t in texts.items():
+        exp = _python_gopher_quality(t)
+        got = rows[d]
+        assert got["n_words"] == exp["n_words"]
+        assert got["n_stop_distinct"] == exp["n_stop_distinct"]
+        for c in _Q_FRAC_COLS:
+            assert abs(got[c] - exp[c]) <= 5.1e-6, (d, c, got[c], exp[c])
+        assert got["quality_flag"] == exp["quality_flag"], d
+        n_flagged += got["quality_flag"]
+    # the battery has real signal on this corpus (short docs + the
+    # stop-word rule) without rejecting everything
+    assert 0 < n_flagged < len(texts)
+
+
+def test_web_gopher_quality_crafted(spark):
+    """Every rule branch pinned on a crafted doc that trips ONLY that
+    rule (metrics hand-computed)."""
+    from pdf_extractor_spark.queries.webtext import web_gopher_quality_of
+
+    base_words = ["ta", "re"] + [f"word{i:02d}" for i in range(58)]
+    clean = " ".join(base_words)  # 60 words, 2 stop words, all alpha
+    short = "ta re word one two"  # 5 words
+    bullets = "\n".join(
+        ["ta re " + " ".join(f"w{i:03d}" for i in range(28))]
+        + ["- bullet line here " + " ".join(f"b{i:03d}" for i in range(8))]
+        * 3
+    )  # 3 of 4 lines start with '-'
+    symbols = " ".join(["ta", "re"] + ["#tag"] * 8 + ["plain"] * 50)
+    # 8 hashes / 60 words = 0.13333 > 0.1
+    elli = "\n".join(
+        ["ta re " + " ".join(f"w{i:03d}" for i in range(28))]
+        + ["trailing line number %d..." % i for i in range(3)]
+    )  # 3 of 4 lines end in '...'
+    nonalpha = " ".join(
+        ["ta", "re"] + [str(1000 + i) for i in range(20)] + ["word"] * 38
+    )  # 39/60 alpha = 0.65 < 0.8
+    longw = " ".join(
+        ["ta".ljust(12, "x"), "re".ljust(12, "x")]
+        + [f"verylongword{i:04d}" for i in range(58)]
+    )  # every word >= 12 chars -> mean > 10
+    nostop = " ".join(f"word{i:02d}" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, short),
+            (3, bullets),
+            (4, symbols),
+            (5, elli),
+            (6, nonalpha),
+            (7, longw),
+            (8, nostop),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in web_gopher_quality_of(docs).collect()
+    }
+    assert got[1]["quality_flag"] == 0
+    assert got[1]["n_words"] == 60
+    assert got[1]["n_stop_distinct"] == 2
+    assert got[2]["quality_flag"] == 1 and got[2]["n_words"] == 5
+    assert got[3]["bullet_line_frac"] == round(3 / 4, 5)
+    assert got[3]["quality_flag"] == 1
+    assert got[4]["symbol_word_ratio"] == round(8 / 60, 5)
+    assert got[4]["quality_flag"] == 1
+    assert got[5]["ellipsis_line_frac"] == round(3 / 4, 5)
+    assert got[5]["quality_flag"] == 1
+    assert got[6]["alpha_word_frac"] == round(40 / 60, 5)
+    assert got[6]["quality_flag"] == 1
+    assert got[7]["mean_word_len"] > 10.0
+    assert got[7]["quality_flag"] == 1
+    assert got[8]["n_stop_distinct"] == 0
+    assert got[8]["quality_flag"] == 1
+    # every crafted doc trips at most its own rule (the flag pins
+    # above) — and each non-flag metric of the clean doc is in bounds
+    for c in ("symbol_word_ratio", "bullet_line_frac",
+              "ellipsis_line_frac"):
+        assert got[1][c] == 0.0
+    assert got[1]["alpha_word_frac"] == 1.0
+
+
+def test_web_gopher_quality_plan_is_projection(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_gopher_quality"].fn(spark, SF))
+    assert "Exchange" not in plan  # zero-shuffle projection
+
+
+def test_web_gopher_quality_separates_registers(spark):
+    """The stop-word containment rule is a real register detector on
+    this corpus: the spam register's keyword-stuffed sentences carry
+    no function words, prose does — recall >= 0.8 on spam at <= 1%
+    false positives on prose (measured 398/460 vs 1/740 at build
+    time; pinned loosely)."""
+    from pdf_extractor_spark.queries.webtext import web_gopher_quality_of
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    q = web_gopher_quality_of(docs).join(
+        docs.select("doc_id", "label"), "doc_id"
+    )
+    agg = {
+        (r["label"], r["fail"]): r["n"]
+        for r in q.selectExpr(
+            "label",
+            "CAST(n_stop_distinct < 2 AS INT) AS fail",
+        )
+        .groupBy("label", "fail")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    spam_fail = agg.get(("spam", 1), 0)
+    spam_ok = agg.get(("spam", 0), 0)
+    prose_fail = agg.get(("prose", 1), 0)
+    prose_ok = agg.get(("prose", 0), 0)
+    assert spam_fail / (spam_fail + spam_ok) >= 0.8
+    assert prose_fail / (prose_fail + prose_ok) <= 0.01
+
+
+# ---------------------------------------------------------------------------
+# web_c4_filter — C4 line/page cleaning rules over the golden corpus
+
+
+def _python_c4(text):
+    lines = [l.strip() for l in text.split("\n") if l.strip()]
+    kept = [
+        l
+        for l in lines
+        if len([t for t in l.split(" ") if t]) >= 5
+        and l[-1:] in (".", "!", "?", '"')
+        and "javascript" not in l.lower()
+    ]
+    tc = "\n".join(kept)
+    n_sent = sum(tc.count(c) for c in ".!?")
+    has_brace = int("{" in text or "}" in text)
+    has_lorem = int("lorem ipsum" in text.lower())
+    drop = int(n_sent < 3 or has_brace or has_lorem)
+    return {
+        "n_lines": len(lines),
+        "n_kept": len(kept),
+        "n_sentences": n_sent,
+        "has_brace": has_brace,
+        "has_lorem": has_lorem,
+        "c4_drop": drop,
+        "text_clean": tc,
+    }
+
+
+def test_web_c4_filter_differential(spark):
+    """Engine == plain-Python C4 reference on every golden doc; the
+    filter has real signal (heading/nav lines dropped) without
+    gutting the corpus."""
+    from pdf_extractor_spark.queries.webtext import (
+        GOLDENS_FIXTURE,
+        web_c4_filter_of,
+    )
+
+    docs = spark.read.parquet(str(GOLDENS_FIXTURE)).selectExpr(
+        "url", "extracted_text AS text"
+    )
+    texts = {r["url"]: r["text"] for r in docs.collect()}
+    rows = {r["url"]: r for r in web_c4_filter_of(docs).collect()}
+    assert set(rows) == set(texts)
+    dropped_lines = kept_docs = 0
+    for u, t in texts.items():
+        exp = _python_c4(t)
+        got = rows[u]
+        for c in exp:
+            assert got[c] == exp[c], (u, c, got[c], exp[c])
+        dropped_lines += exp["n_lines"] - exp["n_kept"]
+        kept_docs += 1 - exp["c4_drop"]
+    assert dropped_lines > 100  # headings/short lines really go
+    assert kept_docs > len(texts) // 2  # most real docs survive
+
+
+def test_web_c4_filter_crafted(spark):
+    """Each rule pinned: terminal punct, 5-word minimum, javascript
+    line, < 3 sentences, brace page, lorem ipsum page."""
+    from pdf_extractor_spark.queries.webtext import web_c4_filter_of
+
+    good = (
+        "A first real sentence lives here.\n"
+        "Heading Without Punctuation\n"
+        "Second sentence has enough words too!\n"
+        "short line.\n"
+        "Enable javascript to view this page.\n"
+        'Third one ends with a quote mark."'
+    )
+    toofew = "One good sentence is here.\nAnother good one is here."
+    brace = (
+        "First sentence is long enough here.\n"
+        "Second sentence is long enough here.\n"
+        "Third sentence has a { brace in it.\n"
+        "Fourth sentence is long enough here."
+    )
+    lorem = (
+        "Lorem ipsum dolor sit amet sentence.\n"
+        "Second sentence is long enough here.\n"
+        "Third sentence is long enough here."
+    )
+    docs = spark.createDataFrame(
+        [("u1", good), ("u2", toofew), ("u3", brace), ("u4", lorem)],
+        "url string, text string",
+    )
+    got = {r["url"]: r for r in web_c4_filter_of(docs).collect()}
+    # good: heading (no punct), 'short line.' (< 5 words), javascript
+    # line all dropped; 3 sentences remain -> kept
+    assert got["u1"]["n_lines"] == 6 and got["u1"]["n_kept"] == 3
+    assert got["u1"]["n_sentences"] == 3
+    assert got["u1"]["c4_drop"] == 0
+    assert got["u1"]["text_clean"] == (
+        "A first real sentence lives here.\n"
+        "Second sentence has enough words too!\n"
+        'Third one ends with a quote mark."'
+    )
+    assert got["u2"]["n_kept"] == 2 and got["u2"]["c4_drop"] == 1
+    assert got["u3"]["has_brace"] == 1 and got["u3"]["c4_drop"] == 1
+    assert got["u4"]["has_lorem"] == 1 and got["u4"]["c4_drop"] == 1
+
+
+def test_web_c4_filter_plan_is_projection(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_c4_filter"].fn(spark, SF))
+    assert "Exchange" not in plan  # zero-shuffle projection
+
+
+# ---------------------------------------------------------------------------
+# web_host_cap — per-host contribution cap without a hot-host window
+
+
+def test_web_host_cap_differential(spark):
+    """Engine == plain-Python per-host K-smallest-md5 on the fixture;
+    every host is capped and no host loses docs it shouldn't."""
+    import hashlib
+
+    from pdf_extractor_spark.queries.webtext import (
+        WEB_HOST_CAP,
+        web_host_cap_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    rows = docs.select("doc_id", "url").collect()
+    byhost = defaultdict(list)
+    for r in rows:
+        host = r["url"].split("/")[2]
+        h = hashlib.md5(r["url"].encode()).hexdigest()
+        byhost[host].append((h, r["doc_id"], r["url"]))
+    expected = set()
+    for host, hs in byhost.items():
+        for _, d, u in sorted(hs)[:WEB_HOST_CAP]:
+            expected.add((host, d, u))
+    got = {
+        (r["host"], r["doc_id"], r["url"])
+        for r in web_host_cap_of(docs).collect()
+    }
+    assert got == expected
+    # the cap bites on this corpus (~40 docs/host vs cap) without
+    # emptying it
+    assert len(got) < len(rows)
+    assert len(got) >= len(byhost) * min(
+        WEB_HOST_CAP, min(len(v) for v in byhost.values())
+    ) // 1
+
+
+def test_web_host_cap_hot_host(spark):
+    """A crafted 500-doc template farm is capped to exactly K while
+    small hosts pass through whole; results are partitioning-
+    independent (rerun under a different repartition equal)."""
+    from pdf_extractor_spark.queries.webtext import web_host_cap_of
+
+    rows = [
+        (i, f"https://farm.example.com/page/{i}") for i in range(500)
+    ] + [
+        (1000 + 10 * j + i, f"https://small{j}.example.com/p/{i}")
+        for j in range(10)
+        for i in range(5)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = web_host_cap_of(docs, cap=25).collect()
+    per = Counter(r["host"] for r in got)
+    assert per["farm.example.com"] == 25
+    for j in range(10):
+        assert per[f"small{j}.example.com"] == 5
+    got2 = {
+        (r["host"], r["doc_id"])
+        for r in web_host_cap_of(docs.repartition(7), cap=25).collect()
+    }
+    assert got2 == {(r["host"], r["doc_id"]) for r in got}
+
+
+def test_web_host_cap_plan_no_window_no_sort(spark):
+    """The scale claim pinned: no Window operator, no global Sort /
+    range partitioning anywhere; the threshold table joins back as a
+    broadcast."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_host_cap"].fn(spark, SF))
+    assert "Window" not in plan
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
