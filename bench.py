@@ -193,6 +193,7 @@ HEADLINE = [
     "web_gopher_repetition",
     "web_gopher_quality",
     "web_c4_filter",
+    "web_url_filter",
     "web_host_cap",
     "web_dedup_near_keep",
 ]

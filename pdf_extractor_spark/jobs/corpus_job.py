@@ -5,6 +5,13 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
       → canonicalize (single-space text, 120-bit (hi, lo) md5(url) key)
       → quality/lang features  (queries/corpus_select.features_of)
       → quality + language gate
+      → [optional] Gopher repetition gate
+                                (queries/webtext.web_gopher_repetition_of:
+                                 --gopher-gate DROPS docs whose
+                                 repetition metrics exceed the
+                                 published Rae et al. 2021 thresholds
+                                 — the drop-don't-repair philosophy —
+                                 before any cleaning stage)
       → [optional] intra-doc dedup
                                 (queries/dedup.dedup_intradoc_of:
                                  --intradoc strips WITHIN-document
@@ -148,6 +155,7 @@ def build_corpus(
     mix_budget: int | None = None,
     drift_check: str | None = None,
     drift_max_pm: int = 500,
+    gopher_gate: bool = False,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -272,6 +280,34 @@ def build_corpus(
                 ),
                 on="doc_id",
             )
+
+        # optional Gopher repetition gate (--gopher-gate): DROP —
+        # don't repair — docs whose repetition metrics exceed the
+        # published Rae et al. 2021 thresholds (web_gopher_repetition
+        # is corpus-agnostic: no stop lists, no language assumptions).
+        # Runs BEFORE the cleaning stages, on the same text the rules
+        # were published for: in newline mode the real lines (so the
+        # dup-line rules bite); in token mode the single-line
+        # canonical text (only the n-gram rules can fire — documented).
+        n_gopher_dropped = 0
+        if gopher_gate:
+            from pdf_extractor_spark.queries.webtext import (
+                web_gopher_repetition_of,
+            )
+
+            gin = gated.select(
+                "doc_id",
+                (F.col("text_nl") if nl else F.col("text")).alias(
+                    "text"
+                ),
+            )
+            flags = web_gopher_repetition_of(gin)
+            gated = gated.join(
+                flags.filter("gopher_flag = 0").select("doc_id"),
+                on="doc_id",
+            ).localCheckpoint(eager=True)
+            n_gated_intra = gated.count()
+            n_gopher_dropped = n_gated - n_gated_intra
 
         if intradoc:
             from pdf_extractor_spark.queries.dedup import dedup_intradoc_of
@@ -681,6 +717,7 @@ def build_corpus(
             "rows_in": n_in,
             "rows_clean": n_docs,
             "rows_gated": n_gated,
+            "rows_gopher_dropped": n_gopher_dropped,
             "rows_intradoc_cleaned": n_gated_intra,
             "intradoc_segments_removed": n_intradoc_segs,
             "rows_line_cleaned": n_gated_clean,
@@ -790,6 +827,13 @@ def main(argv: list[str] | None = None) -> None:
         "write when > --drift-max-pm per-mille of token mass is unseen",
     )
     ap.add_argument(
+        "--gopher-gate", action="store_true",
+        help="drop (not repair) docs whose Gopher repetition metrics "
+        "exceed the published Rae et al. 2021 thresholds, before the "
+        "cleaning stages; with --line-mode newline the dup-line rules "
+        "run on real lines",
+    )
+    ap.add_argument(
         "--drift-max-pm", type=int, default=500,
         help="per-mille new-token-mass threshold for --drift-check "
         "(default 500)",
@@ -810,7 +854,7 @@ def main(argv: list[str] | None = None) -> None:
         substring_mode=args.substring_mode,
         seen_index=args.seen_index, seen_drop_pm=args.seen_drop_pm,
         mix_budget=args.mix_budget, drift_check=args.drift_check,
-        drift_max_pm=args.drift_max_pm,
+        drift_max_pm=args.drift_max_pm, gopher_gate=args.gopher_gate,
     )
     print(json.dumps(summary))
     spark.stop()

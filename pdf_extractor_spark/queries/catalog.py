@@ -1180,6 +1180,14 @@ CATALOG: dict[str, QuerySpec] = {
         "lorem-ipsum page gate; the committed corpus with real "
         "sentence punctuation and heading-like nav lines; one "
         "zero-shuffle projection (plan-pinned)"),
+    "web_url_filter": QuerySpec(
+        webtext.web_url_filter, webtext.WEB_URL_FILTER_SQL,
+        "Stage-zero URL pre-filter (RefinedWeb/C4 class): host "
+        "blocklist, length, digit-host fraction, path-depth trap "
+        "rules — rejects pages before a byte of text is fetched or "
+        "extracted; on the fixture the blocklist alone removes the "
+        "ads* hosts whose P(spam) is 0.85 by generator design; pure "
+        "projection over (doc_id, url)"),
     "web_host_cap": QuerySpec(
         webtext.web_host_cap, webtext.WEB_HOST_CAP_SQL,
         "Per-host contribution cap (RefinedWeb/FineWeb host balance): "

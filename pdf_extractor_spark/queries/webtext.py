@@ -1657,3 +1657,101 @@ ranked AS (
 )
 SELECT host, doc_id, url FROM ranked WHERE rn <= {WEB_HOST_CAP}
 """
+
+
+# ---------------------------------------------------------------------------
+# URL pre-filter (the stage-ZERO gate of RefinedWeb/C4-class pipelines
+# — reject by URL before spending a fetch or an extraction on the
+# page): per-document
+#
+#   - blocked_host: a blocklist term appears as a substring of the
+#     host ('ads', 'casino', 'xxx', 'viagra' — the shipped list is a
+#     small documented stand-in for the production blocklists);
+#   - long_url: total length > 256 chars (spam/tracking urls);
+#   - digit_host_frac: digit fraction of the host (> 0.4 rejects —
+#     throwaway/generated domains);
+#   - deep_path: more than 8 path segments (crawler traps);
+#   - url_flag = 1 when ANY rule rejects.
+#
+# On the webtext fixture the blocklist rule has real, pipeline-shaped
+# signal: ads* hosts carry P(spam)=0.85 by generator design, so the
+# URL gate alone removes a spam-heavy slice without reading a byte of
+# text. Pure projection over (doc_id, url) — text is never read.
+
+URL_BLOCKLIST = ("ads", "casino", "xxx", "viagra")
+_URL_BLOCK_PRED = " OR ".join(
+    f"contains(host, '{w}')" for w in URL_BLOCKLIST
+)
+
+_URL_FLAG = (
+    "CAST(CASE WHEN blocked_host = 1 OR long_url = 1 "
+    "OR digit_host_frac > 0.4 OR deep_path = 1 "
+    "THEN 1 ELSE 0 END AS INT)"
+)
+
+
+def web_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_url_filter_of(_web_docs(spark))
+
+
+def web_url_filter_of(docs: DataFrame) -> DataFrame:
+    """doc_id, url, host, blocked_host, long_url, digit_host_frac,
+    deep_path, url_flag — the fetch-nothing URL gate."""
+    d = docs.select(
+        "doc_id",
+        "url",
+        F.expr("lower(element_at(split(url, '/'), 3))").alias("host"),
+    )
+    m = d.select(
+        "doc_id",
+        "url",
+        "host",
+        F.expr(
+            f"CAST(CASE WHEN {_URL_BLOCK_PRED} THEN 1 ELSE 0 END "
+            f"AS INT)"
+        ).alias("blocked_host"),
+        F.expr(
+            "CAST(CASE WHEN length(url) > 256 THEN 1 ELSE 0 END "
+            "AS INT)"
+        ).alias("long_url"),
+        F.expr(_gopher_frac(
+            "length(host) - length(regexp_replace(host, '[0-9]', ''))",
+            "length(host)",
+        )).alias("digit_host_frac"),
+        # path segments = non-empty '/'-parts minus scheme + host
+        # (NOT filter(slice(arr, 4, INT_MAX), ...) — Spark 4.1's
+        # filter-over-slice silently returns [] when start+length
+        # overflows int; measured, the slice alone evaluates fine)
+        F.expr(
+            "CAST(CASE WHEN size(filter(split(url, '/'), "
+            "s -> s <> '')) - 2 > 8 THEN 1 ELSE 0 END AS INT)"
+        ).alias("deep_path"),
+    )
+    return m.withColumn("url_flag", F.expr(_URL_FLAG))
+
+
+_URL_BLOCK_PRED_D = _URL_BLOCK_PRED  # contains() exists in both engines
+
+WEB_URL_FILTER_SQL = f"""
+WITH d AS (
+  SELECT doc_id, url,
+         lower(string_split(url, '/')[3]) AS host
+  FROM '{WEBTEXT_FIXTURE}'
+),
+m AS (
+  SELECT doc_id, url, host,
+         CAST(CASE WHEN {_URL_BLOCK_PRED_D} THEN 1 ELSE 0 END
+           AS INT) AS blocked_host,
+         CAST(CASE WHEN length(url) > 256 THEN 1 ELSE 0 END
+           AS INT) AS long_url,
+         {_gopher_frac(
+             "length(host) - length(regexp_replace(host, '[0-9]', '', 'g'))",
+             "length(host)",
+         )} AS digit_host_frac,
+         CAST(CASE WHEN len(list_filter(string_split(url, '/'),
+           s -> s <> '')) - 2 > 8 THEN 1 ELSE 0 END AS INT)
+           AS deep_path
+  FROM d
+)
+SELECT m.*, {_URL_FLAG} AS url_flag FROM m
+"""

@@ -579,3 +579,86 @@ def test_corpus_job_substring_cut_bytes_mode(spark, tmp_path):
         substring_cut=True, substring_mode="tokens",
     )
     assert s3["substr_bytes_removed"] == 0
+
+
+def test_corpus_job_gopher_gate(spark, tmp_path):
+    """--gopher-gate DROPS (not repairs) a repetition-spam page that
+    passes the quality/lang gate: a planted 40x-repeated-line page is
+    exported with the gate off and dropped with the gate on (token
+    AND newline line modes — the n-gram rules fire even when the
+    single-line canonicalization hides the duplicate lines); clean
+    docs are untouched and the run stays deterministic."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.corpus.build import PAGES_SCHEMA
+
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=23, n_rows=120, n_days=2)
+    # the planted page: stop-word-heavy (passes the lang/quality
+    # gate: n > 50 tokens, hits_en/n far over the stop-ratio knee)
+    # but a pure keyword loop (dup_line_frac 39/40, 5-gram coverage
+    # ~ 1.0 — both far over the published thresholds)
+    line = "buy the best of the and to in is it cheap deal now"
+    html = (
+        "<html><head><title>spam</title></head><body>"
+        + "".join(f"<p>{line}</p>" for _ in range(40))
+        + "</body></html>"
+    ).encode()
+    spam = pa.table(
+        {
+            "url": ["https://spam.example/loop"],
+            "warc_ts": [dt.datetime(2025, 6, 14, 12, 0, 0)],
+            "html": [html],
+            "text": [None],
+            "lang": ["en"],
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(
+        pa.concat_tables([pq.read_table(corpus), spam]), corpus
+    )
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    def urls_of(out):
+        return {r["url"] for r in _read_jsonl(out)}
+
+    out_off = str(tmp_path / "off")
+    s_off = build_corpus(spark, wh, out_off, budget=1000)
+    assert s_off["rows_gopher_dropped"] == 0
+    assert "https://spam.example/loop" in urls_of(out_off)
+
+    out_on = str(tmp_path / "on")
+    s_on = build_corpus(spark, wh, out_on, budget=1000, gopher_gate=True)
+    assert s_on["rows_gated"] == s_off["rows_gated"]
+    assert s_on["rows_gopher_dropped"] == 1
+    assert s_on["rows_exported"] == s_off["rows_exported"] - 1
+    assert "https://spam.example/loop" not in urls_of(out_on)
+    # clean docs untouched: the gate only removed the planted page
+    assert urls_of(out_on) == urls_of(out_off) - {
+        "https://spam.example/loop"
+    }
+
+    # newline mode: the dup-line rules see real lines; same verdict
+    out_nl = str(tmp_path / "nl")
+    s_nl = build_corpus(
+        spark, wh, out_nl, budget=1000, gopher_gate=True,
+        line_mode="newline",
+    )
+    assert s_nl["rows_gopher_dropped"] == 1
+    assert "https://spam.example/loop" not in urls_of(out_nl)
+
+    # determinism with the gate on
+    out_on2 = str(tmp_path / "on2")
+    build_corpus(spark, wh, out_on2, budget=1000, gopher_gate=True)
+    a = sorted(
+        json.dumps(r, sort_keys=True) for r in _read_jsonl(out_on)
+    )
+    b = sorted(
+        json.dumps(r, sort_keys=True) for r in _read_jsonl(out_on2)
+    )
+    assert a == b

@@ -1294,3 +1294,82 @@ def test_web_host_cap_plan_no_window_no_sort(spark):
     assert "rangepartitioning" not in plan.lower()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# web_url_filter — the stage-zero URL gate
+
+
+def test_web_url_filter_differential_and_spam_signal(spark):
+    """Engine == plain-Python URL-rule reference on the fixture; the
+    blocklist rule removes the ads* hosts, whose docs are spam at
+    ~0.85 by generator design — so the URL gate alone strips a
+    spam-heavy slice without reading text."""
+    from pdf_extractor_spark.queries.webtext import (
+        URL_BLOCKLIST,
+        web_url_filter_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    meta = {
+        r["doc_id"]: (r["url"], r["label"])
+        for r in docs.select("doc_id", "url", "label").collect()
+    }
+    got = {r["doc_id"]: r for r in web_url_filter_of(docs).collect()}
+    assert set(got) == set(meta)
+    flagged_labels = []
+    for d, (u, label) in meta.items():
+        host = u.split("/")[2].lower()
+        blocked = int(any(w in host for w in URL_BLOCKLIST))
+        digits = sum(c.isdigit() for c in host)
+        r = got[d]
+        assert r["host"] == host
+        assert r["blocked_host"] == blocked, (u, host)
+        assert r["long_url"] == int(len(u) > 256)
+        assert abs(r["digit_host_frac"] - digits / len(host)) <= 5.1e-6
+        segs = [s for s in u.split("/")[3:] if s]
+        assert r["deep_path"] == int(len(segs) > 8)
+        want = int(
+            blocked
+            or len(u) > 256
+            or r["digit_host_frac"] > 0.4
+            or len(segs) > 8
+        )
+        assert r["url_flag"] == want
+        if r["url_flag"]:
+            flagged_labels.append(label)
+    # real pipeline-shaped signal: the gate fires on a meaningful
+    # slice, and that slice is spam-heavy (ads hosts: P(spam)=0.85)
+    assert len(flagged_labels) > 100
+    spam_frac = flagged_labels.count("spam") / len(flagged_labels)
+    assert spam_frac > 0.7
+
+
+def test_web_url_filter_crafted(spark):
+    """Non-blocklist rules pinned on crafted urls: long url, digit
+    farm host, crawler-trap path depth; a clean url passes."""
+    from pdf_extractor_spark.queries.webtext import web_url_filter_of
+
+    rows = [
+        (1, "https://news.example.org/story/today.html"),
+        (2, "https://news.example.org/" + "x" * 260),
+        (3, "https://123456789012.example.org/p"),  # 12 digits / 24 chars
+        (4, "https://deep.example.org/" + "/".join("s%d" % i for i in range(9))),
+        (5, "https://casino-royale.example.org/p"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in web_url_filter_of(docs).collect()}
+    assert got[1]["url_flag"] == 0
+    assert got[2]["long_url"] == 1 and got[2]["url_flag"] == 1
+    assert got[3]["digit_host_frac"] > 0.4 and got[3]["url_flag"] == 1
+    assert got[4]["deep_path"] == 1 and got[4]["url_flag"] == 1
+    assert got[5]["blocked_host"] == 1 and got[5]["url_flag"] == 1
+
+
+def test_web_url_filter_plan_is_projection(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_url_filter"].fn(spark, SF))
+    assert "Exchange" not in plan
+    # text is never read: the scan projects only doc_id + url
+    assert "text" not in plan.split("ReadSchema")[-1]
