@@ -171,6 +171,7 @@ HEADLINE = [
     "web_dedup_lines_cut",
     "dedup_winnow_pairs_web",
     "web_quality_classify",
+    "web_quality_buckets",
     "text_embed_hash",
     "text_embed_topk",
     "text_embed_centroid_topk",

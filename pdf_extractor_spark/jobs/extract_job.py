@@ -80,6 +80,12 @@ def main(argv: list[str] | None = None) -> None:
         help="batch K pending dates into one Spark job / one atomic "
              "multi-partition commit (amortizes job+commit latency over "
              "many small partitions; a killed chunk re-runs whole)")
+    ap.add_argument(
+        "--url-filter", action="store_true",
+        help="apply the stage-zero URL gate (host blocklist, length, "
+             "digit-host fraction, crawler-trap path depth — "
+             "queries/webtext.url_reject_expr) before the extract "
+             "stage; rejected pages never reach the HTML parser")
     args = ap.parse_args(argv)
 
     spark = build_session(args.master, args.shuffle_partitions)
@@ -111,17 +117,17 @@ def main(argv: list[str] | None = None) -> None:
         with_blocks=not args.no_blocks,
         max_dates=args.max_dates,
         dates_per_job=args.dates_per_job,
+        url_filter=args.url_filter,
     )
-    print(
-        json.dumps(
-            {
-                "input_snapshot_id": result.input_snapshot_id,
-                "processed": result.processed,
-                "skipped": result.skipped,
-                "failed": result.failed,
-            }
-        )
-    )
+    out = {
+        "input_snapshot_id": result.input_snapshot_id,
+        "processed": result.processed,
+        "skipped": result.skipped,
+        "failed": result.failed,
+    }
+    if args.url_filter:
+        out["url_rejected"] = result.url_rejected
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -78,6 +78,8 @@ class ExtractRunResult:
     processed: list[str] = field(default_factory=list)
     skipped: list[str] = field(default_factory=list)
     failed: list[str] = field(default_factory=list)
+    # pages dropped by the stage-zero URL gate (url_filter=True only)
+    url_rejected: int = 0
 
 
 def run_extract(
@@ -91,6 +93,7 @@ def run_extract(
     strategy: str = "dispatch",
     with_blocks: bool = True,
     dates_per_job: int = 1,
+    url_filter: bool = False,
 ) -> ExtractRunResult:
     """Run (or resume) extraction of every pending partition of ``pages``.
 
@@ -114,7 +117,15 @@ def run_extract(
     daily partitions the serial per-date loop pays 10^3 job/commit
     latencies with the cluster idle in between; chunking amortizes that
     to 10^3/K while keeping resume granularity (a killed chunk re-runs
-    whole — the overwrite is idempotent, lineage rows are per date)."""
+    whole — the overwrite is idempotent, lineage rows are per date).
+
+    ``url_filter=True`` applies the stage-zero URL gate
+    (queries/webtext.url_reject_expr: host blocklist, length,
+    digit-host fraction, crawler-trap path depth) BEFORE the extract
+    stage — the RefinedWeb/C4 reject-by-url-first shape; rejected
+    pages never reach the Arrow parser. Deterministic, so resume
+    semantics are unchanged; the dropped count lands in
+    ``ExtractRunResult.url_rejected``."""
     extracted_tbl = IceTable(f"{warehouse}/extracted")
     lineage = LineageLog(f"{warehouse}/lineage")
 
@@ -136,6 +147,24 @@ def run_extract(
         attempts = {d: lineage.attempts(d) + 1 for d in chunk}
         try:
             src = pages.read(spark, partitions=chunk)
+            n_url_rejected = 0
+            if url_filter:
+                # Stage-zero URL gate (web_url_filter's rules as one
+                # predicate): reject crawler-trap / blocklisted /
+                # generated-host pages BEFORE the Arrow extract stage
+                # parses a byte of their HTML. The rejected count is
+                # one extra job over the pruned url column only — the
+                # html bytes that dominate this table's IO are never
+                # read for it (column pruning), so at 100 TB the count
+                # costs ~a url-column scan, never a corpus scan.
+                from pdf_extractor_spark.queries.webtext import (
+                    url_reject_expr,
+                )
+
+                n_url_rejected = (
+                    src.select("url").filter(url_reject_expr("url")).count()
+                )
+                src = src.filter(~url_reject_expr("url"))
             if strategy == "dispatch":
                 extracted = extract_stage_dispatch(src, with_blocks=with_blocks)
             else:
@@ -194,6 +223,7 @@ def run_extract(
                 ]
             )
             result.processed.extend(chunk)
+            result.url_rejected += n_url_rejected
         except Exception:
             wall = time.monotonic() - t0
             lineage.append(

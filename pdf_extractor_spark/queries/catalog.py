@@ -1203,6 +1203,14 @@ CATALOG: dict[str, QuerySpec] = {
         "weights trained driver-side on the fixture's even doc_ids "
         "(libm in Python only), scored as an order-free integer sum in "
         "both engines; held-out accuracy test-pinned"),
+    "web_quality_buckets": QuerySpec(
+        webtext.web_quality_buckets, webtext._quality_buckets_sql(),
+        "CCNet head/middle/tail corpus-tertile buckets over the "
+        "learned integer quality score (the perplexity-bucket step of "
+        "Wenzek et al. 2020): exact-integer cutoffs from a score "
+        "HISTOGRAM + cumulative window (O(distinct scores) rows — the "
+        "corpus is never sorted), cutoff row broadcast back; ties "
+        "share a bucket so the split is a pure function of the score"),
     "pii_scrub": QuerySpec(
         pii.pii_scrub, pii.PII_SCRUB_SQL,
         "PII redaction projection (emails/phones/IPv4 -> typed "

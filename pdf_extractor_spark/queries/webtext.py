@@ -1755,3 +1755,148 @@ m AS (
 )
 SELECT m.*, {_URL_FLAG} AS url_flag FROM m
 """
+
+
+def url_reject_expr(url_col: str = "url"):
+    """The four URL rules folded into ONE boolean reject predicate over
+    a raw url column — the form the extract job uses to gate pages
+    BEFORE the mapInArrow extraction stage spends a byte of parse work
+    (``run_extract(..., url_filter=True)``). No join, no doc_id: a pure
+    projection predicate, so Catalyst keeps it inside the scan stage.
+
+    Kept in lockstep with ``web_url_filter_of`` (same blocklist
+    constant, same _gopher_frac rounding, same thresholds) and pinned
+    equal to the entry's ``url_flag`` on the fixture AND on crafted
+    rule-boundary urls by tests/test_webtext.py.
+    """
+    host = f"lower(element_at(split({url_col}, '/'), 3))"
+    block = " OR ".join(f"contains({host}, '{w}')" for w in URL_BLOCKLIST)
+    frac = _gopher_frac(
+        f"length({host}) - length(regexp_replace({host}, '[0-9]', ''))",
+        f"length({host})",
+    )
+    deep = (
+        f"size(filter(split({url_col}, '/'), s -> s <> '')) - 2 > 8"
+    )
+    return F.expr(
+        f"({block}) OR length({url_col}) > 256 "
+        f"OR ({frac}) > 0.4 OR ({deep})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail quality buckets (Wenzek et al. 2020): CCNet
+# ranks every document by language-model perplexity and splits the
+# corpus into three equal-mass buckets — `head` (best) is kept
+# outright, `middle` kept selectively, `tail` usually dropped. The
+# perplexity stand-in here is the integer NB quality score the engine
+# already trains (web_quality_classify: LOWER = more prose-like), so
+# the whole chain stays exactly oracle-checkable.
+#
+# Cutoffs are exact-integer corpus tertiles computed the
+# text_length_percentiles way: a (score, count) HISTOGRAM aggregate
+# first (O(distinct integer scores) rows — the corpus is never
+# sorted), a cumulative window over the tiny histogram, then
+# c1 = min score with 3*cum >= N and c2 = min score with 3*cum >= 2N.
+# bucket = head iff score <= c1, middle iff score <= c2, else tail.
+# Ties share a bucket (bucket is a function of the score alone), so
+# sizes are N/3 up to tie mass — deterministic in both engines.
+
+def web_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_quality_buckets_of(_web_docs(spark))
+
+
+def tertile_cutoffs_of(scored: DataFrame, col: str = "score") -> DataFrame:
+    """1-row (c1, c2) DataFrame: exact corpus-tertile cutoffs of ``col``
+    in ASCENDING order — c1 = min v with 3*cum(v) >= N, c2 = min v with
+    3*cum(v) >= 2N over the VALUE HISTOGRAM (O(distinct values) rows;
+    the corpus is never sorted — the single-partition window runs over
+    the tiny histogram only). Bucket membership (v <= c1 / v <= c2 /
+    else) is a pure function of the value, so ties share a bucket and
+    any caller's split is deterministic. Orientation is the caller's:
+    web_quality_buckets maps bucket1 -> head (NB score: lower = more
+    prose-like); the corpus job maps bucket1 -> tail (its quality
+    composite: higher = better)."""
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(col).agg(F.count("*").alias("c"))
+    w = Window.orderBy(col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        col,
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return cum.agg(
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n"), F.col(col))
+        ).alias("c1"),
+        F.min(
+            F.when(F.col("cum") * 3 >= F.col("n") * 2, F.col(col))
+        ).alias("c2"),
+    )
+
+
+def web_quality_buckets_of(docs: DataFrame) -> DataFrame:
+    """doc_id, label, score, bucket — CCNet-style corpus-tertile
+    quality buckets over the learned integer NB score."""
+    scored = web_quality_classify_of(docs).select(
+        "doc_id", "label", "score"
+    )
+    cuts = tertile_cutoffs_of(scored, col="score")
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "label",
+        "score",
+        F.when(F.col("score") <= F.col("c1"), F.lit("head"))
+        .when(F.col("score") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def _quality_buckets_sql() -> str:
+    prior, weights = _nb_model()
+    vals = ", ".join(f"('{t}', {w})" for t, w in weights)
+    return f"""
+WITH wts(tok, w) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id, unnest({WEB_TOKS_D}) AS tok
+  FROM '{WEBTEXT_FIXTURE}'
+),
+wsums AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wsum
+  FROM toks JOIN wts USING (tok) GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, d.label,
+         CAST(coalesce(wsum, 0) + {prior} AS BIGINT) AS score
+  FROM '{WEBTEXT_FIXTURE}' d LEFT JOIN wsums ON d.doc_id = wsums.doc_id
+),
+hist AS (
+  SELECT score, COUNT(*) AS c FROM scored GROUP BY score
+),
+cum AS (
+  SELECT score,
+         SUM(c) OVER (ORDER BY score
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+         SUM(c) OVER () AS n
+  FROM hist
+),
+cuts AS (
+  SELECT MIN(CASE WHEN cum * 3 >= n THEN score END) AS c1,
+         MIN(CASE WHEN cum * 3 >= n * 2 THEN score END) AS c2
+  FROM cum
+)
+SELECT s.doc_id, s.label, s.score,
+       CASE WHEN s.score <= c.c1 THEN 'head'
+            WHEN s.score <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored s CROSS JOIN cuts c
+"""

@@ -257,3 +257,75 @@ def test_dates_per_job_batching_kill_and_resume(spark, pages_tbl, tmp_path):
             for r in _read_extracted(spark, wh).collect()
         })
     assert tables[0] == tables[1] == tables[2]
+
+
+def test_url_filter_gate(spark, corpus, tmp_path):
+    """run_extract(url_filter=True) drops rejectable pages BEFORE the
+    extract stage: planted blocklist/trap urls never land in the
+    warehouse, clean pages are untouched, the rejected count is
+    reported, and resume stays a no-op."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.corpus.build import PAGES_SCHEMA
+    from pdf_extractor_spark.queries.webtext import URL_BLOCKLIST
+
+    bad_urls = [
+        "https://best-casino.example/win",
+        "https://deep.example.org/" + "/".join(f"s{i}" for i in range(9)),
+    ]
+    p = tmp_path / "pages_url.parquet"
+    extra = pa.table(
+        {
+            "url": bad_urls,
+            "warc_ts": [dt.datetime(2025, 6, 14, 10, 0, 0)] * 2,
+            "html": [b"<html><body><p>trap page</p></body></html>"] * 2,
+            "text": [None, None],
+            "lang": ["en", "en"],
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(pa.concat_tables([pq.read_table(corpus), extra]), p)
+    tbl = ingest_corpus_to_icetable(spark, p, tmp_path / "pages_url")
+
+    # ungated baseline: the planted pages extract like any other
+    wh0 = str(tmp_path / "wh0")
+    r0 = run_extract(spark, tbl, wh0, salt=False)
+    assert r0.url_rejected == 0
+    urls0 = {
+        r["url"]
+        for r in _read_extracted(spark, wh0).select("url").collect()
+    }
+    assert set(bad_urls) <= urls0
+
+    # expected reject set from a plain-Python restatement of the rules
+    def py_reject(u: str) -> bool:
+        host = u.split("/")[2].lower()
+        segs = [s for s in u.split("/")[3:] if s]
+        frac = round(
+            sum(c.isdigit() for c in host) / len(host), 5
+        ) if host else 0.0
+        return (
+            any(w in host for w in URL_BLOCKLIST)
+            or len(u) > 256
+            or frac > 0.4
+            or len(segs) > 8
+        )
+
+    expected_rejects = {u for u in urls0 if py_reject(u)}
+    assert set(bad_urls) <= expected_rejects
+
+    wh1 = str(tmp_path / "wh1")
+    r1 = run_extract(spark, tbl, wh1, salt=False, url_filter=True)
+    assert r1.url_rejected == len(expected_rejects)
+    urls1 = {
+        r["url"]
+        for r in _read_extracted(spark, wh1).select("url").collect()
+    }
+    assert urls1 == urls0 - expected_rejects
+
+    # resume: no-op — no chunk re-runs, so no re-counting either
+    r2 = run_extract(spark, tbl, wh1, salt=False, url_filter=True)
+    assert r2.processed == [] and r2.url_rejected == 0

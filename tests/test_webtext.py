@@ -1373,3 +1373,107 @@ def test_web_url_filter_plan_is_projection(spark):
     assert "Exchange" not in plan
     # text is never read: the scan projects only doc_id + url
     assert "text" not in plan.split("ReadSchema")[-1]
+
+
+def test_url_reject_expr_matches_entry(spark):
+    """The one-expression job-side gate (url_reject_expr — what
+    run_extract(url_filter=True) applies before the extract stage)
+    equals the catalog entry's url_flag on the fixture AND on crafted
+    rule-boundary urls — the lockstep pin that lets the two forms
+    share semantics without sharing a DataFrame shape."""
+    from pdf_extractor_spark.queries.webtext import (
+        url_reject_expr,
+        web_url_filter_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE)).select("doc_id", "url")
+    crafted = spark.createDataFrame(
+        [
+            (10001, "https://news.example.org/story.html"),
+            (10002, "https://news.example.org/" + "x" * 260),
+            (10003, "https://123456789012.example.org/p"),
+            (
+                10004,
+                "https://deep.example.org/"
+                + "/".join("s%d" % i for i in range(9)),
+            ),
+            (10005, "https://casino-royale.example.org/p"),
+        ],
+        "doc_id long, url string",
+    )
+    both = docs.unionByName(crafted)
+    flags = {
+        r["doc_id"]: r["url_flag"]
+        for r in web_url_filter_of(both).collect()
+    }
+    rejected = {
+        r["doc_id"] for r in both.filter(url_reject_expr("url")).collect()
+    }
+    assert rejected == {d for d, f in flags.items() if f == 1}
+    # the fixture's ads* signal survives in the expression form, and
+    # the crafted boundary urls land on the expected sides
+    assert len(rejected) > 100
+    assert 10001 not in rejected
+    assert {10002, 10003, 10004, 10005} <= rejected
+
+
+# ---------------------------------------------------------------------------
+# web_quality_buckets — CCNet head/middle/tail corpus tertiles
+
+
+def test_web_quality_buckets_differential(spark):
+    """Engine == plain-Python restatement of the tertile spec over the
+    same integer scores; the partition is exhaustive (every doc in
+    exactly one bucket, ~N/3 each up to tie mass) and carries CCNet's
+    semantics: the tail bucket is where the spam register lives."""
+    from collections import Counter
+
+    from pdf_extractor_spark.queries.webtext import (
+        web_quality_buckets_of,
+        web_quality_classify_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in web_quality_classify_of(docs).collect()
+    }
+    n = len(scores)
+    cnt = Counter(scores.values())
+    cum, c1, c2 = 0, None, None
+    for s in sorted(cnt):
+        cum += cnt[s]
+        if c1 is None and 3 * cum >= n:
+            c1 = s
+        if c2 is None and 3 * cum >= 2 * n:
+            c2 = s
+
+    got = {r["doc_id"]: r for r in web_quality_buckets_of(docs).collect()}
+    assert set(got) == set(scores)
+    buckets = Counter()
+    for d, s in scores.items():
+        want = "head" if s <= c1 else ("middle" if s <= c2 else "tail")
+        assert got[d]["score"] == s
+        assert got[d]["bucket"] == want, (d, s, c1, c2)
+        buckets[want] += 1
+    # every bucket is real and ~N/3 (ties can shift mass, never erase
+    # a bucket on this fixture — measured exactly 400/400/400)
+    assert sum(buckets.values()) == n
+    assert all(buckets[b] >= n // 4 for b in ("head", "middle", "tail"))
+    # CCNet semantics: tail = the worst third; on the fixture the spam
+    # register (higher NB score = more spam-like) fills it entirely
+    tail = [d for d in scores if got[d]["bucket"] == "tail"]
+    tail_spam = sum(1 for d in tail if got[d]["label"] == "spam")
+    assert tail_spam / len(tail) > 0.9
+    head = [d for d in scores if got[d]["bucket"] == "head"]
+    assert all(got[d]["label"] == "prose" for d in head)
+
+
+def test_web_quality_buckets_plan(spark):
+    """The corpus is never globally sorted (cutoffs come from the
+    score histogram); the 1-row cutoff table broadcasts back."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_quality_buckets"].fn(spark, SF))
+    assert "rangepartitioning" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan
