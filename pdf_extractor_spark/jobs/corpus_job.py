@@ -5,6 +5,13 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
       → canonicalize (single-space text, 120-bit (hi, lo) md5(url) key)
       → quality/lang features  (queries/corpus_select.features_of)
       → quality + language gate
+      → [optional] CCNet quality tertiles
+                                (queries/webtext.tertile_cutoffs_of:
+                                 --quality-buckets DROPS the tail
+                                 (worst) equal-mass tertile of the
+                                 quality score — the corpus-RELATIVE
+                                 trim of Wenzek et al. 2020, on top of
+                                 the absolute QUALITY_MIN bar)
       → [optional] Gopher repetition gate
                                 (queries/webtext.web_gopher_repetition_of:
                                  --gopher-gate DROPS docs whose
@@ -156,6 +163,7 @@ def build_corpus(
     drift_check: str | None = None,
     drift_max_pm: int = 500,
     gopher_gate: bool = False,
+    quality_buckets: bool = False,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -229,6 +237,41 @@ def build_corpus(
         n_docs = int(obs_clean.get["n"])
         n_gated = _count_and_guard_doc_keys(gated)
 
+        # optional CCNet-style corpus-relative quality trim
+        # (--quality-buckets): the absolute QUALITY_MIN gate above keeps
+        # whatever clears a fixed bar; CCNet (Wenzek et al. 2020)
+        # additionally splits the surviving corpus into equal-mass
+        # head/middle/tail buckets by score and drops the tail — a
+        # RELATIVE trim that keeps biting as the corpus mix shifts.
+        # Cutoffs come from the same histogram-tertile helper the
+        # web_quality_buckets catalog entry oracle-checks (the corpus is
+        # never sorted; the collect is the 1-row cutoff pair). Here
+        # HIGHER quality = better, so bucket1 (quality <= c1) is the
+        # tail. Pure function of the gated set's scores — deterministic.
+        n_tail_dropped = 0
+        quality_cuts = None
+        if quality_buckets:
+            from pdf_extractor_spark.queries.webtext import (
+                tertile_cutoffs_of,
+            )
+
+            cut_row = tertile_cutoffs_of(
+                gated.select("quality"), col="quality"
+            ).collect()[0]
+            quality_cuts = {"c1": cut_row["c1"], "c2": cut_row["c2"]}
+            gated = gated.filter(
+                F.col("quality") > F.lit(cut_row["c1"])
+            ).localCheckpoint(eager=True)
+            n_tail_dropped = n_gated - gated.count()
+            if n_tail_dropped == n_gated:
+                raise RuntimeError(
+                    "--quality-buckets: every gated doc shares the "
+                    f"tail bucket (c1={cut_row['c1']} is the maximum "
+                    "quality score — a degenerate all-tied "
+                    "distribution); refusing to export an empty corpus"
+                )
+        n_gated_q = n_gated - n_tail_dropped
+
         # optional CCNet-style line (segment) boilerplate strip: the
         # frequency pass runs over the gated CHECKPOINT (never a second
         # warehouse scan); cleaned text feeds near-dup detection AND the
@@ -242,7 +285,7 @@ def build_corpus(
         # the gated checkpoint; emptied docs are dropped like the
         # line-dedup stage's.
         n_intradoc_segs = 0
-        n_gated_intra = n_gated
+        n_gated_intra = n_gated_q
         if line_mode not in ("tokens", "newline"):
             raise ValueError(f"line_mode must be tokens|newline: {line_mode}")
         nl = line_mode == "newline"
@@ -307,7 +350,7 @@ def build_corpus(
                 on="doc_id",
             ).localCheckpoint(eager=True)
             n_gated_intra = gated.count()
-            n_gopher_dropped = n_gated - n_gated_intra
+            n_gopher_dropped = n_gated_q - n_gated_intra
 
         if intradoc:
             from pdf_extractor_spark.queries.dedup import dedup_intradoc_of
@@ -717,6 +760,8 @@ def build_corpus(
             "rows_in": n_in,
             "rows_clean": n_docs,
             "rows_gated": n_gated,
+            "rows_quality_tail_dropped": n_tail_dropped,
+            "quality_cuts": quality_cuts,
             "rows_gopher_dropped": n_gopher_dropped,
             "rows_intradoc_cleaned": n_gated_intra,
             "intradoc_segments_removed": n_intradoc_segs,
@@ -838,6 +883,14 @@ def main(argv: list[str] | None = None) -> None:
         help="per-mille new-token-mass threshold for --drift-check "
         "(default 500)",
     )
+    ap.add_argument(
+        "--quality-buckets", action="store_true",
+        help="CCNet-style corpus-relative quality trim: split the "
+        "gated corpus into equal-mass head/middle/tail tertiles of the "
+        "quality score (exact histogram cutoffs — the corpus is never "
+        "sorted) and DROP the tail bucket before any cleaning stage; "
+        "funnel reports the cutoffs and the dropped count",
+    )
     ap.add_argument("--partitions", nargs="*", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
@@ -855,6 +908,7 @@ def main(argv: list[str] | None = None) -> None:
         seen_index=args.seen_index, seen_drop_pm=args.seen_drop_pm,
         mix_budget=args.mix_budget, drift_check=args.drift_check,
         drift_max_pm=args.drift_max_pm, gopher_gate=args.gopher_gate,
+        quality_buckets=args.quality_buckets,
     )
     print(json.dumps(summary))
     spark.stop()

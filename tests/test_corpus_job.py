@@ -662,3 +662,54 @@ def test_corpus_job_gopher_gate(spark, tmp_path):
         json.dumps(r, sort_keys=True) for r in _read_jsonl(out_on2)
     )
     assert a == b
+
+
+def test_corpus_job_quality_buckets(spark, tmp_path):
+    """--quality-buckets drops EXACTLY the tail (worst) equal-mass
+    quality tertile of the gated set — the CCNet corpus-relative trim:
+    every exported doc's quality clears the reported c1 cutoff, the
+    baseline run exports docs that don't, the tail bucket is >= a third
+    of the gated mass (ties only add), and the run stays deterministic."""
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=23, n_rows=150, n_days=3)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    # huge budget so sampling never masks the trim
+    out_off = str(tmp_path / "off")
+    s_off = build_corpus(spark, wh, out_off, budget=1000)
+    assert s_off["rows_quality_tail_dropped"] == 0
+    assert s_off["quality_cuts"] is None
+    rows_off = _read_jsonl(out_off)
+
+    out_on = str(tmp_path / "on")
+    s_on = build_corpus(spark, wh, out_on, budget=1000, quality_buckets=True)
+    cuts = s_on["quality_cuts"]
+    assert cuts is not None and cuts["c1"] <= cuts["c2"]
+    n_gated = s_on["rows_gated"]
+    n_drop = s_on["rows_quality_tail_dropped"]
+    # the same absolute gate ran in both runs
+    assert n_gated == s_off["rows_gated"]
+    # tail = at least a third of the gated mass (3*cum(c1) >= N), and
+    # never everything (the degenerate case raises instead)
+    assert 3 * n_drop >= n_gated
+    assert 0 < n_drop < n_gated
+
+    rows_on = _read_jsonl(out_on)
+    assert len(rows_on) == s_on["rows_exported"] > 0
+    # semantic pin: every survivor clears the cutoff; the untrimmed run
+    # exported tail-bucket docs (quality <= c1) this run excludes
+    assert all(r["quality"] > cuts["c1"] for r in rows_on)
+    assert any(r["quality"] <= cuts["c1"] for r in rows_off)
+    # NOT asserted: survivors ⊆ baseline survivors — dropping a
+    # cluster's min-id member pre-dedup legitimately promotes a
+    # different keeper, so the export sets may differ beyond the trim
+
+    # determinism with the trim on
+    out_on2 = str(tmp_path / "on2")
+    s2 = build_corpus(spark, wh, out_on2, budget=1000, quality_buckets=True)
+    assert s2["quality_cuts"] == cuts
+    a = sorted(json.dumps(r, sort_keys=True) for r in rows_on)
+    b = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out_on2))
+    assert a == b
