@@ -12,6 +12,11 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
                                  quality score — the corpus-RELATIVE
                                  trim of Wenzek et al. 2020, on top of
                                  the absolute QUALITY_MIN bar)
+      → [optional] per-host cap  (queries/webtext.web_host_cap_of:
+                                 --host-cap K keeps the K smallest
+                                 md5(url) docs per host — the
+                                 RefinedWeb template-farm bound —
+                                 before the cleaning stages)
       → [optional] Gopher repetition gate
                                 (queries/webtext.web_gopher_repetition_of:
                                  --gopher-gate DROPS docs whose
@@ -164,6 +169,7 @@ def build_corpus(
     drift_max_pm: int = 500,
     gopher_gate: bool = False,
     quality_buckets: bool = False,
+    host_cap: int | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -272,6 +278,30 @@ def build_corpus(
                 )
         n_gated_q = n_gated - n_tail_dropped
 
+        # optional RefinedWeb-style per-host contribution cap
+        # (--host-cap K): keep the K smallest-md5(url) docs per host —
+        # deterministic, uniform, and computed by the same salted
+        # partial-top-K + merged-threshold + broadcast-filter-back
+        # operator the web_host_cap entry oracle-checks (no per-host
+        # row_number window: a template-farm host with 10^7 pages never
+        # serializes through one task). Runs before the cleaning stages
+        # so farm hosts can't dominate the line/substring frequency
+        # passes either.
+        n_hostcap_dropped = 0
+        if host_cap is not None:
+            from pdf_extractor_spark.queries.webtext import (
+                web_host_cap_of,
+            )
+
+            kept = web_host_cap_of(
+                gated.select("doc_id", "url"), cap=host_cap
+            )
+            gated = gated.join(
+                kept.select("doc_id"), on="doc_id"
+            ).localCheckpoint(eager=True)
+            n_hostcap_dropped = n_gated_q - gated.count()
+        n_gated_h = n_gated_q - n_hostcap_dropped
+
         # optional CCNet-style line (segment) boilerplate strip: the
         # frequency pass runs over the gated CHECKPOINT (never a second
         # warehouse scan); cleaned text feeds near-dup detection AND the
@@ -285,7 +315,7 @@ def build_corpus(
         # the gated checkpoint; emptied docs are dropped like the
         # line-dedup stage's.
         n_intradoc_segs = 0
-        n_gated_intra = n_gated_q
+        n_gated_intra = n_gated_h
         if line_mode not in ("tokens", "newline"):
             raise ValueError(f"line_mode must be tokens|newline: {line_mode}")
         nl = line_mode == "newline"
@@ -350,7 +380,7 @@ def build_corpus(
                 on="doc_id",
             ).localCheckpoint(eager=True)
             n_gated_intra = gated.count()
-            n_gopher_dropped = n_gated_q - n_gated_intra
+            n_gopher_dropped = n_gated_h - n_gated_intra
 
         if intradoc:
             from pdf_extractor_spark.queries.dedup import dedup_intradoc_of
@@ -762,6 +792,7 @@ def build_corpus(
             "rows_gated": n_gated,
             "rows_quality_tail_dropped": n_tail_dropped,
             "quality_cuts": quality_cuts,
+            "rows_hostcap_dropped": n_hostcap_dropped,
             "rows_gopher_dropped": n_gopher_dropped,
             "rows_intradoc_cleaned": n_gated_intra,
             "intradoc_segments_removed": n_intradoc_segs,
@@ -891,6 +922,13 @@ def main(argv: list[str] | None = None) -> None:
         "sorted) and DROP the tail bucket before any cleaning stage; "
         "funnel reports the cutoffs and the dropped count",
     )
+    ap.add_argument(
+        "--host-cap", type=int, default=None,
+        help="RefinedWeb-style per-host contribution cap: keep at most "
+        "K docs per url host (the K smallest md5(url) — deterministic), "
+        "applied before the cleaning stages so template-farm hosts "
+        "can't dominate them",
+    )
     ap.add_argument("--partitions", nargs="*", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
@@ -909,6 +947,7 @@ def main(argv: list[str] | None = None) -> None:
         mix_budget=args.mix_budget, drift_check=args.drift_check,
         drift_max_pm=args.drift_max_pm, gopher_gate=args.gopher_gate,
         quality_buckets=args.quality_buckets,
+        host_cap=args.host_cap,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -713,3 +713,89 @@ def test_corpus_job_quality_buckets(spark, tmp_path):
     a = sorted(json.dumps(r, sort_keys=True) for r in rows_on)
     b = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out_on2))
     assert a == b
+
+
+def test_corpus_job_host_cap(spark, tmp_path):
+    """--host-cap K bounds a planted template-farm host to exactly K
+    exported docs (the K smallest md5(url) — deterministic), leaves
+    every other host untouched, and stays deterministic."""
+    import datetime as dt
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.corpus.build import PAGES_SCHEMA
+
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=31, n_rows=120, n_days=2)
+    # 12 farm pages on ONE host: each passes the quality/lang gate
+    # (>50 tokens, stop-word-heavy) with page-unique content words so
+    # near-dup never collapses them — the cap must do the bounding
+    farm_urls = [f"https://farm.example/page/{i:03d}" for i in range(12)]
+
+    def farm_html(i: int) -> bytes:
+        toks = " ".join(
+            f"the fact of f{i}w{j} and the tale to f{i}x{j} in it"
+            for j in range(6)
+        )
+        return f"<html><body><p>{toks}</p></body></html>".encode()
+
+    farm = pa.table(
+        {
+            "url": farm_urls,
+            "warc_ts": [dt.datetime(2025, 6, 14, 11, 0, 0)] * 12,
+            "html": [farm_html(i) for i in range(12)],
+            "text": [None] * 12,
+            "lang": ["en"] * 12,
+        },
+        schema=PAGES_SCHEMA,
+    )
+    pq.write_table(pa.concat_tables([pq.read_table(corpus), farm]), corpus)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    def host_counts(out):
+        c: dict = {}
+        for r in _read_jsonl(out):
+            h = r["url"].split("/")[2]
+            c[h] = c.get(h, 0) + 1
+        return c
+
+    out_off = str(tmp_path / "off")
+    s_off = build_corpus(spark, wh, out_off, budget=1000)
+    assert s_off["rows_hostcap_dropped"] == 0
+    off_counts = host_counts(out_off)
+    assert off_counts["farm.example"] == 12
+
+    out_on = str(tmp_path / "on")
+    s_on = build_corpus(spark, wh, out_on, budget=1000, host_cap=5)
+    assert s_on["rows_gated"] == s_off["rows_gated"]
+    on_counts = host_counts(out_on)
+    # the cap binds the farm host exactly; no exported host exceeds it
+    assert on_counts["farm.example"] == 5
+    assert all(n <= 5 for n in on_counts.values())
+    assert s_on["rows_hostcap_dropped"] >= 7
+    # the keeper choice is the entry's contract: the 5 smallest
+    # md5(url) of the farm urls survive
+    expect = set(
+        sorted(farm_urls, key=lambda u: hashlib.md5(u.encode()).hexdigest())[:5]
+    )
+    got = {
+        r["url"]
+        for r in _read_jsonl(out_on)
+        if r["url"].startswith("https://farm.example/")
+    }
+    assert got == expect
+    # hosts the cap didn't bind are untouched
+    for h, n in off_counts.items():
+        if n <= 5:
+            assert on_counts.get(h, 0) == n
+
+    # determinism with the cap on
+    out_on2 = str(tmp_path / "on2")
+    build_corpus(spark, wh, out_on2, budget=1000, host_cap=5)
+    a = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out_on))
+    b = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out_on2))
+    assert a == b
