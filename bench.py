@@ -172,6 +172,7 @@ HEADLINE = [
     "dedup_winnow_pairs_web",
     "web_quality_classify",
     "web_quality_buckets",
+    "web_dsir_weights",
     "text_embed_hash",
     "text_embed_topk",
     "text_embed_centroid_topk",
@@ -191,6 +192,7 @@ HEADLINE = [
     "web_dedup_substring_bytes",
     "web_substring_bytes_strided",
     "web_substring_bytes_cut",
+    "web_substring_utf8_cut",
     "web_gopher_repetition",
     "web_gopher_quality",
     "web_c4_filter",

@@ -251,3 +251,59 @@ def write_webtext_parquet(path, seed: int, n_docs: int) -> None:
         }
     )
     pq.write_table(table, path)
+
+
+# ---------------------------------------------------------------------------
+# UTF-8 twin corpus: the same Heaps-law text with deterministic
+# multi-byte codepoints injected PER TOKEN (a pure function of the
+# token, so duplicated lines / near-dup runs stay byte-duplicated after
+# the mapping — the property the byte-level dedup entries need). The
+# mapping plants all three multi-byte widths: 2-byte (á é ø), 3-byte
+# (日), 4-byte (𝒖), chosen by the token's md5 nibble.
+
+_U8_2A = str.maketrans({"a": "á", "e": "é"})  # á é (2-byte)
+_U8_2B = str.maketrans({"o": "ø"})  # ø (2-byte)
+_U8_3 = str.maketrans({"o": "日"})  # 日 (3-byte)
+_U8_4 = str.maketrans({"u": "\U0001d482"})  # 𝒂-style math u (4-byte)
+
+
+def utf8ify_token(tok: str) -> str:
+    import hashlib
+
+    d = int(hashlib.md5(tok.encode()).hexdigest()[-1], 16)
+    if d < 3:
+        return tok.translate(_U8_2A)
+    if d == 3:
+        return tok.translate(_U8_2B)
+    if d == 4:
+        return tok.translate(_U8_3)
+    if d == 5:
+        return tok.translate(_U8_4)
+    return tok
+
+
+def webtext_utf8_rows(seed: int, n_docs: int) -> list[dict]:
+    rows = webtext_rows(seed, n_docs)
+    for r in rows:
+        r["text"] = "\n".join(
+            " ".join(utf8ify_token(t) for t in line.split(" "))
+            for line in r["text"].split("\n")
+        )
+    return rows
+
+
+def write_webtext_utf8_parquet(path, seed: int, n_docs: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = webtext_utf8_rows(seed, n_docs)
+    table = pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "label": pa.array([r["label"] for r in rows], pa.string()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(table, path)

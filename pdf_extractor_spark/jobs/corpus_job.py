@@ -17,6 +17,15 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
                                  md5(url) docs per host — the
                                  RefinedWeb template-farm bound —
                                  before the cleaning stages)
+      → [optional] DSIR selection (queries/webtext.dsir_*:
+                                 --dsir-target PATH keeps the
+                                 --dsir-keep-pm per-mille of the batch
+                                 most target-like by hashed-ngram
+                                 importance weight ln(p_target/p_raw) —
+                                 Xie et al. 2023; bucket counts reduce
+                                 in-engine to O(DSIR_B) rows, ln is
+                                 driver-side, cutoff is the exact
+                                 per-mille histogram point)
       → [optional] Gopher repetition gate
                                 (queries/webtext.web_gopher_repetition_of:
                                  --gopher-gate DROPS docs whose
@@ -170,6 +179,8 @@ def build_corpus(
     gopher_gate: bool = False,
     quality_buckets: bool = False,
     host_cap: int | None = None,
+    dsir_target: str | None = None,
+    dsir_keep_pm: int = 500,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -302,6 +313,66 @@ def build_corpus(
             n_hostcap_dropped = n_gated_q - gated.count()
         n_gated_h = n_gated_q - n_hostcap_dropped
 
+        # optional DSIR selection (--dsir-target PATH, Xie et al. 2023
+        # "Data Selection for Language Models via Importance
+        # Resampling"): keep the --dsir-keep-pm per-mille of the gated
+        # batch whose hashed-ngram importance weight ln(p_target/p_raw)
+        # is highest — p_target estimated from a reference export (a
+        # prior good batch, the --drift-check shape) and p_raw from THIS
+        # batch. Both estimations reduce IN-ENGINE to O(DSIR_B) bucket
+        # counts (only 2*DSIR_B integers reach the driver; ln happens
+        # there), the integer weights broadcast back for an order-free
+        # scoring pass, and the cutoff is the exact per-mille histogram
+        # point (the corpus is never sorted). Ties share a side, so the
+        # trim is a pure function of the batch — deterministic.
+        n_dsir_dropped = 0
+        dsir_cutoff = None
+        if dsir_target is not None:
+            from pdf_extractor_spark.queries.webtext import (
+                dsir_bucket_counts_of,
+                dsir_score_of,
+                dsir_weights_from_counts,
+                pm_cutoff_of,
+            )
+
+            tgt = spark.read.json(dsir_target)
+            if "text" not in tgt.columns:
+                raise RuntimeError(
+                    f"--dsir-target {dsir_target}: target export has "
+                    "no text column"
+                )
+            t_counts = {
+                r["bucket"]: r["n"]
+                for r in dsir_bucket_counts_of(
+                    tgt.select("text")
+                ).collect()
+            }
+            r_counts = {
+                r["bucket"]: r["n"]
+                for r in dsir_bucket_counts_of(
+                    gated.select("text")
+                ).collect()
+            }
+            weights = dsir_weights_from_counts(t_counts, r_counts)
+            scored = dsir_score_of(gated.select("doc_id", "text"), weights)
+            dsir_cutoff = pm_cutoff_of(
+                scored, col="score", pm=1000 - dsir_keep_pm
+            ).collect()[0]["cutoff"]
+            gated = gated.join(
+                scored.filter(
+                    F.col("score") > F.lit(dsir_cutoff)
+                ).select("doc_id"),
+                on="doc_id",
+            ).localCheckpoint(eager=True)
+            n_dsir_dropped = n_gated_h - gated.count()
+            if n_gated_h and n_dsir_dropped == n_gated_h:
+                raise RuntimeError(
+                    "--dsir-target: every gated doc is at or below the "
+                    f"DSIR cutoff {dsir_cutoff} (degenerate all-tied "
+                    "scores); refusing to export an empty corpus"
+                )
+        n_gated_d = n_gated_h - n_dsir_dropped
+
         # optional CCNet-style line (segment) boilerplate strip: the
         # frequency pass runs over the gated CHECKPOINT (never a second
         # warehouse scan); cleaned text feeds near-dup detection AND the
@@ -315,7 +386,7 @@ def build_corpus(
         # the gated checkpoint; emptied docs are dropped like the
         # line-dedup stage's.
         n_intradoc_segs = 0
-        n_gated_intra = n_gated_h
+        n_gated_intra = n_gated_d
         if line_mode not in ("tokens", "newline"):
             raise ValueError(f"line_mode must be tokens|newline: {line_mode}")
         nl = line_mode == "newline"
@@ -380,7 +451,7 @@ def build_corpus(
                 on="doc_id",
             ).localCheckpoint(eager=True)
             n_gated_intra = gated.count()
-            n_gopher_dropped = n_gated_h - n_gated_intra
+            n_gopher_dropped = n_gated_d - n_gated_intra
 
         if intradoc:
             from pdf_extractor_spark.queries.dedup import dedup_intradoc_of
@@ -793,6 +864,8 @@ def build_corpus(
             "rows_quality_tail_dropped": n_tail_dropped,
             "quality_cuts": quality_cuts,
             "rows_hostcap_dropped": n_hostcap_dropped,
+            "rows_dsir_dropped": n_dsir_dropped,
+            "dsir_cutoff": dsir_cutoff,
             "rows_gopher_dropped": n_gopher_dropped,
             "rows_intradoc_cleaned": n_gated_intra,
             "intradoc_segments_removed": n_intradoc_segs,
@@ -929,6 +1002,22 @@ def main(argv: list[str] | None = None) -> None:
         "applied before the cleaning stages so template-farm hosts "
         "can't dominate them",
     )
+    ap.add_argument(
+        "--dsir-target", default=None,
+        help="DSIR selection (Xie et al. 2023): path to a reference "
+        "export (the --drift-check shape) defining the TARGET "
+        "distribution; keeps the --dsir-keep-pm per-mille of the gated "
+        "batch with the highest hashed-ngram importance weight "
+        "ln(p_target/p_raw) — bucket counts reduce in-engine to "
+        "O(DSIR_B) rows, ln is driver-side, the cutoff is the exact "
+        "per-mille histogram point",
+    )
+    ap.add_argument(
+        "--dsir-keep-pm", type=int, default=500,
+        help="per-mille of the gated batch kept by --dsir-target "
+        "(default 500 = the more-target-like half; ties at the cutoff "
+        "share a side)",
+    )
     ap.add_argument("--partitions", nargs="*", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
@@ -948,6 +1037,7 @@ def main(argv: list[str] | None = None) -> None:
         drift_max_pm=args.drift_max_pm, gopher_gate=args.gopher_gate,
         quality_buckets=args.quality_buckets,
         host_cap=args.host_cap,
+        dsir_target=args.dsir_target, dsir_keep_pm=args.dsir_keep_pm,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -1146,6 +1146,16 @@ CATALOG: dict[str, QuerySpec] = {
         "aggregate — and non-keeper byte ranges are spliced out by "
         "concatenating kept ranges (no rejoin normalization: "
         "untouched docs byte-identical, cut docs byte-exact splices)"),
+    "web_substring_utf8_cut": QuerySpec(
+        webtext.web_substring_utf8_cut, webtext.WEB_SUBSTR_UTF8_CUT_SQL,
+        "UTF-8-safe byte-level exact-substring CUT over the multi-byte "
+        "twin fixture: the same keep-one deletion on raw UTF-8 bytes "
+        "with cut boundaries snapped outward to codepoint starts "
+        "(continuation byte = first hex digit 8/9/A/B; <= 3-step "
+        "bounded CASE, never a scan) — output is valid UTF-8 by "
+        "construction (test-pinned); returns cleaned_hex because the "
+        "oracle engine cannot slice BLOBs, both engines run over the "
+        "uppercase hex image (byte q at hex chars 2q+1..2q+2)"),
     "web_dedup_near_keep": QuerySpec(
         webtext.web_dedup_near_keep, webtext._web_near_keep_sql(),
         "Composed near-dup keep-one pipeline on NATURAL text: "
@@ -1203,6 +1213,15 @@ CATALOG: dict[str, QuerySpec] = {
         "weights trained driver-side on the fixture's even doc_ids "
         "(libm in Python only), scored as an order-free integer sum in "
         "both engines; held-out accuracy test-pinned"),
+    "web_dsir_weights": QuerySpec(
+        webtext.web_dsir_weights, webtext._dsir_sql(),
+        "DSIR importance weights (Xie et al. 2023): per-doc integer "
+        "per-mille log(p_target/p_raw) under hashed unigram+bigram "
+        "buckets — the model is O(DSIR_B) integers regardless of crawl "
+        "vocabulary; bucket probabilities estimated driver-side on the "
+        "even doc_ids (libm in Python only), scoring is explode -> "
+        "broadcast bucket-weight join on uniform md5 keys -> order-free "
+        "per-doc integer sum; held-out target-likeness test-pinned"),
     "web_quality_buckets": QuerySpec(
         webtext.web_quality_buckets, webtext._quality_buckets_sql(),
         "CCNet head/middle/tail corpus-tertile buckets over the "

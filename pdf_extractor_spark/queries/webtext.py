@@ -1900,3 +1900,510 @@ SELECT s.doc_id, s.label, s.score,
             ELSE 'tail' END AS bucket
 FROM scored s CROSS JOIN cuts c
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling"): score every raw document by
+# log(p_target(x) / p_raw(x)) under a bag-of-HASHED-ngrams model —
+# unigrams + bigrams hashed into DSIR_B buckets, so the model is O(B)
+# integers no matter how large the crawl vocabulary grows (the paper's
+# reason for hashing; a 100 TB crawl has an unbounded type count, the
+# bucket table does not). Target distribution: the 'wiki' source (the
+# paper targets Wikipedia+books); raw distribution: the whole corpus.
+#
+# Exactness discipline (the NB-classifier precedent above): bucket
+# probabilities with add-1 smoothing are estimated driver-side in pure
+# Python on the EVEN doc_ids, and ln() happens THERE — both engines
+# consume the same integer per-mille log-ratio literals, and a doc's
+# score is an order-free integer sum over its n-gram occurrences.
+#
+# Physical shape at 100 TB: tokenize + hash is a projection; scoring is
+# explode -> broadcast-join the O(B)-row bucket-weight table on UNIFORM
+# md5-derived keys (no hot bucket can exist by construction) -> per-doc
+# sum with map-side partials. Document text never crosses an Exchange.
+# Selection composes downstream exactly like the learned quality score:
+# rank/threshold on the integer weight (web_quality_buckets gives the
+# corpus-relative cut; the paper's Gumbel-top-k resampling needs an RNG
+# and is replaced by the deterministic (score, doc_id) order).
+
+DSIR_B = 1024  # hashed feature buckets (paper: 10k on full CC)
+DSIR_SCALE = 1000  # per-mille integer log-ratio
+DSIR_TARGET_SOURCE = "wiki"
+
+# bigrams from a `toks` array column (0-based Spark indexing; DuckDB's
+# range() is empty for len < 2, so no CASE guard is needed there)
+_DSIR_NGS_S = (
+    "concat(toks, CASE WHEN size(toks) >= 2 THEN "
+    "transform(sequence(0, size(toks) - 2), "
+    "i -> concat(toks[i], ' ', toks[i + 1])) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END)"
+)
+_DSIR_NGS_D = (
+    "list_concat(toks, list_transform(range(len(toks) - 1), "
+    "i -> toks[i + 1] || ' ' || toks[i + 2]))"
+)
+_DSIR_BUCKET_S = (
+    f"CAST(conv(substr(md5(ng), 1, 8), 16, 10) AS BIGINT) % {DSIR_B}"
+)
+_DSIR_BUCKET_D = f"('0x' || substr(md5(ng), 1, 8))::BIGINT % {DSIR_B}"
+
+
+@lru_cache(maxsize=1)
+def _dsir_model() -> tuple[tuple[int, int], ...]:
+    """((bucket, weight) for every bucket in [0, DSIR_B)) — weight =
+    round(DSIR_SCALE * ln(p_target(b) / p_raw(b))) with add-1 smoothing,
+    estimated on the fixture's even doc_ids (odd ids are the held-out
+    set the tests score)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        WEBTEXT_FIXTURE, columns=["doc_id", "source", "text"]
+    )
+    tgt = [0] * DSIR_B
+    raw = [0] * DSIR_B
+    for did, src, text in zip(
+        tbl["doc_id"].to_pylist(),
+        tbl["source"].to_pylist(),
+        tbl["text"].to_pylist(),
+    ):
+        if did % 2 != 0:
+            continue
+        toks = [t for t in text.replace("\n", " ").split(" ") if t]
+        for ng in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]:
+            b = int(hashlib.md5(ng.encode()).hexdigest()[:8], 16) % DSIR_B
+            raw[b] += 1
+            if src == DSIR_TARGET_SOURCE:
+                tgt[b] += 1
+    t_tot, r_tot = sum(tgt), sum(raw)
+    return tuple(
+        (
+            b,
+            round(
+                DSIR_SCALE
+                * (
+                    math.log((tgt[b] + 1) / (t_tot + DSIR_B))
+                    - math.log((raw[b] + 1) / (r_tot + DSIR_B))
+                )
+            ),
+        )
+        for b in range(DSIR_B)
+    )
+
+
+def web_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_dsir_weights_of(_web_docs(spark))
+
+
+def web_dsir_weights_of(docs: DataFrame) -> DataFrame:
+    """doc_id, source, label, score — integer DSIR importance weight
+    (per-mille log target/raw likelihood ratio summed over hashed
+    unigram+bigram occurrences; higher = more target-like). Every
+    bucket has a defined weight, so the broadcast join is total; docs
+    with zero tokens score 0."""
+    weights = _dsir_model()
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(list(weights), "bucket long, w long")
+    ngs = (
+        docs.select("doc_id", F.expr(WEB_TOKS_S).alias("toks"))
+        .select("doc_id", F.explode(F.expr(_DSIR_NGS_S)).alias("ng"))
+        .select("doc_id", F.expr(_DSIR_BUCKET_S).alias("bucket"))
+    )
+    scored = (
+        ngs.join(F.broadcast(wdf), on="bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("w").cast("long").alias("wsum"))
+    )
+    return docs.join(scored, on="doc_id", how="left").select(
+        "doc_id",
+        "source",
+        "label",
+        F.coalesce(F.col("wsum"), F.lit(0)).cast("long").alias("score"),
+    )
+
+
+def _dsir_sql() -> str:
+    vals = ", ".join(f"({b}, {w})" for b, w in _dsir_model())
+    return f"""
+WITH wts(bucket, w) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id, {WEB_TOKS_D} AS toks FROM '{WEBTEXT_FIXTURE}'
+),
+ngs AS (
+  SELECT doc_id, unnest({_DSIR_NGS_D}) AS ng FROM toks
+),
+buck AS (
+  SELECT doc_id, {_DSIR_BUCKET_D} AS bucket FROM ngs
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS wsum
+  FROM buck JOIN wts USING (bucket) GROUP BY doc_id
+)
+SELECT d.doc_id, d.source, d.label,
+       CAST(coalesce(wsum, 0) AS BIGINT) AS score
+FROM '{WEBTEXT_FIXTURE}' d LEFT JOIN scored ON d.doc_id = scored.doc_id
+"""
+
+
+def _dsir_toks_expr(text_col: str) -> str:
+    return (
+        f"filter(split(translate({text_col}, '\\n', ' '), ' '), "
+        "t -> t <> '')"
+    )
+
+
+def dsir_bucket_counts_of(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """bucket, n — hashed unigram+bigram occurrence counts, the
+    distribution-estimation half of DSIR computed IN-ENGINE: a corpus
+    of any size reduces to <= DSIR_B rows before anything reaches the
+    driver (tokenize/hash are projections; the count is map-side
+    combined on uniform md5-derived keys). The fixture entry's
+    driver-side estimator (_dsir_model) is the pure-Python twin; their
+    agreement is test-pinned."""
+    return (
+        docs.select(F.expr(_dsir_toks_expr(text_col)).alias("toks"))
+        .select(F.explode(F.expr(_DSIR_NGS_S)).alias("ng"))
+        .select(F.expr(_DSIR_BUCKET_S).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def dsir_weights_from_counts(
+    target: dict[int, int], raw: dict[int, int]
+) -> tuple[tuple[int, int], ...]:
+    """((bucket, weight) for all DSIR_B buckets) from two bucket-count
+    maps — round(DSIR_SCALE * ln(p_target/p_raw)) with add-1 smoothing;
+    ln lives here (driver-side Python), never in an engine expression."""
+    t_tot, r_tot = sum(target.values()), sum(raw.values())
+    return tuple(
+        (
+            b,
+            round(
+                DSIR_SCALE
+                * (
+                    math.log((target.get(b, 0) + 1) / (t_tot + DSIR_B))
+                    - math.log((raw.get(b, 0) + 1) / (r_tot + DSIR_B))
+                )
+            ),
+        )
+        for b in range(DSIR_B)
+    )
+
+
+def dsir_score_of(
+    docs: DataFrame,
+    weights: tuple[tuple[int, int], ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """id_col, score — integer DSIR importance weight of every doc
+    under the given bucket weights (explode -> broadcast O(DSIR_B)
+    weight join -> order-free per-doc integer sum; text never crosses
+    an Exchange)."""
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(list(weights), "bucket long, w long")
+    ngs = (
+        docs.select(id_col, F.expr(_dsir_toks_expr(text_col)).alias("toks"))
+        .select(id_col, F.explode(F.expr(_DSIR_NGS_S)).alias("ng"))
+        .select(id_col, F.expr(_DSIR_BUCKET_S).alias("bucket"))
+    )
+    scored = (
+        ngs.join(F.broadcast(wdf), on="bucket")
+        .groupBy(id_col)
+        .agg(F.sum("w").cast("long").alias("wsum"))
+    )
+    return docs.select(id_col).join(scored, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("wsum"), F.lit(0)).cast("long").alias("score"),
+    )
+
+
+def pm_cutoff_of(scored: DataFrame, col: str, pm: int) -> DataFrame:
+    """1-row (cutoff) DataFrame: the exact pm-per-mille point of ``col``
+    in ascending order — min v with 1000*cum(v) >= pm*N over the VALUE
+    HISTOGRAM (O(distinct values) rows; the corpus is never sorted —
+    tertile_cutoffs_of generalized to one arbitrary per-mille point).
+    'Keep everything strictly above the (1000-keep_pm) point' is then a
+    pure function of the value: ties share a side, so any caller's
+    split is deterministic."""
+    from pyspark.sql import Window
+
+    hist = scored.groupBy(col).agg(F.count("*").alias("c"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        col,
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    return cum.agg(
+        F.min(
+            F.when(F.col("cum") * 1000 >= F.col("n") * pm, F.col(col))
+        ).alias("cutoff")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UTF-8-safe byte-level exact-substring CUT (web_substring_bytes_cut
+# generalized past the ASCII fixture): real CommonCrawl text is
+# multi-byte UTF-8, and a byte-offset splice can land inside a
+# codepoint — the cleaned text would not be valid UTF-8. This variant
+# runs the same Lee-et-al deletion contract over the raw UTF-8 BYTES
+# (windows/offsets/keeper all byte-granular, so duplicated runs are
+# caught regardless of where codepoints fall) and then SNAPS each cut
+# boundary outward to the nearest codepoint start — a continuation
+# byte is exactly 0b10xxxxxx, i.e. first hex digit 8/9/A/B, and UTF-8
+# runs at most 3 continuation bytes, so the snap is a bounded 4-way
+# CASE, never a scan. Snapping only ever widens a cut (<= 3 extra
+# bytes per boundary), so every duplicated non-keeper byte is still
+# removed and the splice is valid UTF-8 by construction.
+#
+# Engine portability: DuckDB 1.0 cannot slice or hash BLOBs, so BOTH
+# engines run over the HEX image of the UTF-8 bytes (hex() is
+# uppercase in both; byte q lives at hex chars [2q+1, 2q+2]) and the
+# entry returns cleaned_hex — the byte-exact splice as hex. The hex
+# image doubles the projected bytes before hashing (a documented 2x on
+# the map side; the SHUFFLE volume is unchanged — only md5 keys and
+# byte offsets ever cross an Exchange, text/hex never does).
+
+WEB_U8_L = WEB_SUBSTR_L  # 40 bytes, the Lee et al. window
+
+
+def _u8_cont(q: str) -> str:
+    """SQL: byte q (0-based) of hx's underlying bytes is a UTF-8
+    continuation byte (valid in Spark AND DuckDB; past-end substr
+    returns '' -> false)."""
+    return f"substr(hx, 2 * ({q}) + 1, 1) IN ('8', '9', 'A', 'B')"
+
+
+def _u8_snapb(p: str) -> str:
+    return (
+        f"({p}) - (CASE WHEN NOT {_u8_cont(p)} THEN 0 "
+        f"WHEN NOT {_u8_cont(f'({p}) - 1')} THEN 1 "
+        f"WHEN NOT {_u8_cont(f'({p}) - 2')} THEN 2 ELSE 3 END)"
+    )
+
+
+def _u8_snapf(p: str) -> str:
+    return (
+        f"({p}) + (CASE WHEN NOT {_u8_cont(p)} THEN 0 "
+        f"WHEN NOT {_u8_cont(f'({p}) + 1')} THEN 1 "
+        f"WHEN NOT {_u8_cont(f'({p}) + 2')} THEN 2 ELSE 3 END)"
+    )
+
+
+_U8_HX_S = "hex(encode(text, 'UTF-8'))"
+_U8_HX_D = "hex(encode(text))"
+
+_U8_WINS_S = (
+    f"CASE WHEN length(hx) >= {2 * WEB_U8_L} THEN "
+    f"transform(sequence(0, CAST(length(hx) DIV 2 - {WEB_U8_L} AS INT)), "
+    f"i -> named_struct('idx', CAST(i AS BIGINT), "
+    f"'h', md5(substr(hx, 2 * i + 1, {2 * WEB_U8_L})))) "
+    "ELSE CAST(array() AS ARRAY<STRUCT<idx: BIGINT, h: STRING>>) END"
+)
+
+_U8_SNAPPED_S = (
+    "transform(rngs, r -> named_struct("
+    f"'s', {_u8_snapb('r.s')}, 'e', {_u8_snapf('r.e')}))"
+)
+
+_U8_KEPT_S = (
+    "filter(zip_with("
+    "concat(array(CAST(0 AS BIGINT)), transform(snapped, r -> r.e)), "
+    "concat(transform(snapped, r -> r.s), "
+    "array(CAST(length(hx) DIV 2 AS BIGINT))), "
+    "(ks, ke) -> named_struct('s', ks, 'e', ke)), r -> r.e > r.s)"
+)
+
+WEBTEXT_UTF8_FIXTURE = REPO_ROOT / "fixtures" / "webtext_utf8_micro.parquet"
+
+
+def web_substring_utf8_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_substring_utf8_cut_of(
+        spark.read.parquet(str(WEBTEXT_UTF8_FIXTURE))
+    )
+
+
+def web_substring_utf8_cut_of(docs: DataFrame) -> DataFrame:
+    """doc_id, n_bytes_before, n_bytes_after, n_spans_cut, cleaned_hex
+    — the byte-level keep-one deletion (global min(doc_id, idx) keeper
+    per duplicated window) with cut boundaries snapped to UTF-8
+    codepoint starts; cleaned_hex is the hex image of the spliced
+    bytes (valid UTF-8 by construction, test-pinned)."""
+    from pyspark.sql import Window
+
+    hdocs = docs.select("doc_id", F.expr(_U8_HX_S).alias("hx"))
+    wins = hdocs.select(
+        "doc_id", F.explode(F.expr(_U8_WINS_S)).alias("w")
+    ).select(
+        "doc_id",
+        F.col("w.idx").alias("idx"),
+        F.col("w.h").alias("h"),
+    )
+    dup = (
+        wins.groupBy("h")
+        .count()
+        .filter(F.col("count") >= WEB_SUBSTR_MIN_OCC)
+        .select("h")
+    )
+    dwins = wins.join(dup, on="h", how="left_semi")
+    keeper = dwins.groupBy("h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("k")
+    )
+    cut = (
+        dwins.join(keeper, on="h")
+        .filter(F.expr("NOT (doc_id = k.doc_id AND idx = k.idx)"))
+        .select("doc_id", "idx")
+    )
+    ow = Window.partitionBy("doc_id").orderBy("idx")
+    ranges = (
+        cut.withColumn("prev", F.lag("idx").over(ow))
+        .withColumn(
+            "brk",
+            F.expr(
+                f"CASE WHEN prev IS NULL OR idx - prev > {WEB_U8_L} "
+                "THEN 1 ELSE 0 END"
+            ),
+        )
+        .withColumn(
+            "isl",
+            F.sum("brk").over(ow.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.min("idx").alias("s"),
+            (F.max("idx") + F.lit(WEB_U8_L)).alias("e"),
+        )
+    )
+    rng_arr = ranges.groupBy("doc_id").agg(
+        F.expr("sort_array(collect_list(struct(s, e)))").alias("rngs"),
+        F.count("*").cast("long").alias("n_spans_cut"),
+    )
+    return (
+        hdocs.join(rng_arr, on="doc_id", how="left")
+        .withColumn("snapped", F.expr(_U8_SNAPPED_S))
+        .select(
+            "doc_id",
+            F.expr("CAST(length(hx) DIV 2 AS BIGINT)").alias(
+                "n_bytes_before"
+            ),
+            F.expr("coalesce(n_spans_cut, 0)").alias("n_spans_cut"),
+            F.expr(
+                "CASE WHEN rngs IS NULL THEN hx "
+                f"ELSE array_join(transform({_U8_KEPT_S}, "
+                "r -> substr(hx, CAST(2 * r.s AS INT) + 1, "
+                "CAST(2 * (r.e - r.s) AS INT))), '') END"
+            ).alias("cleaned_hex"),
+        )
+        .select(
+            "doc_id",
+            "n_bytes_before",
+            F.expr("CAST(length(cleaned_hex) DIV 2 AS BIGINT)").alias(
+                "n_bytes_after"
+            ),
+            "n_spans_cut",
+            "cleaned_hex",
+        )
+    )
+
+
+_RS = "r['s']"
+_RE = "r['e']"
+_U8_SNAPPED_D = (
+    "list_transform(rngs, r -> {"
+    f"'s': {_u8_snapb(_RS)}, 'e': {_u8_snapf(_RE)}}})"
+)
+
+_U8_KEPT_D = (
+    "list_filter(list_transform(range(len(snapped) + 1), i -> "
+    "{'s': ([CAST(0 AS BIGINT)] || list_transform(snapped, "
+    "r -> r['e']))[i + 1], "
+    "'e': (list_transform(snapped, r -> r['s']) || "
+    "[CAST(length(hx) // 2 AS BIGINT)])[i + 1]}), r -> r['e'] > r['s'])"
+)
+
+WEB_SUBSTR_UTF8_CUT_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, {_U8_HX_D} AS hx FROM '{WEBTEXT_UTF8_FIXTURE}'
+),
+wins AS (
+  SELECT doc_id, CAST(w['idx'] AS BIGINT) AS idx, w['h'] AS h FROM (
+    SELECT doc_id, unnest(
+      CASE WHEN length(hx) >= {2 * WEB_U8_L} THEN
+        list_transform(range(length(hx) // 2 - {WEB_U8_L} + 1),
+          i -> {{'idx': CAST(i AS BIGINT),
+                 'h': md5(substr(hx, 2 * i + 1, {2 * WEB_U8_L}))}})
+      ELSE [] END) AS w
+    FROM docs
+  )
+),
+dup AS (
+  SELECT h FROM wins GROUP BY h
+  HAVING count(*) >= {WEB_SUBSTR_MIN_OCC}
+),
+dwins AS (SELECT w.* FROM wins w WHERE w.h IN (SELECT h FROM dup)),
+keeper AS (
+  SELECT h, min({{'doc_id': doc_id, 'idx': idx}}) AS k
+  FROM dwins GROUP BY h
+),
+cut AS (
+  SELECT d.doc_id, d.idx
+  FROM dwins d JOIN keeper USING (h)
+  WHERE NOT (d.doc_id = k['doc_id'] AND d.idx = k['idx'])
+),
+marked AS (
+  SELECT doc_id, idx,
+         CASE WHEN lag(idx) OVER ow IS NULL
+              OR idx - lag(idx) OVER ow > {WEB_U8_L}
+              THEN 1 ELSE 0 END AS brk
+  FROM cut
+  WINDOW ow AS (PARTITION BY doc_id ORDER BY idx)
+),
+isl AS (
+  SELECT doc_id, idx,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY idx
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM marked
+),
+ranges AS (
+  SELECT doc_id, MIN(idx) AS s, MAX(idx) + {WEB_U8_L} AS e
+  FROM isl GROUP BY doc_id, g
+),
+rng_arr AS (
+  SELECT doc_id,
+         list({{'s': s, 'e': e}} ORDER BY s, e) AS rngs,
+         CAST(COUNT(*) AS BIGINT) AS n_spans_cut
+  FROM ranges GROUP BY doc_id
+),
+snapd AS (
+  SELECT d.doc_id, d.hx, r.rngs, r.n_spans_cut,
+         {_U8_SNAPPED_D} AS snapped
+  FROM docs d LEFT JOIN rng_arr r ON d.doc_id = r.doc_id
+),
+spliced AS (
+  SELECT doc_id,
+         CAST(length(hx) // 2 AS BIGINT) AS n_bytes_before,
+         coalesce(n_spans_cut, 0) AS n_spans_cut,
+         CASE WHEN rngs IS NULL THEN hx
+              ELSE coalesce(array_to_string(list_transform({_U8_KEPT_D},
+                   r -> substr(hx, CAST(2 * r['s'] AS BIGINT) + 1,
+                   CAST(2 * (r['e'] - r['s']) AS BIGINT))), ''), '') END
+           AS cleaned_hex
+  FROM snapd
+)
+SELECT doc_id, n_bytes_before,
+       CAST(length(cleaned_hex) // 2 AS BIGINT) AS n_bytes_after,
+       n_spans_cut, cleaned_hex
+FROM spliced
+"""

@@ -799,3 +799,88 @@ def test_corpus_job_host_cap(spark, tmp_path):
     a = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out_on))
     b = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out_on2))
     assert a == b
+
+
+def test_corpus_job_dsir_select(spark, tmp_path):
+    """--dsir-target keeps exactly the target-like half: 20 planted
+    docs share vocabulary with the target export, 20 don't; with
+    --dsir-keep-pm 500 the funnel drops the 20 off-target docs and
+    everything exported comes from the target-like group. Deterministic
+    on re-run."""
+    import datetime as dt
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.corpus.build import PAGES_SCHEMA
+
+    def page_html(pool: str, i: int) -> bytes:
+        # passes the quality/lang gate (72 stop-word-heavy tokens) with
+        # content words from a SHARED per-group pool (so the target can
+        # cover group T's vocabulary) plus one doc-unique token
+        toks = " ".join(
+            f"the fact of {pool}{(2 * i + j) % 20} and the tale to "
+            f"{pool}{(2 * i + j + 7) % 20} in it uniq{pool}{i}x{j}"
+            for j in range(6)
+        )
+        return f"<html><body><p>{toks}</p></body></html>".encode()
+
+    urls = [f"https://t.example/page/{i:02d}" for i in range(20)] + [
+        f"https://o.example/page/{i:02d}" for i in range(20)
+    ]
+    html = [page_html("alpha", i) for i in range(20)] + [
+        page_html("omega", i) for i in range(20)
+    ]
+    pages_tbl = pa.table(
+        {
+            "url": urls,
+            "warc_ts": [dt.datetime(2025, 6, 14, 11, 0, 0)] * 40,
+            "html": html,
+            "text": [None] * 40,
+            "lang": ["en"] * 40,
+        },
+        schema=PAGES_SCHEMA,
+    )
+    corpus = tmp_path / "pages.parquet"
+    pq.write_table(pages_tbl, corpus)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    # target export: fresh alpha-pool sentences (not identical to any
+    # page — DSIR matches the DISTRIBUTION, not the documents)
+    tdir = tmp_path / "target"
+    tdir.mkdir()
+    with open(tdir / "part-0.json", "w") as f:
+        for i in range(10):
+            toks = " ".join(
+                f"the fact of alpha{(3 * i + j) % 20} and the tale to "
+                f"alpha{(3 * i + j + 5) % 20} in it"
+                for j in range(6)
+            )
+            f.write(_json.dumps({"url": f"u{i}", "text": toks}) + "\n")
+
+    out = str(tmp_path / "out")
+    s = build_corpus(
+        spark, wh, out, budget=1000,
+        dsir_target=str(tdir), dsir_keep_pm=500,
+    )
+    assert s["rows_gated"] == 40
+    assert s["rows_dsir_dropped"] == 20
+    assert s["dsir_cutoff"] is not None
+    exported = [r["url"] for r in _read_jsonl(out)]
+    assert exported and all(
+        u.startswith("https://t.example/") for u in exported
+    )
+
+    # determinism
+    out2 = str(tmp_path / "out2")
+    s2 = build_corpus(
+        spark, wh, out2, budget=1000,
+        dsir_target=str(tdir), dsir_keep_pm=500,
+    )
+    assert s2["dsir_cutoff"] == s["dsir_cutoff"]
+    a = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out))
+    b = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out2))
+    assert a == b

@@ -1477,3 +1477,301 @@ def test_web_quality_buckets_plan(spark):
     plan = plan_of(CATALOG["web_quality_buckets"].fn(spark, SF))
     assert "rangepartitioning" not in plan.lower()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_dsir_equals_python_spec_and_ranks_target(spark):
+    """DSIR importance weights == plain-Python spec (same integer
+    bucket weights); on the held-out half (odd doc_ids, never seen by
+    the driver-side estimator) the mean weight orders sources by
+    target-likeness (wiki > news > forum > ads — wiki IS the target)
+    and the top quartile by (score, doc_id) is overwhelmingly prose."""
+    import hashlib
+
+    from pdf_extractor_spark.queries.webtext import (
+        DSIR_B,
+        _dsir_model,
+        web_dsir_weights_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    w = dict(_dsir_model())
+    rows = docs.select("doc_id", "source", "label", "text").collect()
+    expected = {}
+    for r in rows:
+        toks = _toks(r["text"])
+        s = sum(
+            w[int(hashlib.md5(ng.encode()).hexdigest()[:8], 16) % DSIR_B]
+            for ng in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        )
+        expected[r["doc_id"]] = (r["source"], r["label"], s)
+    got = {
+        r["doc_id"]: (r["source"], r["label"], r["score"])
+        for r in web_dsir_weights_of(docs).collect()
+    }
+    assert got == expected
+    held = [(d, *v) for d, v in got.items() if d % 2 == 1]
+    mean = {}
+    for _, src, _, sc in held:
+        mean.setdefault(src, []).append(sc)
+    m = {s: sum(v) / len(v) for s, v in mean.items()}
+    assert m["wiki"] > m["news"] > m["forum"] > m["ads"], m
+    top = sorted(held, key=lambda r: (-r[3], r[0]))[: len(held) // 4]
+    frac_top = sum(1 for r in top if r[2] == "prose") / len(top)
+    frac_all = sum(1 for r in held if r[2] == "prose") / len(held)
+    assert frac_top > 0.95 > frac_all, (frac_top, frac_all)
+
+
+def test_dsir_plan_broadcasts_buckets_and_text_never_shuffles(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_dsir_weights"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head and "toks" not in head and (
+            "ng" not in head.split(",")
+        ), head
+
+
+def test_dsir_engine_estimator_matches_python_and_pm_cutoff(spark):
+    """The IN-ENGINE distribution estimator (dsir_bucket_counts_of — the
+    100 TB path: a corpus reduces to <= DSIR_B rows before anything
+    reaches the driver) agrees exactly with the pure-Python estimator
+    inside _dsir_model, and dsir_weights_from_counts reproduces the
+    fixture entry's weights from those counts; pm_cutoff_of returns the
+    exact per-mille histogram point."""
+    import hashlib
+
+    from pdf_extractor_spark.queries.webtext import (
+        DSIR_B,
+        DSIR_TARGET_SOURCE,
+        _dsir_model,
+        dsir_bucket_counts_of,
+        dsir_weights_from_counts,
+        pm_cutoff_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    even = docs.filter("doc_id % 2 = 0")
+    got_raw = {
+        r["bucket"]: r["n"]
+        for r in dsir_bucket_counts_of(even.select("text")).collect()
+    }
+    got_tgt = {
+        r["bucket"]: r["n"]
+        for r in dsir_bucket_counts_of(
+            even.filter(f"source = '{DSIR_TARGET_SOURCE}'").select("text")
+        ).collect()
+    }
+    raw: dict = {}
+    tgt: dict = {}
+    for r in docs.select("doc_id", "source", "text").collect():
+        if r["doc_id"] % 2:
+            continue
+        toks = _toks(r["text"])
+        for ng in toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]:
+            b = int(hashlib.md5(ng.encode()).hexdigest()[:8], 16) % DSIR_B
+            raw[b] = raw.get(b, 0) + 1
+            if r["source"] == DSIR_TARGET_SOURCE:
+                tgt[b] = tgt.get(b, 0) + 1
+    assert got_raw == raw and got_tgt == tgt
+    assert dsir_weights_from_counts(got_tgt, got_raw) == _dsir_model()
+
+    vals = spark.createDataFrame([(v,) for v in range(1, 11)], "v long")
+    assert pm_cutoff_of(vals, "v", 500).collect()[0]["cutoff"] == 5
+    assert pm_cutoff_of(vals, "v", 1000).collect()[0]["cutoff"] == 10
+
+
+# ---------------------------------------------------------------------------
+# web_substring_utf8_cut — UTF-8-safe byte-level deletion
+
+
+def _python_utf8_cut(texts: dict[int, str], L: int, min_occ: int):
+    """Plain-Python reference: byte-granular keep-one cut with
+    codepoint-boundary snapping; returns (n_before, n_after, n_spans,
+    cleaned_hex). snap=False reproduces the naive (invalid-UTF-8)
+    splice for the boundary test."""
+    bs = {d: t.encode("utf-8") for d, t in texts.items()}
+    occ = defaultdict(list)
+    for d, b in bs.items():
+        for i in range(len(b) - L + 1):
+            occ[bytes(b[i: i + L])].append((d, i))
+    cuts: dict[int, list] = defaultdict(list)
+    for positions in occ.values():
+        if len(positions) >= min_occ:
+            k = min(positions)
+            for d, i in positions:
+                if (d, i) != k:
+                    cuts[d].append(i)
+
+    def cont(b, q):
+        return 0 <= q < len(b) and (b[q] & 0xC0) == 0x80
+
+    def snapb(b, p):
+        for k in range(3):
+            if not cont(b, p - k):
+                return p - k
+        return p - 3
+
+    def snapf(b, p):
+        for k in range(3):
+            if not cont(b, p + k):
+                return p + k
+        return p + 3
+
+    def splice(d, snap=True):
+        b = bs[d]
+        idxs = sorted(set(cuts.get(d, [])))
+        ranges = []
+        for i in idxs:
+            if ranges and i - ranges[-1][1] <= L:
+                ranges[-1][1] = i
+            else:
+                ranges.append([i, i])
+        spans = len(ranges)
+        rr = [(r[0], r[1] + L) for r in ranges]
+        if snap:
+            rr = [(snapb(b, s), snapf(b, e)) for s, e in rr]
+        starts = [0] + [e for _, e in rr]
+        ends = [s for s, _ in rr] + [len(b)]
+        cleaned = b"".join(
+            b[a:c] for a, c in zip(starts, ends) if c > a
+        )
+        return (len(b), len(cleaned), spans, cleaned.hex().upper())
+
+    return {d: splice(d) for d in bs}, splice
+
+
+def test_utf8_fixture_matches_generator_spec():
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.corpus.webtext import webtext_utf8_rows
+    from pdf_extractor_spark.queries.webtext import WEBTEXT_UTF8_FIXTURE
+
+    tbl = pq.read_table(WEBTEXT_UTF8_FIXTURE).to_pylist()
+    assert tbl == webtext_utf8_rows(7, 400)
+    # the twin actually carries all three multi-byte widths
+    widths = set()
+    for r in tbl:
+        widths.update(len(ch.encode()) for ch in r["text"])
+    assert widths >= {1, 2, 3, 4}
+
+
+def test_web_substring_utf8_cut_differential(spark):
+    """Engine == plain-Python byte+snap reference on the full
+    multi-byte fixture; every cleaned_hex decodes as valid UTF-8;
+    untouched docs pass through byte-identical; cuts are real."""
+    from pdf_extractor_spark.queries.webtext import (
+        WEB_SUBSTR_MIN_OCC,
+        WEB_U8_L,
+        WEBTEXT_UTF8_FIXTURE,
+        web_substring_utf8_cut_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_UTF8_FIXTURE))
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    exp, _ = _python_utf8_cut(texts, WEB_U8_L, WEB_SUBSTR_MIN_OCC)
+    got = {
+        r["doc_id"]: (
+            r["n_bytes_before"],
+            r["n_bytes_after"],
+            r["n_spans_cut"],
+            r["cleaned_hex"],
+        )
+        for r in web_substring_utf8_cut_of(docs).collect()
+    }
+    assert got == exp
+    assert sum(1 for v in got.values() if v[1] < v[0]) > 100
+    for d, (nb, na, s, hx) in got.items():
+        cleaned = bytes.fromhex(hx).decode("utf-8")  # must not raise
+        if s == 0:
+            assert cleaned == texts[d]
+
+
+def test_web_substring_utf8_cut_ascii_degenerates(spark):
+    """On pure-ASCII docs the UTF-8 variant reduces exactly to
+    web_substring_bytes_cut (snapping is the identity: no continuation
+    bytes exist)."""
+    from pdf_extractor_spark.queries.webtext import (
+        web_substring_bytes_cut_of,
+        web_substring_utf8_cut_of,
+    )
+
+    docs = (
+        spark.read.parquet(str(WEBTEXT_FIXTURE))
+        .filter("doc_id < 150")
+        .select("doc_id", "text")
+    )
+    ascii_out = {
+        r["doc_id"]: r for r in web_substring_bytes_cut_of(docs).collect()
+    }
+    utf8_out = {
+        r["doc_id"]: r for r in web_substring_utf8_cut_of(docs).collect()
+    }
+    assert set(ascii_out) == set(utf8_out)
+    for d, a in ascii_out.items():
+        u = utf8_out[d]
+        assert u["n_bytes_before"] == a["n_bytes_before"]
+        assert u["n_bytes_after"] == a["n_bytes_after"]
+        assert u["n_spans_cut"] == a["n_spans_cut"]
+        assert u["cleaned_hex"] == a["cleaned_text"].encode().hex().upper()
+
+
+def test_web_substring_utf8_cut_snaps_mid_codepoint_boundary(spark):
+    """Crafted pin: two docs share a byte run whose duplicated windows
+    end two bytes INTO a 3-byte codepoint (日 = E697A5 vs 时 = E697B6
+    share the E697 prefix), so the naive byte splice is invalid UTF-8
+    — the snap must widen the cut to the codepoint start and the
+    result must decode."""
+    from pdf_extractor_spark.queries.webtext import (
+        WEB_U8_L,
+        web_substring_utf8_cut_of,
+    )
+
+    common = "shared boilerplate run long enough to window twice "
+    assert len(common.encode()) >= WEB_U8_L
+    t1 = common + "日 tail one"  # 日
+    t2 = "zz " + common + "时 tail two"  # 时
+    texts = {1: t1, 2: t2}
+    exp, splice = _python_utf8_cut(texts, WEB_U8_L, 2)
+    # the crafted case is real: WITHOUT snapping the splice of doc 2
+    # is not valid UTF-8 (the cut ends inside 时)
+    naive = splice(2, snap=False)
+    try:
+        bytes.fromhex(naive[3]).decode("utf-8")
+        raise AssertionError("crafted case no longer splits a codepoint")
+    except UnicodeDecodeError:
+        pass
+    docs = spark.createDataFrame(
+        [(1, t1), (2, t2)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_bytes_before"],
+            r["n_bytes_after"],
+            r["n_spans_cut"],
+            r["cleaned_hex"],
+        )
+        for r in web_substring_utf8_cut_of(docs).collect()
+    }
+    assert got == exp
+    # keeper doc untouched; cut doc decodes, loses 时 entirely, and
+    # keeps its byte-exact head/tail remnants
+    assert got[1][3] == t1.encode().hex().upper()
+    cleaned2 = bytes.fromhex(got[2][3]).decode("utf-8")
+    assert "时" not in cleaned2
+    assert cleaned2.startswith("zz ") and cleaned2.endswith("tail two")
+
+
+def test_web_substring_utf8_cut_plan_text_never_shuffles(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_substring_utf8_cut"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head and "hx" not in head, head
