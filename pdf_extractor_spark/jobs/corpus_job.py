@@ -505,13 +505,42 @@ def build_corpus(
         n_substr_tokens = 0
         n_substr_bytes = 0
         if substring_cut:
+            if substring_mode not in ("tokens", "bytes", "utf8"):
+                raise ValueError(
+                    f"substring_mode must be tokens|bytes|utf8: "
+                    f"{substring_mode}"
+                )
             # --substring-mode bytes: the byte-granular ExactSubstr
             # form (web_substring_bytes_cut_of is doc_id-type agnostic
             # — min(struct(doc_id, idx)) works on the job's 120-bit
             # struct keys) — cleaning is a byte-exact splice of kept
             # ranges, so there is no token-rejoin normalization and
             # cuts may land mid-token (inherent to byte semantics).
-            if substring_mode == "bytes":
+            # --substring-mode utf8: the same byte-granular contract
+            # over raw multi-byte UTF-8 (web_substring_utf8_cut_of)
+            # with cut boundaries snapped outward to codepoint starts,
+            # so the spliced text is valid UTF-8 by construction — the
+            # mode to use when the crawl is not known pure-ASCII; the
+            # operator returns the splice as a hex image (its oracle
+            # engine cannot slice BLOBs), decoded back to text here.
+            if substring_mode == "utf8":
+                from pdf_extractor_spark.queries.webtext import (
+                    web_substring_utf8_cut_of,
+                )
+
+                cleaned = web_substring_utf8_cut_of(
+                    gated.select("doc_id", "text")
+                ).select(
+                    "doc_id",
+                    F.expr("decode(unhex(cleaned_hex), 'UTF-8')").alias(
+                        "cleaned_text"
+                    ),
+                    "n_spans_cut",
+                    F.expr("n_bytes_before - n_bytes_after").alias(
+                        "n_cut_units"
+                    ),
+                )
+            elif substring_mode == "bytes":
                 from pdf_extractor_spark.queries.webtext import (
                     web_substring_bytes_cut_of,
                 )
@@ -561,7 +590,7 @@ def build_corpus(
             ).collect()[0]
             n_gated_substr = int(agg["n"])
             n_substr_spans = int(agg["s"] or 0)
-            if substring_mode == "bytes":
+            if substring_mode in ("bytes", "utf8"):
                 n_substr_bytes = int(agg["t"] or 0)
             else:
                 n_substr_tokens = int(agg["t"] or 0)
@@ -934,12 +963,15 @@ def main(argv: list[str] | None = None) -> None:
         "(token-range deletion normalizes whitespace)",
     )
     ap.add_argument(
-        "--substring-mode", choices=("tokens", "bytes"),
+        "--substring-mode", choices=("tokens", "bytes", "utf8"),
         default="tokens",
         help="granularity for --substring-cut: 'tokens' = W-token "
         "windows with token-rejoin; 'bytes' = 40-byte windows with "
         "byte-exact splicing of kept ranges (no rejoin normalization; "
-        "cuts may land mid-token — the Lee et al. byte form)",
+        "cuts may land mid-token — the Lee et al. byte form; assumes "
+        "single-byte text); 'utf8' = the byte form with cut boundaries "
+        "snapped outward to UTF-8 codepoint starts, so the spliced "
+        "text stays valid UTF-8 on multi-byte corpora",
     )
     ap.add_argument(
         "--mix-shards", type=int, default=None,

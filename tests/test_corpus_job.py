@@ -884,3 +884,101 @@ def test_corpus_job_dsir_select(spark, tmp_path):
     a = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out))
     b = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out2))
     assert a == b
+
+
+def test_corpus_job_substring_utf8_mode(spark, tmp_path):
+    """--substring-mode utf8: the UTF-8-safe byte form composes into
+    the job — a planted >=40-byte boilerplate run containing 2-/3-/
+    4-byte codepoints is cut from every doc but one global keeper,
+    every exported text is valid UTF-8 (no U+FFFD replacement chars —
+    decode of an invalid splice would produce them), the keeper's
+    multi-byte run survives intact, the funnel reports bytes (not
+    tokens), and the run is deterministic."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.corpus.build import PAGES_SCHEMA
+
+    # the shared multi-byte boilerplate (UTF-8 length >> 40 bytes:
+    # café = 5B, 日本 = 6B, the math-bold u = 4B)
+    boil = (
+        "the café of 日本 and the tale of the \U0001d482nique "
+        "day in it and the café again"
+    )
+    assert len(boil.encode("utf-8")) >= 60
+
+    def filler(i: int, j: int) -> str:
+        # stop-word-heavy (passes the quality/lang gate) with a unique
+        # token every ~4 words so no accidental 40-byte run repeats
+        return (
+            f"the fact of u{i}x{j} and the tale to u{i}y{j} in it"
+        )
+
+    def page_html(i: int, with_boil: bool) -> bytes:
+        parts = [filler(i, j) for j in range(8)]
+        if with_boil:
+            parts.insert(2 + i % 3, boil)  # varying offset per doc
+        text = " ".join(parts)
+        return f"<html><body><p>{text}</p></body></html>".encode()
+
+    n_boil, n_clean = 4, 8
+    urls = [f"https://u8.example/page/{i:02d}" for i in range(n_boil + n_clean)]
+    html = [page_html(i, i < n_boil) for i in range(n_boil + n_clean)]
+    pages_tbl = pa.table(
+        {
+            "url": urls,
+            "warc_ts": [dt.datetime(2025, 6, 14, 11, 0, 0)] * len(urls),
+            "html": html,
+            "text": [None] * len(urls),
+            "lang": ["en"] * len(urls),
+        },
+        schema=PAGES_SCHEMA,
+    )
+    corpus = tmp_path / "pages.parquet"
+    pq.write_table(pages_tbl, corpus)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out1 = str(tmp_path / "c1")
+    s1 = build_corpus(
+        spark, wh, out1, budget=1000,
+        substring_cut=True, substring_mode="utf8",
+    )
+    assert s1["rows_gated"] == n_boil + n_clean
+    # one island cut per non-keeper boilerplate doc; units are bytes
+    assert s1["substr_spans_removed"] >= n_boil - 1
+    assert s1["substr_bytes_removed"] >= (n_boil - 1) * 40
+    assert s1["substr_tokens_removed"] == 0
+    assert s1["rows_exported"] > 0
+
+    rows = {r["url"]: r["text"] for r in _read_jsonl(out1)}
+    # valid UTF-8 splices: no replacement chars anywhere
+    assert all("�" not in t for t in rows.values())
+    # exactly one exported doc still carries the full boilerplate run
+    keepers = [u for u, t in rows.items() if boil in t]
+    assert len(keepers) == 1
+    # the cut docs lost bytes but kept their unique filler
+    for i in range(n_boil):
+        u = urls[i]
+        if u in rows and u not in keepers:
+            assert boil not in rows[u]
+            assert f"u{i}x0" in rows[u]
+    # clean docs pass through byte-identical to their extracted text
+    for i in range(n_boil, n_boil + n_clean):
+        if urls[i] in rows:
+            assert rows[urls[i]].encode("utf-8").decode("utf-8")
+            assert "café" not in rows[urls[i]]
+
+    # deterministic re-run
+    out2 = str(tmp_path / "c2")
+    s2 = build_corpus(
+        spark, wh, out2, budget=1000,
+        substring_cut=True, substring_mode="utf8",
+    )
+    assert s2["substr_bytes_removed"] == s1["substr_bytes_removed"]
+    a = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out1))
+    b = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out2))
+    assert a == b
