@@ -173,6 +173,8 @@ HEADLINE = [
     "web_quality_classify",
     "web_quality_buckets",
     "web_dsir_weights",
+    "web_lm_perplexity",
+    "web_ppl_buckets",
     "text_embed_hash",
     "text_embed_topk",
     "text_embed_centroid_topk",

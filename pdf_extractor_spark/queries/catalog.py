@@ -1222,6 +1222,25 @@ CATALOG: dict[str, QuerySpec] = {
         "even doc_ids (libm in Python only), scoring is explode -> "
         "broadcast bucket-weight join on uniform md5 keys -> order-free "
         "per-doc integer sum; held-out target-likeness test-pinned"),
+    "web_lm_perplexity": QuerySpec(
+        webtext.web_lm_perplexity, webtext._lm_sql(),
+        "CCNet LM-perplexity scores (Wenzek et al. 2020 4.3): integer "
+        "per-mille negative log-likelihood (sum + per-token mean) "
+        "under a hashed-unigram LM trained driver-side on the even "
+        "doc_ids of the wiki source (libm in Python only; O(LM_B) "
+        "model regardless of crawl vocabulary); scoring is explode -> "
+        "broadcast bucket join on uniform md5 keys -> order-free "
+        "per-doc integer sum; per-token mean is integer division "
+        "(both engines truncate toward zero); held-out source "
+        "ordering and label separation test-pinned"),
+    "web_ppl_buckets": QuerySpec(
+        webtext.web_ppl_buckets, webtext._ppl_buckets_sql(),
+        "CCNet's ACTUAL head/middle/tail step: corpus-tertile buckets "
+        "over per-token LM perplexity (head = lowest-perplexity "
+        "tertile = most Wikipedia-like, the slice CCNet keeps); exact "
+        "integer cutoffs from the score histogram + cumulative window "
+        "(O(distinct scores) rows, the corpus is never sorted), 1-row "
+        "cutoff table broadcast back"),
     "web_quality_buckets": QuerySpec(
         webtext.web_quality_buckets, webtext._quality_buckets_sql(),
         "CCNet head/middle/tail corpus-tertile buckets over the "

@@ -2407,3 +2407,206 @@ SELECT doc_id, n_bytes_before,
        n_spans_cut, cleaned_hex
 FROM spliced
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet LM-perplexity filter (Wenzek et al. 2020 §4.3): score every doc
+# by its per-token negative log-likelihood under a language model
+# trained on the TARGET domain (CCNet trains KenLM on Wikipedia), then
+# bucket the corpus into head/middle/tail perplexity tertiles — the
+# published step web_quality_buckets approximated with the NB score.
+# This is the hashed-UNIGRAM instance of that LM: at fixture scale a
+# hashed-bigram table is degenerate (1024 buckets all non-empty — the
+# "seen bigram" test saturates, measured), while the unigram LM orders
+# held-out sources wiki < news < forum < ads and separates the labels
+# at P(prose < spam) ~ 0.999 (test-pinned). The hashed-bucket
+# discipline is DSIR's: the model is O(LM_B) integers no matter how
+# large the crawl vocabulary grows.
+#
+# Exactness discipline (the NB/DSIR precedent): bucket NLLs
+# a[b] = round(LM_SCALE * (ln(T + LM_B) - ln(c[b] + 1))) are estimated
+# driver-side in pure Python on the EVEN doc_ids of the train source —
+# ln lives there, never in an engine expression; a doc's NLL is an
+# order-free integer sum and the per-token mean is integer division
+# (Spark DIV and DuckDB // both truncate toward zero — probed).
+#
+# Physical shape at 100 TB: tokenize + hash is a projection; scoring is
+# explode -> broadcast-join the O(LM_B)-row weight table on UNIFORM
+# md5-derived keys -> per-doc sum/count with map-side partials; the
+# tertile cutoffs come from the score HISTOGRAM (O(distinct scores)
+# rows — the corpus is never sorted). Document text never crosses an
+# Exchange.
+
+LM_B = 1024  # hashed unigram buckets (all weights defined -> join total)
+LM_SCALE = 1000  # per-mille integer NLL
+LM_TRAIN_SOURCE = "wiki"  # CCNet's target domain is Wikipedia
+
+_LM_BUCKET_S = (
+    f"CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT) % {LM_B}"
+)
+_LM_BUCKET_D = f"('0x' || substr(md5(tok), 1, 8))::BIGINT % {LM_B}"
+
+
+@lru_cache(maxsize=1)
+def _lm_model() -> tuple[tuple[int, int], ...]:
+    """((bucket, a) for every bucket in [0, LM_B)) — a = per-mille NLL
+    round(LM_SCALE * (ln(T + LM_B) - ln(c[b] + 1))) with add-1
+    smoothing, estimated on the EVEN doc_ids of the wiki source (odd
+    ids and the other sources are the held-out sets the tests pin)."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        WEBTEXT_FIXTURE, columns=["doc_id", "source", "text"]
+    )
+    c = [0] * LM_B
+    for did, src, text in zip(
+        tbl["doc_id"].to_pylist(),
+        tbl["source"].to_pylist(),
+        tbl["text"].to_pylist(),
+    ):
+        if did % 2 != 0 or src != LM_TRAIN_SOURCE:
+            continue
+        for t in text.replace("\n", " ").split(" "):
+            if t:
+                b = (
+                    int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+                    % LM_B
+                )
+                c[b] += 1
+    t_tot = sum(c)
+    return tuple(
+        (
+            b,
+            round(
+                LM_SCALE
+                * (math.log(t_tot + LM_B) - math.log(c[b] + 1))
+            ),
+        )
+        for b in range(LM_B)
+    )
+
+
+def web_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_lm_perplexity_of(_web_docs(spark))
+
+
+def web_lm_perplexity_of(docs: DataFrame) -> DataFrame:
+    """doc_id, source, label, n_toks, nll_pm, nll_tok_pm — integer
+    per-mille negative log-likelihood under the wiki-trained hashed
+    unigram LM (sum + per-token mean; lower = more target-like).
+    Every bucket has a defined weight, so the broadcast join is total
+    and count(*) of joined occurrences == n_toks; docs with zero
+    tokens score 0."""
+    weights = _lm_model()
+    spark = docs.sparkSession
+    wdf = spark.createDataFrame(list(weights), "bucket long, a long")
+    occ = docs.select(
+        "doc_id", F.explode(F.expr(WEB_TOKS_S)).alias("tok")
+    ).select("doc_id", F.expr(_LM_BUCKET_S).alias("bucket"))
+    scored = (
+        occ.join(F.broadcast(wdf), on="bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("a").cast("long").alias("nll"),
+            F.count("*").cast("long").alias("n"),
+        )
+    )
+    return docs.join(scored, on="doc_id", how="left").select(
+        "doc_id",
+        "source",
+        "label",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_toks"),
+        F.coalesce(F.col("nll"), F.lit(0)).cast("long").alias("nll_pm"),
+        F.expr(
+            "CAST(CASE WHEN coalesce(n, 0) > 0 "
+            "THEN coalesce(nll, 0) DIV n ELSE 0 END AS BIGINT)"
+        ).alias("nll_tok_pm"),
+    )
+
+
+def _lm_sql_scored() -> str:
+    vals = ", ".join(f"({b}, {a})" for b, a in _lm_model())
+    return f"""
+wts(bucket, a) AS (VALUES {vals}),
+ltoks AS (
+  SELECT doc_id, unnest({WEB_TOKS_D}) AS tok FROM '{WEBTEXT_FIXTURE}'
+),
+occ AS (
+  SELECT doc_id, {_LM_BUCKET_D} AS bucket FROM ltoks
+),
+lsums AS (
+  SELECT doc_id, CAST(SUM(a) AS BIGINT) AS nll,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM occ JOIN wts USING (bucket) GROUP BY doc_id
+),
+lmscored AS (
+  SELECT d.doc_id, d.source, d.label,
+         CAST(coalesce(n, 0) AS BIGINT) AS n_toks,
+         CAST(coalesce(nll, 0) AS BIGINT) AS nll_pm,
+         CAST(CASE WHEN coalesce(n, 0) > 0
+              THEN coalesce(nll, 0) // n ELSE 0 END AS BIGINT)
+           AS nll_tok_pm
+  FROM '{WEBTEXT_FIXTURE}' d LEFT JOIN lsums ON d.doc_id = lsums.doc_id
+)"""
+
+
+def _lm_sql() -> str:
+    return f"""
+WITH {_lm_sql_scored()}
+SELECT doc_id, source, label, n_toks, nll_pm, nll_tok_pm FROM lmscored
+"""
+
+
+def web_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_ppl_buckets_of(_web_docs(spark))
+
+
+def web_ppl_buckets_of(docs: DataFrame) -> DataFrame:
+    """doc_id, label, nll_tok_pm, bucket — CCNet's ACTUAL head/middle/
+    tail step: corpus-tertile buckets over per-token LM perplexity
+    (head = lowest-perplexity tertile = most Wikipedia-like, the slice
+    CCNet keeps; web_quality_buckets is the same composition over the
+    NB score). Cutoffs from the score histogram — corpus never
+    sorted."""
+    scored = web_lm_perplexity_of(docs).select(
+        "doc_id", "label", "nll_tok_pm"
+    )
+    cuts = tertile_cutoffs_of(scored, col="nll_tok_pm")
+    return scored.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "label",
+        "nll_tok_pm",
+        F.when(F.col("nll_tok_pm") <= F.col("c1"), F.lit("head"))
+        .when(F.col("nll_tok_pm") <= F.col("c2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def _ppl_buckets_sql() -> str:
+    return f"""
+WITH {_lm_sql_scored()},
+hist AS (
+  SELECT nll_tok_pm, COUNT(*) AS c FROM lmscored GROUP BY nll_tok_pm
+),
+cum AS (
+  SELECT nll_tok_pm,
+         SUM(c) OVER (ORDER BY nll_tok_pm
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum,
+         SUM(c) OVER () AS n
+  FROM hist
+),
+cuts AS (
+  SELECT MIN(CASE WHEN cum * 3 >= n THEN nll_tok_pm END) AS c1,
+         MIN(CASE WHEN cum * 3 >= n * 2 THEN nll_tok_pm END) AS c2
+  FROM cum
+)
+SELECT s.doc_id, s.label, s.nll_tok_pm,
+       CASE WHEN s.nll_tok_pm <= c.c1 THEN 'head'
+            WHEN s.nll_tok_pm <= c.c2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM lmscored s CROSS JOIN cuts c
+"""

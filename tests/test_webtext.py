@@ -1775,3 +1775,99 @@ def test_web_substring_utf8_cut_plan_text_never_shuffles(spark):
     for frag in plan.split("Exchange")[1:]:
         head = frag.split("\n", 1)[0]
         assert "text" not in head and "hx" not in head, head
+
+
+def test_lm_perplexity_equals_python_spec_and_separates(spark):
+    """web_lm_perplexity == plain-Python spec (same integer bucket
+    NLLs, same truncating division); on the held-out half (odd
+    doc_ids — the even wiki half trained the model) mean per-token
+    NLL orders sources by target-likeness (wiki < news < forum < ads)
+    and separates the registers: the lowest-perplexity tertile is
+    overwhelmingly prose, pairwise P(prose < spam) > 0.95."""
+    import hashlib
+
+    from pdf_extractor_spark.queries.webtext import (
+        LM_B,
+        _lm_model,
+        web_lm_perplexity_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    a = dict(_lm_model())
+    rows = docs.select("doc_id", "source", "label", "text").collect()
+    expected = {}
+    for r in rows:
+        toks = _toks(r["text"])
+        s = sum(
+            a[int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % LM_B]
+            for t in toks
+        )
+        n = len(toks)
+        # int() truncates toward zero, matching Spark DIV / DuckDB //
+        expected[r["doc_id"]] = (
+            r["source"], r["label"], n, s, int(s / n) if n else 0,
+        )
+    got = {
+        r["doc_id"]: (
+            r["source"], r["label"], r["n_toks"], r["nll_pm"],
+            r["nll_tok_pm"],
+        )
+        for r in web_lm_perplexity_of(docs).collect()
+    }
+    assert got == expected
+
+    held = [(d, *v) for d, v in got.items() if d % 2 == 1]
+    mean: dict = {}
+    for _, src, _, n, _, tokpm in held:
+        if n:
+            mean.setdefault(src, []).append(tokpm)
+    m = {s: sum(v) / len(v) for s, v in mean.items()}
+    assert m["wiki"] < m["news"] < m["forum"] < m["ads"], m
+    pr = [t for _, _, lab, n, _, t in held if lab == "prose" and n]
+    sp = [t for _, _, lab, n, _, t in held if lab == "spam" and n]
+    wins = sum(1 for x in pr for y in sp if x < y)
+    assert wins / (len(pr) * len(sp)) > 0.95
+
+
+def test_lm_perplexity_plan_broadcasts_and_text_never_shuffles(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_lm_perplexity"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head and "tok," not in head, head
+
+
+def test_ppl_buckets_are_exact_tertiles_and_head_is_prose(spark):
+    """web_ppl_buckets: bucket sizes are exact integer tertiles up to
+    value ties; membership is a pure function of nll_tok_pm (ties
+    share a bucket); the head (lowest-perplexity) tertile — the slice
+    CCNet keeps — is overwhelmingly prose and the tail captures the
+    spam register's majority."""
+    from pdf_extractor_spark.queries.webtext import web_ppl_buckets_of
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    rows = web_ppl_buckets_of(docs).collect()
+    n = len(rows)
+    sizes = {b: sum(1 for r in rows if r["bucket"] == b)
+             for b in ("head", "middle", "tail")}
+    assert sum(sizes.values()) == n
+    # exact tertile property: cum(head) >= n/3, cum(head+middle) >= 2n/3
+    assert 3 * sizes["head"] >= n
+    assert 3 * (sizes["head"] + sizes["middle"]) >= 2 * n
+    # ties share a bucket -> same score, same bucket
+    by_score: dict = {}
+    for r in rows:
+        by_score.setdefault(r["nll_tok_pm"], set()).add(r["bucket"])
+    assert all(len(bs) == 1 for bs in by_score.values())
+    head = [r for r in rows if r["bucket"] == "head"]
+    frac_prose_head = sum(
+        1 for r in head if r["label"] == "prose"
+    ) / len(head)
+    assert frac_prose_head > 0.95
+    tail = [r for r in rows if r["bucket"] == "tail"]
+    spam_total = sum(1 for r in rows if r["label"] == "spam")
+    spam_tail = sum(1 for r in tail if r["label"] == "spam")
+    assert spam_tail / spam_total > 0.5
