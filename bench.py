@@ -175,6 +175,7 @@ HEADLINE = [
     "web_dsir_weights",
     "web_lm_perplexity",
     "web_ppl_buckets",
+    "web_bpe_pairs",
     "text_embed_hash",
     "text_embed_topk",
     "text_embed_centroid_topk",

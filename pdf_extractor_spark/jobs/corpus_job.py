@@ -354,7 +354,14 @@ def build_corpus(
                 ).collect()
             }
             weights = dsir_weights_from_counts(t_counts, r_counts)
-            scored = dsir_score_of(gated.select("doc_id", "text"), weights)
+            # checkpoint the O(docs)-row (doc_id, score) table: the
+            # cutoff aggregate AND the filter join both consume it, and
+            # without a checkpoint Spark re-executes the whole scoring
+            # pass (explode + broadcast join + agg over every doc's
+            # n-grams) once per consumer — the mix_weights precedent
+            scored = dsir_score_of(
+                gated.select("doc_id", "text"), weights
+            ).localCheckpoint(eager=True)
             dsir_cutoff = pm_cutoff_of(
                 scored, col="score", pm=1000 - dsir_keep_pm
             ).collect()[0]["cutoff"]

@@ -1241,6 +1241,16 @@ CATALOG: dict[str, QuerySpec] = {
         "integer cutoffs from the score histogram + cumulative window "
         "(O(distinct scores) rows, the corpus is never sorted), 1-row "
         "cutoff table broadcast back"),
+    "web_bpe_pairs": QuerySpec(
+        webtext.web_bpe_pairs, webtext.WEB_BPE_PAIRS_SQL,
+        "BPE merge-pair counting (Sennrich et al. 2016, the first "
+        "tokenizer-training iteration): top-K adjacent character "
+        "pairs weighted by word frequency — the corpus reduces to its "
+        "O(V) distinct-word table FIRST (Heaps-law vocabulary is "
+        "sublinear in corpus size), pairs are counted over the "
+        "vocabulary, and the top-K is a TakeOrderedAndProject with a "
+        "pair-ASC tie-break (never a global sort; text never reaches "
+        "the pair stage)"),
     "web_quality_buckets": QuerySpec(
         webtext.web_quality_buckets, webtext._quality_buckets_sql(),
         "CCNet head/middle/tail corpus-tertile buckets over the "

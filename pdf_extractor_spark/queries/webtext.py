@@ -2610,3 +2610,69 @@ SELECT s.doc_id, s.label, s.nll_tok_pm,
             ELSE 'tail' END AS bucket
 FROM lmscored s CROSS JOIN cuts c
 """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair counting (Sennrich et al. 2016): the first iteration
+# of BPE tokenizer training — count adjacent character pairs across the
+# corpus and emit the top-K most frequent (the merge candidates). The
+# scalable shape is the one real BPE trainers use: reduce the corpus to
+# its DISTINCT-WORD frequency table first (the classic word-count — on
+# Heaps-law text the vocabulary is sublinear in corpus size), then
+# count pairs over the O(V) vocabulary weighted by word frequency.
+# Document text never reaches the pair stage at all; only (word, n) and
+# (pair, n) rows cross an Exchange, and the final top-K is a
+# TakeOrderedAndProject (never a global sort of the pair table). Ties
+# at the K boundary are broken by pair ASC, so the result set is a pure
+# function of the corpus in both engines.
+
+BPE_TOP_K = 32
+
+
+def web_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_bpe_pairs_of(_web_docs(spark))
+
+
+def web_bpe_pairs_of(docs: DataFrame) -> DataFrame:
+    """pair, n_occ — the BPE_TOP_K most frequent adjacent character
+    pairs over whitespace words (each position counts: 'aaa' has two
+    'aa' pairs), weighted by word frequency; (n_occ DESC, pair ASC)
+    order pinned by the tie-break."""
+    words = docs.select(F.explode(F.expr(WEB_TOKS_S)).alias("w"))
+    wc = words.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    pairs = wc.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substr(w, i, 2)) "
+                "ELSE CAST(array() AS ARRAY<STRING>) END"
+            )
+        ).alias("pair"),
+        "n",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("n_occ"))
+        .orderBy(F.col("n_occ").desc(), F.col("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+WEB_BPE_PAIRS_SQL = f"""
+WITH words AS (
+  SELECT unnest({WEB_TOKS_D}) AS w FROM '{WEBTEXT_FIXTURE}'
+),
+wc AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM words GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                i -> substr(w, i, 2))) AS pair, n
+  FROM wc
+),
+agg AS (
+  SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ FROM pairs GROUP BY pair
+)
+SELECT pair, n_occ FROM agg ORDER BY n_occ DESC, pair LIMIT {BPE_TOP_K}
+"""

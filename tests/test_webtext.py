@@ -1871,3 +1871,43 @@ def test_ppl_buckets_are_exact_tertiles_and_head_is_prose(spark):
     spam_total = sum(1 for r in rows if r["label"] == "spam")
     spam_tail = sum(1 for r in tail if r["label"] == "spam")
     assert spam_tail / spam_total > 0.5
+
+
+def test_bpe_pairs_equals_python_spec(spark):
+    """web_bpe_pairs == plain-Python BPE pair counter (per-position
+    adjacent pairs weighted by word frequency, (n DESC, pair ASC)
+    top-K with the tie-break making the set a pure function of the
+    corpus)."""
+    from pdf_extractor_spark.queries.webtext import (
+        BPE_TOP_K,
+        web_bpe_pairs_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    counts: dict = {}
+    for r in docs.select("text").collect():
+        for w in _toks(r["text"]):
+            for i in range(len(w) - 1):
+                p = w[i : i + 2]
+                counts[p] = counts.get(p, 0) + 1
+    expected = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :BPE_TOP_K
+    ]
+    got = [
+        (r["pair"], r["n_occ"]) for r in web_bpe_pairs_of(docs).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_pairs_plan_topk_and_text_never_shuffles(spark):
+    """The top-K is TakeOrderedAndProject (never a global Sort of the
+    pair table) and neither text nor words-arrays cross an Exchange —
+    only (w, n) / (pair, n) rows shuffle."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_bpe_pairs"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head and "toks" not in head, head
