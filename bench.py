@@ -176,6 +176,8 @@ HEADLINE = [
     "web_lm_perplexity",
     "web_ppl_buckets",
     "web_bpe_pairs",
+    "web_bpe_train",
+    "web_bpe_tokens",
     "text_embed_hash",
     "text_embed_topk",
     "text_embed_centroid_topk",

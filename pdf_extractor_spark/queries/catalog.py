@@ -1251,6 +1251,24 @@ CATALOG: dict[str, QuerySpec] = {
         "vocabulary, and the top-K is a TakeOrderedAndProject with a "
         "pair-ASC tie-break (never a global sort; text never reaches "
         "the pair stage)"),
+    "web_bpe_train": QuerySpec(
+        webtext.web_bpe_train, webtext._bpe_train_sql(),
+        "full BPE merge training (Sennrich et al. 2016 learn_bpe): "
+        "BPE_ROUNDS iterations of count -> argmax -> vocabulary "
+        "rewrite over the O(V) distinct-word table — the corpus is "
+        "read ONCE (the word count); each round is one tiny aggregate "
+        "plus a one-row collect (the k-means-style iterative driver "
+        "loop, NOT a per-row loop); merging is a single non-"
+        "overlapping replace over left-anchored symbol strings, which "
+        "is exactly greedy left-to-right reference BPE (same-symbol "
+        "runs brute-force-pinned in tests)"),
+    "web_bpe_tokens": QuerySpec(
+        webtext.web_bpe_tokens, webtext._bpe_tokens_sql(),
+        "per-document token counts under the learned BPE merges (the "
+        "real-tokenizer upgrade of text_tokens' regex proxy): the "
+        "word -> token-count map is O(V) and BROADCASTS; documents "
+        "explode to (doc_id, w) and aggregate back — document text "
+        "never crosses an Exchange"),
     "web_quality_buckets": QuerySpec(
         webtext.web_quality_buckets, webtext._quality_buckets_sql(),
         "CCNet head/middle/tail corpus-tertile buckets over the "

@@ -2676,3 +2676,241 @@ agg AS (
 )
 SELECT pair, n_occ FROM agg ORDER BY n_occ DESC, pair LIMIT {BPE_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# Full BPE merge training (Sennrich et al. 2016, learn_bpe): iterate
+# web_bpe_pairs' single counting step BPE_ROUNDS times, after each round
+# REWRITING the vocabulary's symbol sequences with the chosen merge.
+# This is the canonical iterative-training shape (the k-means /
+# learned-centroid precedent): each round is ONE tiny aggregate over the
+# O(V) word table and a ONE-ROW collect of the argmax pair — the corpus
+# itself is touched exactly once (the word count), and on Heaps-law text
+# V is sublinear in corpus size, so at 100 TB every round after the
+# first is executor-trivial.
+#
+# Symbol sequences are strings of left-anchored tokens: word 'low' ->
+# '|l |o |w '. Merging pair (a, b) is then a SINGLE non-overlapping
+# string replace of '|a |b ' with '|ab ' — because consecutive matches
+# share no characters in this representation, one replace pass IS the
+# greedy left-to-right merge of reference BPE (the naive space-joined
+# form gets same-symbol runs wrong: ' a a ' matches in ' a a a a a '
+# share their boundary space and replace() skips every other one;
+# brute-forced over 50k random sequences in tests). Symbols never
+# contain ' ' (whitespace tokenization) or '|' (test-pinned fixture
+# precondition), so the anchors are unambiguous.
+#
+# Tie-break: (count DESC, barred-pair-string ASC) — identical ASCII
+# memcmp in both engines, making the learned merge list a pure function
+# of the corpus. Counting is per-position (a word 'aaa' holds two 'a a'
+# pairs), matching reference BPE counters and web_bpe_pairs.
+
+BPE_ROUNDS = 10
+
+# adjacent barred-symbol pairs of one sym string, e.g. '|a |b' (Spark)
+_BPE_PAIRS_S = (
+    "CASE WHEN size(s) >= 2 THEN "
+    "transform(sequence(1, size(s) - 1), "
+    "i -> concat(element_at(s, i), ' ', element_at(s, i + 1))) "
+    "ELSE CAST(array() AS ARRAY<STRING>) END"
+)
+
+
+def _bpe_wordtable(docs: DataFrame) -> DataFrame:
+    """(w, n, sym) over distinct words — the one corpus-wide pass,
+    checkpointed so every training round re-reads O(V) rows, never the
+    documents."""
+    words = docs.select(F.explode(F.expr(WEB_TOKS_S)).alias("w"))
+    wc = words.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    wc = wc.withColumn(
+        "sym",
+        F.expr(
+            "concat(array_join(transform(sequence(1, length(w)), "
+            "i -> concat('|', substr(w, i, 1))), ' '), ' ')"
+        ),
+    )
+    return wc.localCheckpoint(eager=True)
+
+
+def _bpe_train_syms(
+    docs: DataFrame, rounds: int = BPE_ROUNDS
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge-learning loop; returns (merges, final word table).
+
+    merges rows are (merge_rank, pair 'a b', merged 'ab', n_occ). The
+    per-round argmax is a one-row collect (the iterative-algorithm
+    driver loop — NOT a per-row driver loop); the rewrite is a literal
+    string replace pushed back into the plan, and the word table is
+    re-checkpointed lazily each round so round r costs O(V), not
+    O(r * V)."""
+    cur = _bpe_wordtable(docs)
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        prs = cur.select(
+            F.split(F.trim(F.col("sym")), " ").alias("s"), "n"
+        ).select(F.explode(F.expr(_BPE_PAIRS_S)).alias("bp"), "n")
+        best = (
+            prs.groupBy("bp")
+            .agg(F.sum("n").cast("long").alias("n_occ"))
+            .orderBy(F.col("n_occ").desc(), F.col("bp"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        bp, n_occ = best[0]["bp"], best[0]["n_occ"]
+        pair = bp.replace("|", "")
+        merged = pair.replace(" ", "")
+        merges.append((r, pair, merged, int(n_occ)))
+        cur = cur.withColumn(
+            "sym",
+            F.replace("sym", F.lit(bp + " "), F.lit("|" + merged + " ")),
+        ).localCheckpoint(eager=False)
+    return merges, cur
+
+
+def web_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_bpe_train_of(_web_docs(spark))
+
+
+def web_bpe_train_of(
+    docs: DataFrame, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """merge_rank, pair, merged, n_occ — the learned BPE merge list
+    (BPE_ROUNDS rows, ordered; every value produced by Spark
+    aggregates, assembled driver-side like any learned model)."""
+    from pyspark.sql import types as T
+
+    merges, _ = _bpe_train_syms(docs, rounds)
+    schema = T.StructType(
+        [
+            T.StructField("merge_rank", T.IntegerType(), False),
+            T.StructField("pair", T.StringType(), False),
+            T.StructField("merged", T.StringType(), False),
+            T.StructField("n_occ", T.LongType(), False),
+        ]
+    )
+    return docs.sparkSession.createDataFrame(merges, schema)
+
+
+def web_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_bpe_tokens_of(_web_docs(spark))
+
+
+def web_bpe_tokens_of(
+    docs: DataFrame, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """doc_id, source, n_ws_tokens, n_bpe_tokens, n_chars — per-document
+    token counts under the learned BPE merges (the real-tokenizer
+    upgrade of text_tokens' regex proxy). The word->token-count map is
+    O(V) and BROADCASTS; documents explode to (doc_id, w) and aggregate
+    back — text never crosses an Exchange."""
+    _, syms = _bpe_train_syms(docs, rounds)
+    wtok = syms.select(
+        "w",
+        F.size(F.split(F.trim(F.col("sym")), " "))
+        .cast("long")
+        .alias("t"),
+    )
+    dw = docs.select(
+        "doc_id", F.explode(F.expr(WEB_TOKS_S)).alias("w")
+    )
+    sums = (
+        dw.join(F.broadcast(wtok), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_ws"),
+            F.sum("t").cast("long").alias("n_bpe"),
+            F.sum(F.length("w")).cast("long").alias("n_ch"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(sums, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_ws", F.lit(0)).cast("long").alias("n_ws_tokens"),
+            F.coalesce("n_bpe", F.lit(0)).cast("long").alias("n_bpe_tokens"),
+            F.coalesce("n_ch", F.lit(0)).cast("long").alias("n_chars"),
+        )
+    )
+
+
+def _bpe_syms_sql(rounds: int) -> str:
+    """The shared DuckDB training chain: wct/sym0 then per round r a
+    pair explode (pr{r}), the argmax (best{r}), and the rewritten
+    vocabulary (sym{r}, MATERIALIZED — each is referenced twice)."""
+    parts = [
+        f"""wct AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT unnest({WEB_TOKS_D}) AS w FROM '{WEBTEXT_FIXTURE}'
+  ) GROUP BY w
+),
+sym0 AS MATERIALIZED (
+  SELECT w, n,
+         array_to_string(list_transform(range(1, length(w) + 1),
+           i -> '|' || substr(w, i, 1)), ' ') || ' ' AS sym
+  FROM wct
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+pr{r} AS (
+  SELECT unnest(CASE WHEN len(s) >= 2 THEN
+           list_transform(range(1, len(s)), i -> s[i] || ' ' || s[i + 1])
+           ELSE CAST([] AS VARCHAR[]) END) AS bp, n
+  FROM (SELECT string_split(trim(sym), ' ') AS s, n FROM sym{r - 1})
+),
+best{r} AS (
+  SELECT bp, CAST(SUM(n) AS BIGINT) AS n_occ
+  FROM pr{r} GROUP BY bp ORDER BY n_occ DESC, bp LIMIT 1
+),
+sym{r} AS MATERIALIZED (
+  SELECT w, n,
+         replace(sym, b.bp || ' ',
+                 '|' || replace(replace(b.bp, '|', ''), ' ', '') || ' ')
+           AS sym
+  FROM sym{r - 1}, best{r} b
+)"""
+        )
+    return "".join(parts)
+
+
+def _bpe_train_sql(rounds: int = BPE_ROUNDS) -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS merge_rank, "
+        f"replace(bp, '|', '') AS pair, "
+        f"replace(replace(bp, '|', ''), ' ', '') AS merged, n_occ "
+        f"FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        f"WITH {_bpe_syms_sql(rounds)} "
+        f"SELECT * FROM ({rows}) ORDER BY merge_rank"
+    )
+
+
+def _bpe_tokens_sql(rounds: int = BPE_ROUNDS) -> str:
+    return f"""
+WITH {_bpe_syms_sql(rounds)},
+wtok AS (
+  SELECT w, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS t
+  FROM sym{rounds}
+),
+dw AS (
+  SELECT doc_id, unnest({WEB_TOKS_D}) AS w FROM '{WEBTEXT_FIXTURE}'
+),
+dsum AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws,
+         CAST(SUM(t) AS BIGINT) AS n_bpe,
+         CAST(SUM(length(w)) AS BIGINT) AS n_ch
+  FROM dw JOIN wtok USING (w) GROUP BY doc_id
+)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(n_ws, 0) AS BIGINT) AS n_ws_tokens,
+       CAST(coalesce(n_bpe, 0) AS BIGINT) AS n_bpe_tokens,
+       CAST(coalesce(n_ch, 0) AS BIGINT) AS n_chars
+FROM '{WEBTEXT_FIXTURE}' d LEFT JOIN dsum USING (doc_id)
+"""

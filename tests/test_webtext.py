@@ -1911,3 +1911,171 @@ def test_bpe_pairs_plan_topk_and_text_never_shuffles(spark):
     for frag in plan.split("Exchange")[1:]:
         head = frag.split("\n", 1)[0]
         assert "text" not in head and "toks" not in head, head
+
+
+# --- full BPE training (web_bpe_train / web_bpe_tokens) ---
+
+
+def _sennrich_learn(
+    wordfreq: dict[str, int], rounds: int
+) -> tuple[list[tuple[int, str, str, int]], dict[str, tuple[str, ...]]]:
+    """Reference BPE (Sennrich et al. 2016 learn_bpe pseudocode):
+    per-position pair counts weighted by word frequency, argmax with
+    the (count DESC, barred-pair ASC) tie-break, greedy left-to-right
+    merge. Independent of the engine's string representation."""
+    vocab = {w: tuple(w) for w in wordfreq}
+    merges = []
+    for r in range(1, rounds + 1):
+        counts: Counter = Counter()
+        for w, syms in vocab.items():
+            n = wordfreq[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += n
+        if not counts:
+            break
+        # tie-break mirrors the engines: barred string '|a |b' ASC
+        (a, b), n_occ = min(
+            counts.items(), key=lambda kv: (-kv[1], f"|{kv[0][0]} |{kv[0][1]}")
+        )
+        merges.append((r, f"{a} {b}", a + b, n_occ))
+        new = {}
+        for w, syms in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if (
+                    i < len(syms) - 1
+                    and syms[i] == a
+                    and syms[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[w] = tuple(out)
+        vocab = new
+    return merges, vocab
+
+
+def _fixture_rows() -> list[dict]:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(WEBTEXT_FIXTURE).to_pylist()
+
+
+def _fixture_wordfreq() -> dict[str, int]:
+    wf: Counter = Counter()
+    for r in _fixture_rows():
+        wf.update(_toks(r["text"]))
+    return dict(wf)
+
+
+def test_bpe_fixture_words_delimiter_safe():
+    """The anchored-symbol representation requires symbols without '|'
+    or ' ' — spaces are impossible (whitespace tokenization); '|' is a
+    pinned fixture precondition."""
+    assert all("|" not in w for w in _fixture_wordfreq())
+
+
+def test_bpe_train_equals_python_sennrich(spark):
+    """The engine's anchored-replace merge loop == reference greedy BPE
+    on the fixture vocabulary: same merge list, same counts, all
+    BPE_ROUNDS rounds."""
+    from pdf_extractor_spark.queries.webtext import (
+        BPE_ROUNDS,
+        web_bpe_train_of,
+    )
+
+    expected, _ = _sennrich_learn(_fixture_wordfreq(), BPE_ROUNDS)
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    got = [
+        (r["merge_rank"], r["pair"], r["merged"], r["n_occ"])
+        for r in web_bpe_train_of(docs).collect()
+    ]
+    assert got == expected
+    assert len(got) == BPE_ROUNDS
+    # the loop is genuinely iterative: at least one learned merge pairs
+    # a multi-character symbol produced by an EARLIER merge
+    assert any(" " in p and max(len(s) for s in p.split(" ")) > 1
+               for _, p, _, _ in got)
+
+
+def test_bpe_train_greedy_on_same_symbol_runs(spark):
+    """The case the naive space-joined replace gets WRONG: same-symbol
+    runs ('aaaaa' under merge (a,a) must segment greedily as
+    aa|aa|a, not aa|a|aa). Crafted corpus forces (a,a) merges; engine
+    == reference greedy on every round."""
+    from pdf_extractor_spark.queries.webtext import web_bpe_train_of
+
+    words = ["aaaaa", "aaaa", "aaaaaaa", "aab", "baa", "ababab"]
+    rows = [
+        (i, "w%d" % i, w.replace("_", " "))
+        for i, w in enumerate(words * 3)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    wf = Counter()
+    for _, _, t in rows:
+        wf.update(t.split(" "))
+    expected, _ = _sennrich_learn(dict(wf), 4)
+    got = [
+        (r["merge_rank"], r["pair"], r["merged"], r["n_occ"])
+        for r in web_bpe_train_of(docs, rounds=4).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_train_round1_matches_pair_counter(spark):
+    """Round 1 of training counts exactly what web_bpe_pairs counts:
+    the first learned merge is web_bpe_pairs' top row."""
+    from pdf_extractor_spark.queries.webtext import (
+        web_bpe_pairs_of,
+        web_bpe_train_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    top = web_bpe_pairs_of(docs).collect()[0]
+    first = web_bpe_train_of(docs, rounds=1).collect()[0]
+    assert first["merged"] == top["pair"]
+    assert first["n_occ"] == top["n_occ"]
+
+
+def test_bpe_tokens_bounds_and_compression(spark):
+    """Per-doc invariants of BPE token counting: every doc survives at
+    its own grain; n_ws_tokens <= n_bpe_tokens <= n_chars (merges only
+    ever shorten the char-level segmentation, never below word count);
+    BPE_ROUNDS merges genuinely compress (total bpe tokens < total
+    chars); counts agree with the reference-merged vocabulary."""
+    from pdf_extractor_spark.queries.webtext import (
+        BPE_ROUNDS,
+        web_bpe_tokens_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    rows = {r["doc_id"]: r for r in web_bpe_tokens_of(docs).collect()}
+    fixture = _fixture_rows()
+    assert len(rows) == len(fixture)
+    _, vocab = _sennrich_learn(_fixture_wordfreq(), BPE_ROUNDS)
+    for f in fixture:
+        r = rows[f["doc_id"]]
+        toks = _toks(f["text"])
+        assert r["n_ws_tokens"] == len(toks)
+        assert r["n_chars"] == sum(len(w) for w in toks)
+        assert r["n_bpe_tokens"] == sum(len(vocab[w]) for w in toks)
+        assert r["n_ws_tokens"] <= r["n_bpe_tokens"] <= r["n_chars"]
+    assert sum(r["n_bpe_tokens"] for r in rows.values()) < sum(
+        r["n_chars"] for r in rows.values()
+    )
+
+
+def test_bpe_tokens_plan_broadcast_and_text_never_shuffles(spark):
+    """The word->token map joins by BROADCAST (O(V) rows) and document
+    text never crosses an Exchange — only (doc_id, w) and count rows
+    shuffle."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_bpe_tokens"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head, head
