@@ -70,6 +70,13 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
       → gzip JSONL shards       (the training-data delivery format;
                                  --mix-shards N exports N deterministic
                                  hash-mixed shards, per-shard order)
+      → [optional] tokenizer-training report
+                                (queries/webtext._bpe_train_syms:
+                                 --bpe-report N learns N BPE merges on
+                                 the READ-BACK export and publishes the
+                                 merge list + whitespace/BPE token
+                                 totals in the funnel — trained on
+                                 exactly what shipped)
 
     python -m pdf_extractor_spark.jobs.corpus_job \
         --warehouse /path/to/wh --out /path/to/corpus \
@@ -181,6 +188,7 @@ def build_corpus(
     host_cap: int | None = None,
     dsir_target: str | None = None,
     dsir_keep_pm: int = 500,
+    bpe_rounds: int | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
@@ -893,6 +901,47 @@ def build_corpus(
                 )
             )
 
+        # tokenizer-training report AFTER export: BPE merges are learned
+        # on exactly what shipped (the read-back export, the seen-index
+        # discipline) so the published merge list is a pure function of
+        # the corpus artifact — rerun-identical because the export is.
+        # Cost: one word-count pass over the export + bpe_rounds O(V)
+        # aggregates (Heaps-law V is sublinear in corpus size).
+        bpe = None
+        if bpe_rounds:
+            from pdf_extractor_spark.queries.webtext import (
+                WEB_TOKS_S,
+                _bpe_train_syms,
+            )
+
+            exported_docs = spark.read.schema(final.schema).json(out)
+            merges, syms = _bpe_train_syms(
+                exported_docs.select("text"), rounds=bpe_rounds
+            )
+            wtok = syms.select(
+                "w",
+                F.size(F.split(F.trim(F.col("sym")), " "))
+                .cast("long")
+                .alias("t"),
+            )
+            tot = (
+                exported_docs.select(
+                    F.explode(F.expr(WEB_TOKS_S)).alias("w")
+                )
+                .join(F.broadcast(wtok), "w")
+                .agg(
+                    F.count(F.lit(1)).alias("ws"),
+                    F.sum("t").alias("bpe"),
+                )
+                .collect()[0]
+            )
+            bpe = {
+                "rounds": len(merges),
+                "merges": [[p, m, int(n)] for _, p, m, n in merges],
+                "tokens_ws": int(tot["ws"] or 0),
+                "tokens_bpe": int(tot["bpe"] or 0),
+            }
+
         summary = {
             "rows_in": n_in,
             "rows_clean": n_docs,
@@ -919,6 +968,7 @@ def build_corpus(
             "budget_per_stratum": budget,
             "mix": mix,
             "drift": drift,
+            "bpe": bpe,
             "out": out,
         }
         (pathlib.Path(out) / "_SUMMARY.json").write_text(
@@ -1057,6 +1107,12 @@ def main(argv: list[str] | None = None) -> None:
         "(default 500 = the more-target-like half; ties at the cutoff "
         "share a side)",
     )
+    ap.add_argument(
+        "--bpe-report", type=int, default=None,
+        help="learn N BPE merges on the READ-BACK export after writing "
+        "it (tokenizer training on exactly what shipped) and publish "
+        "the merge list + whitespace/BPE token totals in the funnel",
+    )
     ap.add_argument("--partitions", nargs="*", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
@@ -1077,6 +1133,7 @@ def main(argv: list[str] | None = None) -> None:
         quality_buckets=args.quality_buckets,
         host_cap=args.host_cap,
         dsir_target=args.dsir_target, dsir_keep_pm=args.dsir_keep_pm,
+        bpe_rounds=args.bpe_report,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -982,3 +982,49 @@ def test_corpus_job_substring_utf8_mode(spark, tmp_path):
     a = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out1))
     b = sorted(json.dumps(r, sort_keys=True) for r in _read_jsonl(out2))
     assert a == b
+
+
+def test_corpus_job_bpe_report(spark, tmp_path):
+    """--bpe-report N learns N BPE merges on the READ-BACK export:
+    merge list matches reference greedy BPE run on the exported rows,
+    token totals bound each other (ws <= bpe <= chars), and the report
+    is rerun-identical because the export is."""
+    from tests.test_webtext import _sennrich_learn
+
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=11, n_rows=150, n_days=3)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out1 = str(tmp_path / "corpus1")
+    s1 = build_corpus(spark, wh, out1, budget=10, bpe_rounds=3)
+    bpe = s1["bpe"]
+    assert bpe["rounds"] == 3 and len(bpe["merges"]) == 3
+
+    # reference greedy BPE over the exported rows' word frequencies
+    from collections import Counter
+
+    wf: Counter = Counter()
+    n_chars = 0
+    for r in _read_jsonl(out1):
+        toks = [t for t in r["text"].replace("\n", " ").split(" ") if t]
+        wf.update(toks)
+        n_chars += sum(len(t) for t in toks)
+    expected, vocab = _sennrich_learn(dict(wf), 3)
+    assert bpe["merges"] == [[p, m, n] for _, p, m, n in expected]
+    assert bpe["tokens_ws"] == sum(wf.values())
+    assert bpe["tokens_bpe"] == sum(
+        len(vocab[w]) * n for w, n in wf.items()
+    )
+    assert bpe["tokens_ws"] <= bpe["tokens_bpe"] <= n_chars
+
+    out2 = str(tmp_path / "corpus2")
+    s2 = build_corpus(spark, wh, out2, budget=10, bpe_rounds=3)
+    assert s2["bpe"] == bpe
+
+    # knob off -> no report (and the rest of the funnel is unchanged)
+    out3 = str(tmp_path / "corpus3")
+    s3 = build_corpus(spark, wh, out3, budget=10)
+    assert s3["bpe"] is None
+    assert s3["rows_exported"] == s1["rows_exported"]

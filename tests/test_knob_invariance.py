@@ -34,6 +34,8 @@ ENTRIES = [
     "sketch_distinct_kmv_merged",
     "text_winnow",
     "dedup_winnow_pairs",
+    "web_bpe_train",
+    "web_bpe_tokens",
     "corpus_budget_alloc",
     "corpus_drift_chi2",
     "text_tfidf_topk",
