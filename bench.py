@@ -178,6 +178,8 @@ HEADLINE = [
     "web_bpe_pairs",
     "web_bpe_train",
     "web_bpe_tokens",
+    "web_bpe_encode",
+    "web_split_leakage",
     "text_embed_hash",
     "text_embed_topk",
     "text_embed_centroid_topk",

@@ -1269,6 +1269,24 @@ CATALOG: dict[str, QuerySpec] = {
         "word -> token-count map is O(V) and BROADCASTS; documents "
         "explode to (doc_id, w) and aggregate back — document text "
         "never crosses an Exchange"),
+    "web_bpe_encode": QuerySpec(
+        webtext.web_bpe_encode, webtext._bpe_encode_sql(),
+        "the ORDER-PRESERVING tokenized corpus under the learned BPE "
+        "merges — (doc_id, pos, tok) rows, the artifact a training "
+        "run actually consumes (web_bpe_tokens only counts): the "
+        "word -> token-sequence map is O(V) and broadcasts; positions "
+        "come from a per-doc prefix-sum window over word indexes "
+        "(doc-sized partitions, no global sort; text never crosses an "
+        "Exchange)"),
+    "web_split_leakage": QuerySpec(
+        webtext.web_split_leakage, webtext._split_leakage_sql(),
+        "train/val split-leakage report (the Lee et al. 2022 / GPT-3 "
+        "appendix concern: random splits leak near-duplicates into "
+        "eval): deterministic md5(doc_id) per-mille split assignment, "
+        "then every verified threshold-Jaccard near-dup pair that "
+        "CROSSES the split — the split is a pure function of doc_id, "
+        "so past the exact-recall prefix-join pair detection the leak "
+        "report is a projection (no join, no extra shuffle)"),
     "web_quality_buckets": QuerySpec(
         webtext.web_quality_buckets, webtext._quality_buckets_sql(),
         "CCNet head/middle/tail corpus-tertile buckets over the "

@@ -2914,3 +2914,145 @@ SELECT d.doc_id, d.source,
        CAST(coalesce(n_ch, 0) AS BIGINT) AS n_chars
 FROM '{WEBTEXT_FIXTURE}' d LEFT JOIN dsum USING (doc_id)
 """
+
+
+def web_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_bpe_encode_of(_web_docs(spark))
+
+
+def web_bpe_encode_of(
+    docs: DataFrame, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """doc_id, pos, tok — the ORDER-PRESERVING tokenized corpus under
+    the learned BPE merges (the artifact a training run actually
+    consumes; web_bpe_tokens only counts). The word -> token-sequence
+    map is O(V) and BROADCASTS; per-document token positions come from
+    a per-doc prefix-sum window over word indexes (partitions are
+    doc-sized — no global sort, document text never crosses an
+    Exchange)."""
+    _, syms = _bpe_train_syms(docs, rounds)
+    wmap = syms.select(
+        "w",
+        F.expr(
+            "transform(split(trim(sym), ' '), t -> substr(t, 2))"
+        ).alias("tw"),
+    )
+    dw = docs.select(
+        "doc_id", F.posexplode(F.expr(WEB_TOKS_S)).alias("widx", "w")
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("widx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    joined = dw.join(F.broadcast(wmap), "w").withColumn(
+        "off",
+        F.coalesce(F.sum(F.size("tw")).over(win), F.lit(0)).cast("long"),
+    )
+    return joined.select(
+        "doc_id",
+        F.posexplode("tw").alias("ti", "tok"),
+        "off",
+    ).select(
+        "doc_id",
+        (F.col("off") + F.col("ti")).cast("long").alias("pos"),
+        "tok",
+    )
+
+
+def _bpe_encode_sql(rounds: int = BPE_ROUNDS) -> str:
+    return f"""
+WITH {_bpe_syms_sql(rounds)},
+wmap AS (
+  SELECT w, list_transform(string_split(trim(sym), ' '),
+                           t -> substr(t, 2)) AS tw
+  FROM sym{rounds}
+),
+dw AS (
+  SELECT doc_id, unnest({WEB_TOKS_D}) AS w,
+         unnest(range(1, len({WEB_TOKS_D}) + 1)) - 1 AS widx
+  FROM '{WEBTEXT_FIXTURE}'
+),
+joined AS (
+  SELECT doc_id, widx, tw FROM dw JOIN wmap USING (w)
+),
+offs AS (
+  SELECT doc_id, widx, tw,
+         CAST(coalesce(SUM(len(tw)) OVER (
+           PARTITION BY doc_id ORDER BY widx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM joined
+)
+SELECT doc_id, CAST(off + ti AS BIGINT) AS pos, tok
+FROM (
+  SELECT doc_id, off, unnest(tw) AS tok,
+         unnest(range(0, len(tw))) AS ti
+  FROM offs
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Train/val split leakage (the Lee et al. 2022 / GPT-3 appendix concern:
+# random splits of a crawl leak near-duplicates between train and eval,
+# inflating benchmark numbers): assign every document a deterministic
+# hash split (md5(doc_id) per-mille, WEB_SPLIT_VAL_PM to 'val'), then
+# report every verified near-dup pair (word-2-gram Jaccard >= tau, the
+# exact-recall prefix-join) that CROSSES the split. The split is a pure
+# function of doc_id, so past the pair detection the leak report is a
+# PROJECTION — no join, no extra shuffle; at 100 TB the cost is the
+# near-dup pass a pipeline runs anyway.
+
+WEB_SPLIT_VAL_PM = 100  # 10% of docs to 'val'
+
+
+def _split_expr(col: str) -> str:
+    return (
+        f"CASE WHEN CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 8), "
+        f"16, 10) AS BIGINT) % 1000 < {WEB_SPLIT_VAL_PM} "
+        "THEN 'val' ELSE 'train' END"
+    )
+
+
+def _split_expr_d(col: str) -> str:
+    return (
+        f"CASE WHEN ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))"
+        f"::BIGINT % 1000 < {WEB_SPLIT_VAL_PM} "
+        "THEN 'val' ELSE 'train' END"
+    )
+
+
+def web_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return web_split_leakage_of(_web_docs(spark))
+
+
+def web_split_leakage_of(docs: DataFrame) -> DataFrame:
+    """doc_a, doc_b, n_inter, n_a, n_b, jaccard, split_a, split_b —
+    every verified threshold-Jaccard near-dup pair whose endpoints land
+    in DIFFERENT splits of the deterministic md5(doc_id) train/val
+    assignment (the pairs a naive random split silently leaks)."""
+    from pdf_extractor_spark.queries.dedup import jaccard_prefix_pairs_of
+
+    norm = docs.select(
+        "doc_id", F.translate("text", "\n", " ").alias("text")
+    )
+    pairs = jaccard_prefix_pairs_of(norm)
+    return (
+        pairs.withColumn("split_a", F.expr(_split_expr("doc_a")))
+        .withColumn("split_b", F.expr(_split_expr("doc_b")))
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+
+
+def _split_leakage_sql() -> str:
+    return f"""
+WITH pairs AS ({WEB_JACCARD_PREFIX_SQL})
+SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard,
+       {_split_expr_d("doc_a")} AS split_a,
+       {_split_expr_d("doc_b")} AS split_b
+FROM pairs
+WHERE {_split_expr_d("doc_a")} <> {_split_expr_d("doc_b")}
+"""

@@ -36,6 +36,7 @@ ENTRIES = [
     "dedup_winnow_pairs",
     "web_bpe_train",
     "web_bpe_tokens",
+    "web_bpe_encode",
     "corpus_budget_alloc",
     "corpus_drift_chi2",
     "text_tfidf_topk",

@@ -23,6 +23,8 @@ from __future__ import annotations
 import math
 from collections import Counter, defaultdict
 
+from pyspark.sql import functions as F
+
 from pdf_extractor_spark.corpus.webtext import webtext_rows
 from pdf_extractor_spark.queries import CATALOG
 from pdf_extractor_spark.queries.dedup import PREFIX_TAU_PM
@@ -2079,3 +2081,108 @@ def test_bpe_tokens_plan_broadcast_and_text_never_shuffles(spark):
     for frag in plan.split("Exchange")[1:]:
         head = frag.split("\n", 1)[0]
         assert "text" not in head, head
+
+
+def test_bpe_encode_reconstructs_and_orders(spark):
+    """The tokenized corpus is lossless and ordered: per doc, positions
+    are exactly 0..n_bpe_tokens-1 with no gaps, concatenating the
+    tokens in position order reproduces the document's characters
+    (BPE merges never cross word boundaries), and per-doc row counts
+    equal web_bpe_tokens' n_bpe_tokens."""
+    from pdf_extractor_spark.queries.webtext import (
+        web_bpe_encode_of,
+        web_bpe_tokens_of,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    enc = defaultdict(list)
+    for r in web_bpe_encode_of(docs).collect():
+        enc[r["doc_id"]].append((r["pos"], r["tok"]))
+    counts = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in web_bpe_tokens_of(docs).collect()
+    }
+    fixture = {f["doc_id"]: f for f in _fixture_rows()}
+    assert set(enc) == {d for d, n in counts.items() if n > 0}
+    for doc_id, toks in enc.items():
+        toks.sort()
+        assert [p for p, _ in toks] == list(range(len(toks)))
+        assert len(toks) == counts[doc_id]
+        assert "".join(t for _, t in toks) == "".join(
+            _toks(fixture[doc_id]["text"])
+        )
+
+
+def test_bpe_encode_plan_broadcast_no_global_sort(spark):
+    """The vocab map joins by BROADCAST; ordering work is per-doc
+    window sorts only (no global Sort outside Exchange-local
+    partitions is required — assert no CartesianProduct, broadcast
+    join present, and text never crosses an Exchange)."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_bpe_encode"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head, head
+
+
+# --- train/val split leakage (web_split_leakage) ---
+
+
+def _py_split(doc_id: int) -> str:
+    import hashlib
+
+    from pdf_extractor_spark.queries.webtext import WEB_SPLIT_VAL_PM
+
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+    return "val" if h % 1000 < WEB_SPLIT_VAL_PM else "train"
+
+
+def test_split_leakage_equals_python_spec(spark):
+    """Leaked pairs == {near-dup pairs with differing Python-recomputed
+    splits}: the hash split matches hashlib.md5 exactly, leakage is a
+    pure filter over the verified pair set (recall/precision 1.0 by
+    the prefix-join theorem), and both splits are populated on the
+    fixture."""
+    from pdf_extractor_spark.queries.webtext import (
+        dedup_jaccard_prefix_web,
+        web_split_leakage_of,
+    )
+
+    all_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_jaccard_prefix_web(spark, SF).collect()
+    }
+    expected = {
+        (a, b) for a, b in all_pairs if _py_split(a) != _py_split(b)
+    }
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    leaked = web_split_leakage_of(docs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in leaked} == expected
+    assert 0 < len(expected) < len(all_pairs)
+    for r in leaked:
+        assert {r["split_a"], r["split_b"]} == {"train", "val"}
+        assert r["split_a"] == _py_split(r["doc_a"])
+        assert r["split_b"] == _py_split(r["doc_b"])
+
+
+def test_split_assignment_rate_and_determinism(spark):
+    """The md5 split is deterministic and lands near the target rate
+    (WEB_SPLIT_VAL_PM/1000 of docs to val; md5 uniformity gives a tight
+    band at n=1200)."""
+    from pdf_extractor_spark.queries.webtext import (
+        WEB_SPLIT_VAL_PM,
+        _split_expr,
+    )
+
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE))
+    rows = docs.select(
+        "doc_id", F.expr(_split_expr("doc_id")).alias("split")
+    ).collect()
+    assert all(r["split"] == _py_split(r["doc_id"]) for r in rows)
+    n_val = sum(1 for r in rows if r["split"] == "val")
+    rate = n_val / len(rows)
+    target = WEB_SPLIT_VAL_PM / 1000
+    assert abs(rate - target) < 0.04
