@@ -974,6 +974,17 @@ CATALOG: dict[str, QuerySpec] = {
         similarity.EMBEDDING_CENTROID_CLUSTERED_SQL,
         "learned-centroid IVF on the clustered fixture: recall >= 0.9 "
         "at <= 25% scan with NO per-dataset knob (test-enforced)"),
+    "embedding_pq_topk": QuerySpec(
+        similarity.embedding_pq_topk, similarity.EMBEDDING_PQ_TOPK_SQL,
+        "product quantization + ADC search (Jegou et al. 2011): "
+        "PQ_M=16 independent per-subspace codebooks (the same "
+        "deterministic k-means as the IVF path, one chain per "
+        "subspace in the oracle), corpus stored as 16 4-bit codes "
+        "(64 doubles -> 64 bits); search = ADC over reconstructions "
+        "to a PQ_SHORTLIST candidate set, then exact full-precision "
+        "re-rank of ONLY the shortlist — at 10^12 vectors the exact "
+        "pass touches PQ_SHORTLIST rows per query, the compressed "
+        "scan does the winnowing"),
     "embedding_quantize_int8": QuerySpec(
         similarity.embedding_quantize_int8,
         similarity.EMBEDDING_QUANTIZE_SQL,

@@ -623,64 +623,70 @@ SELECT query_id, neighbor_id, rank, round(cos, 5) AS cosine FROM (
 """
 
 
-def _centroid_assign_sql(dim: int, sample_where: str, vec: str = "v") -> str:
+def _centroid_assign_sql(
+    dim: int, sample_where: str, vec: str = "v", suffix: str = ""
+) -> str:
     """The sample→seeds→Lloyd→cent→assign WITH-chain fragment, generic
     over a caller-defined CTE ``e(vec_id, v, nrm[, u])`` — the relational
     re-derivation of _learn_centroids + _assign_buckets. Ends after the
     ``assign`` CTE with NO trailing comma (callers append their own
     continuation). Shared by the centroid search oracle and the
-    semantic-dedup oracle."""
+    semantic-dedup oracle. ``suffix`` renames every internal CTE
+    (sample{suffix}, cent{suffix}, ...) so several chains can coexist in
+    one statement (the PQ oracle instantiates one per subspace); the
+    default "" leaves the existing oracles byte-identical."""
     # one assign→means→coalesce block per Lloyd iteration, chained:
     # cent{i} refines cent{i-1} (seeds for i=1), exactly mirroring the
     # Python loop in _learn_centroids (empty cell keeps its previous
     # seat via the LEFT JOIN coalesce)
+    sfx = suffix
     lloyd = ""
-    prev = "seeds"
+    prev = f"seeds{sfx}"
     for i in range(1, LLOYD_ITERS + 1):
-        lloyd += f"""a{i} AS (
+        lloyd += f"""a{i}{sfx} AS (
   SELECT vec_id, v, cid FROM (
     SELECT s.vec_id, s.v, c.cid, row_number() OVER (
       PARTITION BY s.vec_id
       ORDER BY round({_SQD_D.format(a="s.v", b="c.v")}, 9), c.cid
     ) AS rn
-    FROM sample s CROSS JOIN {prev} c
+    FROM sample{sfx} s CROSS JOIN {prev} c
   ) WHERE rn = 1
 ),
-m{i} AS (
+m{i}{sfx} AS (
   SELECT cid, d,
          round(list_reduce(list(val ORDER BY vec_id), (x, y) -> x + y)
                / COUNT(*), 6) AS cv
   FROM (
-    SELECT a{i}.cid, a{i}.vec_id, t.d, a{i}.v[t.d + 1] AS val
-    FROM a{i} CROSS JOIN (SELECT unnest(range({dim})) AS d) t
+    SELECT a{i}{sfx}.cid, a{i}{sfx}.vec_id, t.d, a{i}{sfx}.v[t.d + 1] AS val
+    FROM a{i}{sfx} CROSS JOIN (SELECT unnest(range({dim})) AS d) t
   )
   GROUP BY cid, d
 ),
-cent{i} AS (
+cent{i}{sfx} AS (
   SELECT s.cid, list(coalesce(m.cv, s.v[t.d + 1]) ORDER BY t.d) AS v
   FROM {prev} s
   CROSS JOIN (SELECT unnest(range({dim})) AS d) t
-  LEFT JOIN m{i} m ON m.cid = s.cid AND m.d = t.d
+  LEFT JOIN m{i}{sfx} m ON m.cid = s.cid AND m.d = t.d
   GROUP BY s.cid
 ),
 """
-        prev = f"cent{i}"
-    return f"""sample AS (
+        prev = f"cent{i}{sfx}"
+    return f"""sample{sfx} AS (
   SELECT vec_id, {vec} AS v FROM e {sample_where}
   ORDER BY vec_id LIMIT {SAMPLE_N}
 ),
-seeds AS (
+seeds{sfx} AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
-  FROM (SELECT vec_id, v FROM sample ORDER BY vec_id LIMIT {N_CENTROIDS})
+  FROM (SELECT vec_id, v FROM sample{sfx} ORDER BY vec_id LIMIT {N_CENTROIDS})
 ),
-{lloyd}cent AS (SELECT cid, v FROM {prev}),
-assign AS (
+{lloyd}cent{sfx} AS (SELECT cid, v FROM {prev}),
+assign{sfx} AS (
   SELECT vec_id, cid AS bucket FROM (
     SELECT e.vec_id, c.cid, row_number() OVER (
       PARTITION BY e.vec_id
       ORDER BY round({_SQD_D.format(a=f"e.{vec}", b="c.v")}, 9), c.cid
     ) AS rn
-    FROM e CROSS JOIN cent c
+    FROM e CROSS JOIN cent{sfx} c
   ) WHERE rn = 1
 )"""
 
@@ -957,3 +963,191 @@ SELECT vec_id,
          / len(q), 9) END AS mse
 FROM q
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search" — public paper; reference parity: the
+# vector-store compression a 10^12-doc embedding table needs — 64
+# doubles -> PQ_M single-byte codes per vector). Each vector splits
+# into PQ_M contiguous subvectors; every subspace learns an INDEPENDENT
+# N_CENTROIDS codebook with the SAME deterministic k-means as the IVF
+# path (_learn_centroids — Python may use libm freely; the engine
+# expressions consume only the resulting 6-dp literals). A vector's
+# code is its per-subspace argmin centroid id (round(·,9) + lowest-id
+# tie-break, the established float discipline). Search is ADC
+# (asymmetric distance computation): the query stays EXACT, the corpus
+# vector is replaced by its RECONSTRUCTION — the concatenation of its
+# assigned sub-centroids — so distance is one 64-dim sqdist fold, and
+# at scale the scanned bytes drop 64x while queries stay full-precision.
+
+PQ_M = 16           # subspaces -> 16 codes = 64-bit vector ids
+PQ_SUB = DIM // PQ_M  # dims per subspace
+PQ_SHORTLIST = 50   # ADC shortlist size; only these get exact re-rank
+
+
+_SQD_S = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+)
+
+
+def _pq_codebooks(
+    emb: DataFrame, sample_where: str | None = f"vec_id >= {N_QUERIES}"
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Adds v0..v{PQ_M-1} subvector columns and learns one codebook per
+    subspace over the sample (queries excluded, matching the IVF
+    discipline)."""
+    e2 = emb
+    for m in range(PQ_M):
+        e2 = e2.withColumn(
+            f"v{m}", F.expr(f"slice(v, {PQ_SUB * m + 1}, {PQ_SUB})")
+        )
+    books = [
+        _learn_centroids(e2, sample_where, vec_col=f"v{m}")
+        for m in range(PQ_M)
+    ]
+    return e2, books
+
+
+def _pq_lit(book: list[list[float]]) -> str:
+    return "array(" + ", ".join(_cent_lit(c) for c in book) + ")"
+
+
+def _pq_encode(
+    emb: DataFrame, sample_where: str | None = f"vec_id >= {N_QUERIES}"
+) -> DataFrame:
+    """(vec_id, v, code0..code{PQ_M-1}, recon) — the PQ codes and the
+    reconstructed vector (assigned sub-centroids concatenated). Codes
+    are argmin over ONE materialized distance array per subspace (the
+    _assign_buckets pattern); everything is a pure projection."""
+    e2, books = _pq_codebooks(emb, sample_where)
+    for m in range(PQ_M):
+        dists = "array(" + ", ".join(
+            _cdist_expr(c, books[m], f"v{m}")
+            for c in range(len(books[m]))
+        ) + ")"
+        e2 = e2.withColumn(f"rd{m}", F.expr(
+            f"transform({dists}, x -> round(x, 9))"
+        )).withColumn(
+            f"code{m}",
+            F.expr(
+                f"CAST(array_position(rd{m}, array_min(rd{m})) - 1 "
+                "AS BIGINT)"
+            ),
+        ).drop(f"rd{m}")
+    recon = "concat(" + ", ".join(
+        f"element_at({_pq_lit(books[m])}, CAST(code{m} + 1 AS INT))"
+        for m in range(PQ_M)
+    ) + ")"
+    return e2.withColumn("recon", F.expr(recon)).select(
+        "vec_id", "v", *[f"code{m}" for m in range(PQ_M)], "recon"
+    )
+
+
+def _pq_search(emb: DataFrame, k: int = TOP_K) -> DataFrame:
+    """The production PQ pipeline: ADC over the compressed corpus
+    selects a PQ_SHORTLIST-candidate shortlist per query (round(.,9) +
+    id tie-break), then ONLY the shortlist is re-ranked with exact
+    full-precision distances. At 10^12 vectors the exact pass touches
+    PQ_SHORTLIST rows per query instead of the corpus — the compressed
+    scan does the winnowing."""
+    enc = _pq_encode(emb)
+    q = enc.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("recon").alias("cv"),
+        F.col("v").alias("xv"),
+    )
+    joined = c.join(
+        F.broadcast(q), F.expr("query_id <> neighbor_id")
+    ).withColumn("adc", F.expr(_SQD_S.format(a="qv", b="cv")))
+    from pyspark.sql import Window
+
+    ws = Window.partitionBy("query_id").orderBy(
+        F.expr("round(adc, 9)").asc(), F.col("neighbor_id").asc()
+    )
+    short = joined.withColumn(
+        "srank", F.row_number().over(ws)
+    ).filter(F.col("srank") <= PQ_SHORTLIST)
+    rer = short.withColumn("dist", F.expr(_SQD_S.format(a="qv", b="xv")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.expr("round(dist, 9)").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.expr("round(dist, 5)").alias("dist"),
+        )
+    )
+
+
+def embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC shortlist + exact re-rank top-k over the driver
+    embeddings table."""
+    return _pq_search(_emb(spark, sf_dir))
+
+
+def _pq_sql(source: str, k: int = TOP_K) -> str:
+    chains = ",\n".join(
+        _centroid_assign_sql(
+            PQ_SUB,
+            f"WHERE vec_id >= {N_QUERIES}",
+            vec=f"v[{PQ_SUB * m + 1}:{PQ_SUB * (m + 1)}]",
+            suffix=f"_s{m}",
+        )
+        for m in range(PQ_M)
+    )
+    code_joins = " ".join(
+        f"JOIN assign_s{m} a{m} USING (vec_id) "
+        f"JOIN cent_s{m} c{m} ON a{m}.bucket = c{m}.cid"
+        for m in range(PQ_M)
+    )
+    rv = " || ".join(f"c{m}.v" for m in range(PQ_M))
+    adc = _SQD_D.format(a="q.v", b="c.rv")
+    sqd = _SQD_D.format(a="q.v", b="c.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, v, {_NORM_D} AS nrm
+  FROM (SELECT vec_id, {_VEC_D} AS v FROM {source})
+),
+{chains},
+recon AS (
+  SELECT e.vec_id, {rv} AS rv
+  FROM e {code_joins}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {adc} AS adc
+  FROM (SELECT * FROM e WHERE vec_id < {N_QUERIES}) q
+  JOIN recon c ON q.vec_id <> c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY round(adc, 9), neighbor_id
+    ) AS srank FROM pairs
+  ) WHERE srank <= {PQ_SHORTLIST}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {sqd} AS dist
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(dist, 5) AS dist FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY round(dist, 9), neighbor_id
+  ) AS BIGINT) AS rank FROM rer
+) WHERE rank <= {k}
+"""
+
+
+EMBEDDING_PQ_TOPK_SQL = _pq_sql("embeddings")

@@ -37,6 +37,7 @@ ENTRIES = [
     "web_bpe_train",
     "web_bpe_tokens",
     "web_bpe_encode",
+    "embedding_pq_topk",
     "corpus_budget_alloc",
     "corpus_drift_chi2",
     "text_tfidf_topk",

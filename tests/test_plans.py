@@ -299,3 +299,14 @@ def test_gopher_gram_stage_single_scan(spark):
         head = frag.split("\n", 1)[0]
         assert "text" not in head, head
     assert plan.count("FileScan") <= 3, plan.count("FileScan")
+
+
+def test_embedding_pq_topk_broadcasts_queries(spark):
+    """PQ/ADC: codes + reconstruction are projections over literal
+    codebooks; the query side BROADCASTs into the ADC theta join (no
+    SortMergeJoin anywhere — the corpus streams past the 10-row query
+    table twice: shortlist, then exact re-rank of shortlist rows
+    only)."""
+    plan = plan_of(CATALOG["embedding_pq_topk"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

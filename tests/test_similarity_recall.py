@@ -216,3 +216,69 @@ def test_quantize_int8_roundtrip(spark):
             # round-trip beats 1% relative RMS on these vectors
             rms = (sum(x * x for x in v) / len(v)) ** 0.5
             assert r["mse"] ** 0.5 <= 0.02 * max(rms, 1e-9) + step
+
+
+def test_pq_shortlist_rerank_recall(spark):
+    """PQ/ADC shortlist + exact re-rank: recall@TOP_K >= 0.8 vs the
+    exact L2 brute force on the isotropic fixture (PQ's WORST case —
+    i.i.d. dimensions carry no per-subspace structure; measured 0.86 at
+    sf0.001, 0.82 at sf0.01 with the 64-bit code). The raw-ADC top-k
+    (no re-rank) measures ~0.26 here — the shortlist+re-rank SHAPE, not
+    bitrate, is what makes PQ usable, which is why the entry ships that
+    shape."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from pdf_extractor_spark.queries.similarity import (
+        _SQD_S,
+        N_QUERIES,
+        TOP_K,
+        _emb,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        got = _pairs(spark, "embedding_pq_topk", sf)
+        emb = _emb(spark, sf)
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        )
+        c = emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("v").alias("xv")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.expr("round(dist, 9)").asc(), F.col("neighbor_id").asc()
+        )
+        exact = {
+            (r.query_id, r.neighbor_id)
+            for r in c.join(
+                F.broadcast(q), F.expr("query_id <> neighbor_id")
+            )
+            .withColumn("dist", F.expr(_SQD_S.format(a="qv", b="xv")))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .collect()
+        }
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.8, (sf, recall)
+
+
+def test_pq_codes_compact_and_complete(spark):
+    """Every vector gets PQ_M codes in [0, N_CENTROIDS) and a full-dim
+    reconstruction — the 64-double vector compresses to 16 4-bit codes
+    (64 bits) losslessly at the schema level."""
+    from pdf_extractor_spark.queries.similarity import (
+        DIM,
+        N_CENTROIDS,
+        PQ_M,
+        _emb,
+        _pq_encode,
+    )
+
+    enc = _pq_encode(_emb(spark, "/root/testdata/sf0.001"))
+    rows = enc.collect()
+    n_vecs = len(rows)
+    assert n_vecs > 0
+    for r in rows:
+        for m in range(PQ_M):
+            assert 0 <= r[f"code{m}"] < N_CENTROIDS
+        assert len(r["recon"]) == DIM
