@@ -180,6 +180,7 @@ HEADLINE = [
     "web_bpe_tokens",
     "web_bpe_encode",
     "web_split_leakage",
+    "web_decontaminate_fuzzy",
     "embedding_pq_topk",
     "text_embed_hash",
     "text_embed_topk",

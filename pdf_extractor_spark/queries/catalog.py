@@ -1289,6 +1289,18 @@ CATALOG: dict[str, QuerySpec] = {
         "come from a per-doc prefix-sum window over word indexes "
         "(doc-sized partitions, no global sort; text never crosses an "
         "Exchange)"),
+    "web_decontaminate_fuzzy": QuerySpec(
+        webtext.web_decontaminate_fuzzy,
+        webtext._decontaminate_fuzzy_sql(),
+        "fuzzy (containment) decontamination: every (train, bench) "
+        "pair where >= FUZZY_PM/1000 of the BENCHMARK doc's distinct "
+        "word 3-grams appear in the training doc — short grams "
+        "survive paraphrase mutations, and a shared boilerplate line "
+        "is a tiny fraction of a bench doc so it cannot reach the "
+        "threshold (exact 8-gram overlap flags 751 of ~1170 train "
+        "docs on this corpus; the containment form flags exactly the "
+        "4 planted near-dup-of-benchmark pairs); bench gram table + "
+        "sizes broadcast, integer cross-multiplied threshold"),
     "web_split_leakage": QuerySpec(
         webtext.web_split_leakage, webtext._split_leakage_sql(),
         "train/val split-leakage report (the Lee et al. 2022 / GPT-3 "

@@ -3056,3 +3056,67 @@ SELECT doc_a, doc_b, n_inter, n_a, n_b, jaccard,
 FROM pairs
 WHERE {_split_expr_d("doc_a")} <> {_split_expr_d("doc_b")}
 """
+
+
+def web_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (containment) decontamination on natural text: benchmark
+    carved by doc_id % BENCH_MOD (the decontaminate convention), every
+    (train, bench) pair with >= FUZZY_PM/1000 of the bench doc's
+    3-grams contained in the train doc. On this fixture that is exactly
+    the planted near-dup-of-benchmark set — while exact 8-gram overlap
+    flags 751 of ~1170 train docs on the shared boilerplate lines
+    (test-pinned exhibit)."""
+    from pdf_extractor_spark.queries.contamination import (
+        BENCH_MOD,
+        contamination_fuzzy_of,
+    )
+
+    docs = _web_docs(spark).select(
+        "doc_id", F.translate("text", "\n", " ").alias("text")
+    )
+    return contamination_fuzzy_of(
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0),
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0),
+    )
+
+
+def _decontaminate_fuzzy_sql() -> str:
+    from pdf_extractor_spark.queries.contamination import (
+        BENCH_MOD,
+        FUZZY_N,
+        FUZZY_PM,
+        _ngrams_duck,
+    )
+
+    n = FUZZY_N
+    return f"""
+WITH d AS (
+  SELECT doc_id, replace(text, chr(10), ' ') AS text
+  FROM '{WEBTEXT_FIXTURE}'
+),
+g AS (
+  SELECT doc_id, unnest({_ngrams_duck(n)}) AS gram
+  FROM (
+    SELECT doc_id, text,
+           list_filter(string_split(text, ' '), t -> t <> '') AS toks
+    FROM d
+  )
+),
+bench AS (
+  SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % {BENCH_MOD} = 0
+),
+bsz AS (
+  SELECT bench_id, CAST(COUNT(*) AS BIGINT) AS n_bench
+  FROM bench GROUP BY bench_id
+),
+inter AS (
+  SELECT t.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_inter
+  FROM (SELECT * FROM g WHERE doc_id % {BENCH_MOD} != 0) t
+  JOIN bench b ON t.gram = b.gram
+  GROUP BY t.doc_id, b.bench_id
+)
+SELECT doc_id, bench_id, n_inter, n_bench,
+       CAST(n_inter * 1000 // n_bench AS BIGINT) AS cont_pm
+FROM inter JOIN bsz USING (bench_id)
+WHERE n_inter * 1000 >= {FUZZY_PM} * n_bench
+"""

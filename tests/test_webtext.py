@@ -2186,3 +2186,86 @@ def test_split_assignment_rate_and_determinism(spark):
     rate = n_val / len(rows)
     target = WEB_SPLIT_VAL_PM / 1000
     assert abs(rate - target) < 0.04
+
+
+# --- fuzzy (containment) decontamination ---
+
+
+def test_decontaminate_fuzzy_equals_python_and_catches_mutants(spark):
+    """Flagged pairs == a plain-Python containment recompute; every
+    planted near-dup pair with exactly one benchmark-side doc is
+    caught; and the boilerplate-robustness exhibit holds: exact 8-gram
+    overlap flags MOST of the corpus on shared boilerplate lines while
+    the containment form flags only the genuine near-dup pairs."""
+    from pdf_extractor_spark.queries.contamination import (
+        BENCH_MOD,
+        FUZZY_N,
+        FUZZY_PM,
+        contamination_of,
+    )
+    from pdf_extractor_spark.queries.webtext import (
+        dedup_jaccard_prefix_web,
+        web_decontaminate_fuzzy,
+    )
+
+    # python reference containment
+    grams = {}
+    for r in _fixture_rows():
+        toks = _toks(r["text"])
+        gs = (
+            {
+                " ".join(toks[i : i + FUZZY_N])
+                for i in range(len(toks) - FUZZY_N + 1)
+            }
+            if len(toks) >= FUZZY_N
+            else {r["text"].replace("\n", " ")}
+        )
+        grams[r["doc_id"]] = gs
+    bench_ids = [d for d in grams if d % BENCH_MOD == 0]
+    expected = set()
+    for t, tg in grams.items():
+        if t % BENCH_MOD == 0:
+            continue
+        for b in bench_ids:
+            n_i = len(tg & grams[b])
+            if n_i * 1000 >= FUZZY_PM * len(grams[b]):
+                expected.add((t, b, n_i, len(grams[b])))
+    got = {
+        (r["doc_id"], r["bench_id"], r["n_inter"], r["n_bench"])
+        for r in web_decontaminate_fuzzy(spark, SF).collect()
+    }
+    assert got == expected and len(got) > 0
+
+    # planted ground truth: every threshold-Jaccard near-dup pair with
+    # exactly one bench-side doc is flagged
+    flagged = {(t, b) for t, b, _, _ in got}
+    for r in dedup_jaccard_prefix_web(spark, SF).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % BENCH_MOD == 0) != (b % BENCH_MOD == 0):
+            t, bb = (b, a) if a % BENCH_MOD == 0 else (a, b)
+            assert (t, bb) in flagged, (t, bb)
+
+    # exhibit: exact long-gram overlap drowns in boilerplate here
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE)).select(
+        "doc_id", F.translate("text", "\n", " ").alias("text")
+    )
+    exact = contamination_of(
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0),
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0),
+        n=8,
+    )
+    n_exact = exact.filter("contaminated = 1").count()
+    n_train = docs.filter(F.col("doc_id") % BENCH_MOD != 0).count()
+    assert n_exact > n_train // 2  # most of the corpus
+    assert len(flagged) < 10  # the containment form stays surgical
+
+
+def test_decontaminate_fuzzy_plan_broadcast_no_text_shuffle(spark):
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_decontaminate_fuzzy"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head, head
