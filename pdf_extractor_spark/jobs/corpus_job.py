@@ -64,7 +64,12 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
       → [optional] benchmark decontamination
                                 (queries/contamination.contamination_of:
                                  drop survivors sharing word n-grams
-                                 with --benchmark's eval texts)
+                                 with --benchmark's eval texts;
+                                 --fuzzy-decontam-pm N adds the
+                                 CONTAINMENT pass — drop survivors
+                                 holding >= N/1000 of any eval doc's
+                                 3-grams, catching paraphrased copies
+                                 exact n-grams miss)
       → stratified sampling     (queries/corpus_select.sample_stratified_of:
                                  hash-threshold budget per (lang, band))
       → gzip JSONL shards       (the training-data delivery format;
@@ -171,6 +176,7 @@ def build_corpus(
     shards: int | None = None,
     partitions: list[str] | None = None,
     benchmark: str | None = None,
+    fuzzy_decontam_pm: int | None = None,
     mix_shards: int | None = None,
     contam_ngram: int | None = None,
     line_dedup: bool = False,
@@ -696,6 +702,38 @@ def build_corpus(
             ).localCheckpoint(eager=True)
             n_decontaminated = survivors.count()
 
+            # optional FUZZY (containment) pass on top: drop survivors
+            # holding >= fuzzy_decontam_pm/1000 of any eval doc's word
+            # 3-grams — catches mutated/paraphrased copies the exact
+            # n-gram pass misses, and cannot be tripped by shared
+            # boilerplate (a boilerplate line is a tiny fraction of an
+            # eval doc's grams). Same operator the catalog
+            # oracle-checks as web_decontaminate_fuzzy. Bench ids are
+            # md5(text)-derived — deterministic, and identical eval
+            # texts merge (containment unchanged).
+            if fuzzy_decontam_pm:
+                from pdf_extractor_spark.queries.contamination import (
+                    contamination_fuzzy_of,
+                )
+
+                fz = contamination_fuzzy_of(
+                    survivors.select("doc_id", "text"),
+                    bench_docs.select(
+                        F.expr(
+                            "CAST(conv(substr(md5(text), 1, 15), "
+                            "16, 10) AS BIGINT)"
+                        ).alias("doc_id"),
+                        "text",
+                    ),
+                    pm=fuzzy_decontam_pm,
+                )
+                survivors = survivors.join(
+                    fz.select("doc_id").distinct(),
+                    on="doc_id",
+                    how="left_anti",
+                ).localCheckpoint(eager=True)
+                n_decontaminated = survivors.count()
+
         # sampling: either the flat per-(lang, quality-band) stratified
         # budget, or — with --mix-budget N — per-SOURCE (url host) doc
         # budgets derived from the exact-integer token waterfill
@@ -995,6 +1033,12 @@ def main(argv: list[str] | None = None) -> None:
         "before sampling",
     )
     ap.add_argument(
+        "--fuzzy-decontam-pm", type=int, default=None,
+        help="with --benchmark: ALSO drop survivors holding >= N/1000 "
+        "of any eval doc's word 3-grams (containment form — catches "
+        "paraphrased copies exact n-grams miss; boilerplate-immune)",
+    )
+    ap.add_argument(
         "--intradoc", action="store_true",
         help="strip WITHIN-document repeated segments (scraper stutter) "
         "after gating, before the cross-document passes",
@@ -1123,6 +1167,7 @@ def main(argv: list[str] | None = None) -> None:
         spark, args.warehouse, args.out, args.budget,
         args.min_chars, args.shards, args.partitions,
         benchmark=args.benchmark, mix_shards=args.mix_shards,
+        fuzzy_decontam_pm=args.fuzzy_decontam_pm,
         contam_ngram=args.contam_ngram, line_dedup=args.line_dedup,
         intradoc=args.intradoc, line_mode=args.line_mode,
         substring_cut=args.substring_cut,

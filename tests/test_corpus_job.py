@@ -1028,3 +1028,56 @@ def test_corpus_job_bpe_report(spark, tmp_path):
     s3 = build_corpus(spark, wh, out3, budget=10)
     assert s3["bpe"] is None
     assert s3["rows_exported"] == s1["rows_exported"]
+
+
+def test_corpus_job_fuzzy_decontam(spark, tmp_path):
+    """--fuzzy-decontam-pm catches a MUTATED copy of an eval doc that
+    the exact n-gram pass provably misses: every 8th token of the
+    benchmark text is replaced with a unique junk token, so the
+    benchmark shares no intact 8-gram with any survivor (exact pass
+    drops nothing), while ~5/7 of its word 3-grams survive in the
+    original doc (containment >= 500 per-mille -> fuzzy pass drops
+    it). Deterministic across reruns."""
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=13, n_rows=150, n_days=3)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out0 = str(tmp_path / "plain")
+    build_corpus(spark, wh, out0, budget=10)
+    rows0 = _read_jsonl(out0)
+    victim = next(r for r in rows0 if len(r["text"].split(" ")) >= 24)
+
+    toks = victim["text"].split(" ")
+    mutant = " ".join(
+        f"zzqx{i}" if i % 8 == 7 else t for i, t in enumerate(toks)
+    )
+    bench = tmp_path / "bench.jsonl"
+    bench.write_text(json.dumps({"text": mutant}) + "\n")
+
+    # exact-only pass: the mutant shares NO intact 8-gram with anything
+    out1 = str(tmp_path / "exact_only")
+    s1 = build_corpus(spark, wh, out1, budget=10, benchmark=str(bench))
+    assert s1["rows_decontaminated"] == s1["rows_survivors"]
+    assert victim["url"] in {r["url"] for r in _read_jsonl(out1)}
+
+    # fuzzy pass: containment of the mutant's 3-grams flags the victim
+    out2 = str(tmp_path / "fuzzy")
+    s2 = build_corpus(
+        spark, wh, out2, budget=10,
+        benchmark=str(bench), fuzzy_decontam_pm=500,
+    )
+    assert s2["rows_decontaminated"] < s2["rows_survivors"]
+    assert victim["url"] not in {r["url"] for r in _read_jsonl(out2)}
+
+    # deterministic rerun
+    out3 = str(tmp_path / "fuzzy2")
+    s3 = build_corpus(
+        spark, wh, out3, budget=10,
+        benchmark=str(bench), fuzzy_decontam_pm=500,
+    )
+    assert s3["rows_decontaminated"] == s2["rows_decontaminated"]
+    assert {r["url"] for r in _read_jsonl(out3)} == {
+        r["url"] for r in _read_jsonl(out2)
+    }
