@@ -182,6 +182,7 @@ HEADLINE = [
     "web_split_leakage",
     "web_decontaminate_fuzzy",
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
     "text_embed_hash",
     "text_embed_topk",
     "text_embed_centroid_topk",

@@ -985,6 +985,17 @@ CATALOG: dict[str, QuerySpec] = {
         "re-rank of ONLY the shortlist — at 10^12 vectors the exact "
         "pass touches PQ_SHORTLIST rows per query, the compressed "
         "scan does the winnowing"),
+    "embedding_ivfpq_topk": QuerySpec(
+        similarity.embedding_ivfpq_topk,
+        similarity.EMBEDDING_IVFPQ_TOPK_SQL,
+        "IVF-PQ composite (the FAISS IVFPQ recipe, Jegou et al. 2011 "
+        "V): learned-centroid coarse cells prune the corpus to the "
+        "probed fraction, PQ/ADC over 64-bit codes winnows the probed "
+        "slice to a PQ_SHORTLIST shortlist, exact full-precision "
+        "distance re-ranks only the shortlist — the full "
+        "trillion-scale cost cascade in one query (oracle: the coarse "
+        "k-means chain + SIXTEEN per-subspace chains + probe/ADC/"
+        "re-rank tail in one statement)"),
     "embedding_quantize_int8": QuerySpec(
         similarity.embedding_quantize_int8,
         similarity.EMBEDDING_QUANTIZE_SQL,

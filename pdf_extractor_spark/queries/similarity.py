@@ -1015,12 +1015,16 @@ def _pq_lit(book: list[list[float]]) -> str:
 
 
 def _pq_encode(
-    emb: DataFrame, sample_where: str | None = f"vec_id >= {N_QUERIES}"
+    emb: DataFrame,
+    sample_where: str | None = f"vec_id >= {N_QUERIES}",
+    keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(vec_id, v, code0..code{PQ_M-1}, recon) — the PQ codes and the
-    reconstructed vector (assigned sub-centroids concatenated). Codes
-    are argmin over ONE materialized distance array per subspace (the
-    _assign_buckets pattern); everything is a pure projection."""
+    """(vec_id, v, [keep...], code0..code{PQ_M-1}, recon) — the PQ
+    codes and the reconstructed vector (assigned sub-centroids
+    concatenated). Codes are argmin over ONE materialized distance
+    array per subspace (the _assign_buckets pattern); everything is a
+    pure projection. ``keep`` carries extra caller columns through
+    (IVF-PQ keeps the coarse bucket)."""
     e2, books = _pq_codebooks(emb, sample_where)
     for m in range(PQ_M):
         dists = "array(" + ", ".join(
@@ -1041,7 +1045,8 @@ def _pq_encode(
         for m in range(PQ_M)
     ) + ")"
     return e2.withColumn("recon", F.expr(recon)).select(
-        "vec_id", "v", *[f"code{m}" for m in range(PQ_M)], "recon"
+        "vec_id", "v", *keep,
+        *[f"code{m}" for m in range(PQ_M)], "recon"
     )
 
 
@@ -1151,3 +1156,164 @@ SELECT query_id, neighbor_id, rank, round(dist, 5) AS dist FROM (
 
 
 EMBEDDING_PQ_TOPK_SQL = _pq_sql("embeddings")
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the full trillion-scale composite (the FAISS IVFPQ recipe,
+# Jégou et al. 2011 §V): learned-centroid COARSE buckets prune the
+# corpus to the probed cells, PQ/ADC winnows the probed cells to a
+# PQ_SHORTLIST shortlist, exact full-precision distance re-ranks only
+# the shortlist. At 10^12 vectors the cost cascade is: coarse probe
+# touches probes/cells of the corpus, ADC reads 64-bit codes (not
+# 512-byte vectors) for that slice, and the exact pass touches
+# PQ_SHORTLIST rows per query. Codebooks here quantize RAW subvectors
+# (shared across cells); FAISS's default quantizes cell RESIDUALS — a
+# recall refinement orthogonal to the plan shape, documented as the
+# upgrade path.
+
+
+def _ivfpq_search(
+    emb: DataFrame, n_probes: int = CENTROID_PROBES, k: int = TOP_K
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = _assign_buckets(emb, f"vec_id >= {N_QUERIES}")
+    enc = _pq_encode(emb, keep=("bucket",))
+    # queries probe their n_probes nearest cells (the IVF discipline)
+    pw = Window.partitionBy("query_id").orderBy(
+        F.expr("round(pc.dist, 9)").asc(), F.col("pc.cid").asc()
+    )
+    q = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            "dists",
+        )
+        .withColumn(
+            "pc",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(dists) - 1), "
+                    "c -> struct(CAST(c AS BIGINT) AS cid, "
+                    "element_at(dists, c + 1) AS dist))"
+                )
+            ),
+        )
+        .withColumn("pr", F.row_number().over(pw))
+        .filter(F.col("pr") <= n_probes)
+        .select("query_id", "qv", F.col("pc.cid").alias("qb"))
+    )
+    c = enc.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("cb"),
+        F.col("recon").alias("cv"),
+        F.col("v").alias("xv"),
+    )
+    joined = (
+        c.join(F.broadcast(q), on=[F.col("qb") == F.col("cb")])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", F.expr(_SQD_S.format(a="qv", b="cv")))
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.expr("round(adc, 9)").asc(), F.col("neighbor_id").asc()
+    )
+    short = joined.withColumn(
+        "srank", F.row_number().over(ws)
+    ).filter(F.col("srank") <= PQ_SHORTLIST)
+    rer = short.withColumn("dist", F.expr(_SQD_S.format(a="qv", b="xv")))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.expr("round(dist, 9)").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.expr("round(dist, 5)").alias("dist"),
+        )
+    )
+
+
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite top-k over the driver embeddings table."""
+    return _ivfpq_search(_emb(spark, sf_dir))
+
+
+def _ivfpq_sql(
+    source: str, n_probes: int = CENTROID_PROBES, k: int = TOP_K
+) -> str:
+    coarse = _centroid_assign_sql(DIM, f"WHERE vec_id >= {N_QUERIES}")
+    pq_chains = ",\n".join(
+        _centroid_assign_sql(
+            PQ_SUB,
+            f"WHERE vec_id >= {N_QUERIES}",
+            vec=f"v[{PQ_SUB * m + 1}:{PQ_SUB * (m + 1)}]",
+            suffix=f"_s{m}",
+        )
+        for m in range(PQ_M)
+    )
+    code_joins = " ".join(
+        f"JOIN assign_s{m} a{m} USING (vec_id) "
+        f"JOIN cent_s{m} c{m} ON a{m}.bucket = c{m}.cid"
+        for m in range(PQ_M)
+    )
+    rv = " || ".join(f"c{m}.v" for m in range(PQ_M))
+    adc = _SQD_D.format(a="q.v", b="c.rv")
+    sqd = _SQD_D.format(a="q.v", b="c.v")
+    qsqd = _SQD_D.format(a="eq.v", b="c.v")
+    return f"""
+WITH e AS (
+  SELECT vec_id, v, {_NORM_D} AS nrm
+  FROM (SELECT vec_id, {_VEC_D} AS v FROM {source})
+),
+{coarse},
+{pq_chains},
+qids AS (SELECT vec_id FROM e WHERE vec_id < {N_QUERIES}),
+qp AS (
+  SELECT vec_id, cid AS qb FROM (
+    SELECT eq.vec_id, c.cid, row_number() OVER (
+      PARTITION BY eq.vec_id
+      ORDER BY round({qsqd}, 9), c.cid
+    ) AS rn
+    FROM (SELECT e.* FROM e JOIN qids USING (vec_id)) eq
+    CROSS JOIN cent c
+  ) WHERE rn <= {n_probes}
+),
+recon AS (
+  SELECT e.vec_id, {rv} AS rv
+  FROM e {code_joins}
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {adc} AS adc
+  FROM (SELECT e.vec_id, e.v, qp.qb FROM e JOIN qp USING (vec_id)) q
+  JOIN (SELECT r.vec_id, r.rv, a.bucket
+        FROM recon r JOIN assign a USING (vec_id)) c
+    ON q.qb = c.bucket AND q.vec_id <> c.vec_id
+),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY round(adc, 9), neighbor_id
+    ) AS srank FROM pairs
+  ) WHERE srank <= {PQ_SHORTLIST}
+),
+rer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {sqd} AS dist
+  FROM short s
+  JOIN e q ON q.vec_id = s.query_id
+  JOIN e c ON c.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, rank, round(dist, 5) AS dist FROM (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY round(dist, 9), neighbor_id
+  ) AS BIGINT) AS rank FROM rer
+) WHERE rank <= {k}
+"""
+
+
+EMBEDDING_IVFPQ_TOPK_SQL = _ivfpq_sql("embeddings")

@@ -38,6 +38,7 @@ ENTRIES = [
     "web_bpe_tokens",
     "web_bpe_encode",
     "embedding_pq_topk",
+    "embedding_ivfpq_topk",
     "corpus_budget_alloc",
     "corpus_drift_chi2",
     "text_tfidf_topk",

@@ -282,3 +282,70 @@ def test_pq_codes_compact_and_complete(spark):
         for m in range(PQ_M):
             assert 0 <= r[f"code{m}"] < N_CENTROIDS
         assert len(r["recon"]) == DIM
+
+
+def test_ivfpq_clustered_recall_and_cascade(spark):
+    """IVF-PQ on the clustered fixture (where coarse cells are
+    meaningful): rerank recall@TOP_K >= 0.8 vs exact L2 (measured
+    0.84), and the candidate cascade is real — every reported pair's
+    neighbor shares a probed cell with the query (coarse pruning is
+    load-bearing, not decorative)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from pdf_extractor_spark.queries.similarity import (
+        _SQD_S,
+        N_QUERIES,
+        TOP_K,
+        _assign_buckets,
+        _clustered_emb,
+        _ivfpq_search,
+        CENTROID_PROBES,
+    )
+
+    clus = _clustered_emb(spark)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in _ivfpq_search(clus).collect()
+    }
+    q = clus.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = clus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("xv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.expr("round(dist, 9)").asc(), F.col("neighbor_id").asc()
+    )
+    exact = (
+        c.join(F.broadcast(q), F.expr("query_id <> neighbor_id"))
+        .withColumn("dist", F.expr(_SQD_S.format(a="qv", b="xv")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .collect()
+    )
+    by_q: dict = {}
+    for r in exact:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got_by_q: dict = {}
+    for qq, nn in got:
+        got_by_q.setdefault(qq, set()).add(nn)
+    recall = sum(
+        len(got_by_q.get(qq, set()) & nn) for qq, nn in by_q.items()
+    ) / (len(by_q) * TOP_K)
+    assert recall >= 0.8, recall
+
+    # cascade: every reported neighbor lives in one of its query's
+    # probed cells
+    bucketed = _assign_buckets(clus, f"vec_id >= {N_QUERIES}")
+    cell = {r.vec_id: r.bucket for r in bucketed.select("vec_id", "bucket").collect()}
+    probes: dict = {}
+    for r in (
+        bucketed.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "rd")
+        .collect()
+    ):
+        order = sorted(range(len(r.rd)), key=lambda cc: (r.rd[cc], cc))
+        probes[r.vec_id] = set(order[:CENTROID_PROBES])
+    for qq, nn in got:
+        assert cell[nn] in probes[qq], (qq, nn)
