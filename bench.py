@@ -181,6 +181,7 @@ HEADLINE = [
     "web_bpe_encode",
     "web_split_leakage",
     "web_decontaminate_fuzzy",
+    "web_decontaminate_semantic",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
     "text_embed_hash",

@@ -1312,6 +1312,18 @@ CATALOG: dict[str, QuerySpec] = {
         "docs on this corpus; the containment form flags exactly the "
         "4 planted near-dup-of-benchmark pairs); bench gram table + "
         "sizes broadcast, integer cross-multiplied threshold"),
+    "web_decontaminate_semantic": QuerySpec(
+        webtext.web_decontaminate_semantic,
+        webtext._decontaminate_semantic_sql(),
+        "semantic (embedding-cosine) decontamination — the ladder's "
+        "third rung: every (train, bench) pair whose 64-dim "
+        "hashed-token embeddings have cosine >= 0.9, decided by the "
+        "exact integer comparison 10^6*dot^2 >= pm^2*na2*nb2 in "
+        "DECIMAL(38,0)/HUGEINT (no float in the filter); catches the "
+        "4 planted near-dup-of-benchmark pairs with margin (planted "
+        ">= 0.945 vs best impostor 0.798 — at the ANN family's 16 "
+        "dims the impostor reaches 0.93, test-pinned); bench vectors "
+        "broadcast, train mass never shuffles"),
     "web_split_leakage": QuerySpec(
         webtext.web_split_leakage, webtext._split_leakage_sql(),
         "train/val split-leakage report (the Lee et al. 2022 / GPT-3 "

@@ -218,3 +218,93 @@ def contamination_fuzzy_of(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SEMANTIC decontamination (embedding-cosine form): the third rung of
+# the ladder. Exact long-gram overlap (contamination_of) misses
+# paraphrases and drowns in boilerplate; containment
+# (contamination_fuzzy_of) survives mutation but still needs LEXICAL
+# overlap — a rephrased eval item with few shared 3-grams slips
+# through. The semantic form flags (train, bench) pairs whose hashed
+# token embeddings (queries/textstats.py feature hashing) point the
+# same way: cosine >= SEM_COS_PM/1000.
+#
+# Dimensionality matters and is measured (tests/test_webtext.py): at
+# the ANN family's EMBED_DIMS=16 the webtext fixture's best impostor
+# pair reaches cos 0.93 — above any threshold that keeps all four
+# planted near-dup-of-benchmark pairs (lowest: 0.92). At SEM_DIMS=64
+# the planted pairs sit at >= 0.945 and the best impostor at 0.798 —
+# a clean margin on both sides of 0.9.
+#
+# Integer-exact threshold: embeddings are integer vectors, so
+# cos >= pm/1000 is evaluated WITHOUT floats as
+#   dot > 0  AND  10^6 * dot^2 >= pm^2 * |a|^2 * |b|^2
+# in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — the waterfill
+# discipline (corpus_select.py): at design scale a 10^5-token doc has
+# |a|^2 ~ 10^10, so the right side reaches ~10^26, past BIGINT but
+# comfortably inside 38 digits. No float ever enters the filter, so
+# cross-engine parity is exact by construction.
+#
+# Physical shape at 10^12 train docs: bench vectors are tiny
+# (|bench| × SEM_DIMS BIGINTs) and BROADCAST; every train doc computes
+# |bench| integer dot products map-side — the train mass never
+# shuffles and only flagged pairs ever leave the scan. For benchmark
+# suites large enough that |bench| per-doc dots bind, the bucketed
+# escalation is the text_embed_centroid machinery (textstats.py) —
+# same vectors, learned-centroid cells, probe-bounded.
+
+SEM_DIMS = 64  # embedding buckets (precision measured above)
+SEM_COS_PM = 900  # cosine threshold, per-mille
+
+
+def semantic_contamination_of(
+    train_docs: DataFrame,
+    bench_docs: DataFrame,
+    dims: int = SEM_DIMS,
+    pm: int = SEM_COS_PM,
+) -> DataFrame:
+    """doc_id, bench_id, dot, na2, nb2, cos_sq_ppm — every
+    (training doc, benchmark doc) pair whose hashed-token embeddings
+    have cosine >= pm/1000, decided by the exact integer comparison
+    10^6·dot² >= pm²·na2·nb2 (dot > 0). cos_sq_ppm = the squared
+    cosine in parts-per-million, an exact integral division."""
+    from pdf_extractor_spark.queries.textstats import text_embed_hash_of
+
+    arr = "array(" + ", ".join(f"e_{d}" for d in range(dims)) + ")"
+    n2 = "aggregate({v}, CAST(0 AS BIGINT), (a, x) -> a + x * x)"
+    t = (
+        text_embed_hash_of(train_docs, dims)
+        .select("doc_id", F.expr(arr).alias("tv"))
+        .withColumn("na2", F.expr(n2.format(v="tv")))
+        .filter("na2 > 0")
+    )
+    b = (
+        text_embed_hash_of(bench_docs, dims)
+        .select(F.col("doc_id").alias("bench_id"), F.expr(arr).alias("bv"))
+        .withColumn("nb2", F.expr(n2.format(v="bv")))
+        .filter("nb2 > 0")
+    )
+    pairs = t.crossJoin(F.broadcast(b)).withColumn(
+        "dot",
+        F.expr(
+            "aggregate(zip_with(tv, bv, (x, y) -> x * y), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ),
+    )
+    lhs = "CAST(1000000 AS DECIMAL(38, 0)) * dot * dot"
+    rhs = f"CAST({pm * pm} AS DECIMAL(38, 0)) * na2 * nb2"
+    den = "CAST(na2 AS DECIMAL(38, 0)) * nb2"
+    return (
+        pairs.filter(F.expr(f"dot > 0 AND {lhs} >= {rhs}"))
+        .select(
+            "doc_id",
+            "bench_id",
+            "dot",
+            "na2",
+            "nb2",
+            F.expr(f"CAST({lhs} DIV ({den}) AS BIGINT)").alias(
+                "cos_sq_ppm"
+            ),
+        )
+    )

@@ -292,18 +292,32 @@ EMBED_DIMS = 16
 # folds then do a single integer compare per token instead of
 # re-running the hex parse (conv/substr) EMBED_DIMS times per token.
 # Measured at sf0.1/local[32], min-of-3: 2.44 s → 1.08 s (2.3×).
-_EMBED_BS_S = (
-    "transform(md5s, h -> struct("
-    f"CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) % {EMBED_DIMS} AS b, "
-    "CAST(CASE WHEN instr('89abcdef', substr(h, 9, 1)) > 0 "
-    "THEN 1 ELSE -1 END AS BIGINT) AS s))"
-)
-_EMBED_BS_D = (
-    "list_transform(md5s, h -> {"
-    f"'b': ('0x' || substr(h, 1, 8))::BIGINT % {EMBED_DIMS}, "
-    "'s': CASE WHEN strpos('89abcdef', substr(h, 9, 1)) > 0 "
-    "THEN 1 ELSE -1 END})"
-)
+# Parametrized over the bucket count because different consumers want
+# different dims (the ANN family runs at EMBED_DIMS=16; semantic
+# decontamination needs 64 for precision — queries/contamination.py);
+# the module constants stay byte-identical to their historical literals
+# (string-equality test-pinned) so the 14-entry embedding family's
+# oracles never move.
+def _embed_bs_s(dims: int) -> str:
+    return (
+        "transform(md5s, h -> struct("
+        f"CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) % {dims} AS b, "
+        "CAST(CASE WHEN instr('89abcdef', substr(h, 9, 1)) > 0 "
+        "THEN 1 ELSE -1 END AS BIGINT) AS s))"
+    )
+
+
+def _embed_bs_d(dims: int) -> str:
+    return (
+        "list_transform(md5s, h -> {"
+        f"'b': ('0x' || substr(h, 1, 8))::BIGINT % {dims}, "
+        "'s': CASE WHEN strpos('89abcdef', substr(h, 9, 1)) > 0 "
+        "THEN 1 ELSE -1 END})"
+    )
+
+
+_EMBED_BS_S = _embed_bs_s(EMBED_DIMS)
+_EMBED_BS_D = _embed_bs_d(EMBED_DIMS)
 
 
 def _embed_dim_expr(d: int, side: str) -> str:
@@ -318,40 +332,46 @@ def _embed_dim_expr(d: int, side: str) -> str:
     )
 
 
-def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hashed-n-gram document embedding: EMBED_DIMS signed token-count
-    buckets per doc (scalar columns e_0..e_15 so the DuckDB oracle's
-    value hash compares integers, never floats/arrays)."""
+def text_embed_hash_of(docs: DataFrame, dims: int = EMBED_DIMS) -> DataFrame:
+    """Hashed-n-gram embedding of an arbitrary (doc_id, text) table:
+    `dims` signed token-count buckets per doc as scalar BIGINT columns
+    e_0..e_{dims-1}. Pure projection — zero shuffles at any scale."""
     from pdf_extractor_spark.queries.dedup import MD5S_S
 
     df = (
-        _docs(spark, sf_dir)
-        .withColumn("toks", F.expr(TOKS_S))
+        docs.withColumn("toks", F.expr(TOKS_S))
         .withColumn("md5s", F.expr(MD5S_S))
-        .withColumn("bs", F.expr(_EMBED_BS_S))
+        .withColumn("bs", F.expr(_embed_bs_s(dims)))
     )
     return df.select(
         "doc_id",
         *[
             F.expr(_embed_dim_expr(d, "spark")).alias(f"e_{d}")
-            for d in range(EMBED_DIMS)
+            for d in range(dims)
         ],
     )
 
 
-def _text_embed_sql() -> str:
+def text_embed_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram document embedding: EMBED_DIMS signed token-count
+    buckets per doc (scalar columns e_0..e_15 so the DuckDB oracle's
+    value hash compares integers, never floats/arrays)."""
+    return text_embed_hash_of(_docs(spark, sf_dir))
+
+
+def _text_embed_sql(dims: int = EMBED_DIMS, source: str = "documents") -> str:
     from pdf_extractor_spark.queries.dedup import MD5S_D
 
-    dims = ",\n       ".join(
-        f"{_embed_dim_expr(d, 'duck')} AS e_{d}" for d in range(EMBED_DIMS)
+    dim_cols = ",\n       ".join(
+        f"{_embed_dim_expr(d, 'duck')} AS e_{d}" for d in range(dims)
     )
     return f"""
 SELECT doc_id,
-       {dims}
+       {dim_cols}
 FROM (
-  SELECT doc_id, {_EMBED_BS_D} AS bs FROM (
+  SELECT doc_id, {_embed_bs_d(dims)} AS bs FROM (
     SELECT doc_id, {MD5S_D} AS md5s
-    FROM (SELECT doc_id, {TOKS_D} AS toks FROM documents)
+    FROM (SELECT doc_id, {TOKS_D} AS toks FROM {source})
   )
 )
 """

@@ -3120,3 +3120,68 @@ SELECT doc_id, bench_id, n_inter, n_bench,
 FROM inter JOIN bsz USING (bench_id)
 WHERE n_inter * 1000 >= {FUZZY_PM} * n_bench
 """
+
+
+def web_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) decontamination — the third rung of
+    the ladder after exact n-gram overlap and fuzzy containment: flag
+    every (train, bench) pair whose SEM_DIMS=64 hashed-token embeddings
+    have cosine >= SEM_COS_PM/1000, decided by an exact integer
+    comparison (no float in the filter — contamination.py). On the
+    fixture this flags exactly the 4 planted near-dup-of-benchmark
+    pairs with a wide margin (planted >= 0.945, best impostor 0.798 —
+    at the ANN family's 16 dims the impostor reaches 0.93, test-pinned
+    exhibit)."""
+    from pdf_extractor_spark.queries.contamination import (
+        BENCH_MOD,
+        semantic_contamination_of,
+    )
+
+    docs = _web_docs(spark).select(
+        "doc_id", F.translate("text", "\n", " ").alias("text")
+    )
+    return semantic_contamination_of(
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0),
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0),
+    )
+
+
+def _decontaminate_semantic_sql() -> str:
+    from pdf_extractor_spark.queries.contamination import (
+        BENCH_MOD,
+        SEM_COS_PM,
+        SEM_DIMS,
+    )
+    from pdf_extractor_spark.queries.textstats import _text_embed_sql
+
+    dims_list = ", ".join(f"e_{d}" for d in range(SEM_DIMS))
+    src = (
+        "(SELECT doc_id, replace(text, chr(10), ' ') AS text "
+        f"FROM '{WEBTEXT_FIXTURE}')"
+    )
+    pm2 = SEM_COS_PM * SEM_COS_PM
+    return f"""
+WITH he AS ({_text_embed_sql(SEM_DIMS, src)}),
+emb AS (
+  SELECT doc_id, v,
+         list_sum(list_transform(v, x -> x * x))::HUGEINT AS n2
+  FROM (SELECT doc_id, [{dims_list}]::BIGINT[] AS v FROM he)
+),
+nz AS (SELECT * FROM emb WHERE n2 > 0),
+pairs AS (
+  SELECT t.doc_id, b.doc_id AS bench_id,
+         list_sum(list_transform(list_zip(t.v, b.v),
+                                 z -> z[1] * z[2]))::HUGEINT AS dot,
+         t.n2 AS na2, b.n2 AS nb2
+  FROM nz t JOIN nz b
+    ON t.doc_id % {BENCH_MOD} <> 0 AND b.doc_id % {BENCH_MOD} = 0
+)
+SELECT doc_id, bench_id,
+       CAST(dot AS BIGINT) AS dot,
+       CAST(na2 AS BIGINT) AS na2,
+       CAST(nb2 AS BIGINT) AS nb2,
+       CAST((1000000::HUGEINT * dot * dot) // (na2 * nb2) AS BIGINT)
+         AS cos_sq_ppm
+FROM pairs
+WHERE dot > 0 AND 1000000::HUGEINT * dot * dot >= {pm2}::HUGEINT * na2 * nb2
+"""

@@ -2269,3 +2269,109 @@ def test_decontaminate_fuzzy_plan_broadcast_no_text_shuffle(spark):
     for frag in plan.split("Exchange")[1:]:
         head = frag.split("\n", 1)[0]
         assert "text" not in head, head
+
+
+# --- semantic (embedding-cosine) decontamination ---
+
+
+def _py_embed(text: str, dims: int) -> list[int]:
+    import hashlib
+
+    v = [0] * dims
+    for t in _toks(text):
+        h = hashlib.md5(t.encode()).hexdigest()
+        v[int(h[:8], 16) % dims] += 1 if h[8] in "89abcdef" else -1
+    return v
+
+
+def test_decontaminate_semantic_equals_python_and_margin(spark):
+    """Full-row equality vs a plain-Python recompute of the hashed
+    embedding + exact integer threshold; the flagged pair set equals
+    the fuzzy (containment) rung's — exactly the planted
+    near-dup-of-benchmark pairs; and the dimensionality exhibit holds:
+    the same threshold at the ANN family's 16 dims admits impostors."""
+    from pdf_extractor_spark.queries.contamination import (
+        BENCH_MOD,
+        SEM_COS_PM,
+        SEM_DIMS,
+        semantic_contamination_of,
+    )
+    from pdf_extractor_spark.queries.webtext import (
+        web_decontaminate_fuzzy,
+        web_decontaminate_semantic,
+    )
+
+    vecs = {
+        r["doc_id"]: _py_embed(r["text"], SEM_DIMS)
+        for r in _fixture_rows()
+    }
+    n2 = {d: sum(x * x for x in v) for d, v in vecs.items()}
+    expected = set()
+    for t, tv in vecs.items():
+        if t % BENCH_MOD == 0 or n2[t] == 0:
+            continue
+        for b, bv in vecs.items():
+            if b % BENCH_MOD != 0 or n2[b] == 0:
+                continue
+            dot = sum(x * y for x, y in zip(tv, bv))
+            if dot > 0 and 10**6 * dot * dot >= SEM_COS_PM**2 * n2[t] * n2[b]:
+                expected.add(
+                    (t, b, dot, n2[t], n2[b],
+                     10**6 * dot * dot // (n2[t] * n2[b]))
+                )
+    got = {
+        (r["doc_id"], r["bench_id"], r["dot"], r["na2"], r["nb2"],
+         r["cos_sq_ppm"])
+        for r in web_decontaminate_semantic(spark, SF).collect()
+    }
+    assert got == expected and len(got) > 0
+
+    # cross-rung identity: semantic flags the same pair set as fuzzy
+    # containment — the planted near-dup-of-benchmark ground truth
+    sem_pairs = {(t, b) for t, b, *_ in got}
+    fuzzy_pairs = {
+        (r["doc_id"], r["bench_id"])
+        for r in web_decontaminate_fuzzy(spark, SF).collect()
+    }
+    assert sem_pairs == fuzzy_pairs
+
+    # dimensionality exhibit: at 16 dims the same threshold flags
+    # impostor pairs the 64-dim form rejects (precision needs dims)
+    docs = spark.read.parquet(str(WEBTEXT_FIXTURE)).select(
+        "doc_id", F.translate("text", "\n", " ").alias("text")
+    )
+    low = semantic_contamination_of(
+        docs.filter(F.col("doc_id") % BENCH_MOD != 0),
+        docs.filter(F.col("doc_id") % BENCH_MOD == 0),
+        dims=16,
+    )
+    low_pairs = {(r["doc_id"], r["bench_id"]) for r in low.collect()}
+    assert sem_pairs < low_pairs  # strictly more flagged at 16 dims
+
+
+def test_decontaminate_semantic_plan_broadcast_no_shuffle(spark):
+    """Bench vectors broadcast; the train mass is a pure projection —
+    NO shuffle Exchange anywhere in the plan (the only Exchange is the
+    broadcast), and document text never crosses one."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["web_decontaminate_semantic"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "text" not in head, head
+    # every Exchange is the bench-side broadcast, never a shuffle
+    assert "Exchange" not in plan.replace("BroadcastExchange", "BX")
+    assert "ShuffleQueryStage" not in plan
+
+
+def test_embed_param_builders_are_identity_at_family_dims():
+    """The parametrized builders reproduce the historical literals
+    byte-for-byte at EMBED_DIMS — the 14-entry embedding family's
+    oracles cannot have moved (the suffix-param discipline)."""
+    from pdf_extractor_spark.queries import textstats as ts
+
+    assert ts._embed_bs_s(ts.EMBED_DIMS) == ts._EMBED_BS_S
+    assert ts._embed_bs_d(ts.EMBED_DIMS) == ts._EMBED_BS_D
+    assert ts._text_embed_sql() == ts.TEXT_EMBED_HASH_SQL
