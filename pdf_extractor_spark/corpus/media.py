@@ -106,3 +106,117 @@ def write_media_parquet(out_path: str | pathlib.Path, seed: int = 42) -> int:
     tbl = generate_media(seed)
     pq.write_table(tbl, out_path, compression="zstd")
     return tbl.num_rows
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash dedup fixture: images with PLANTED near-duplicates.
+#
+# Each base image is a random 9x8 luma "pattern" whose horizontally
+# adjacent cells differ by >= PHASH_MARGIN — so its dHash (the 8x8 grid
+# of left>right comparisons after a nearest-neighbor resize to 9x8) is
+# a deterministic function of the pattern with a wide noise margin.
+# Upscaling by PHASH_SCALE with np.kron keeps nearest-neighbor resample
+# points exactly on cell corners, so the dHash of the ENCODED image
+# equals the dHash of the pattern by construction.
+#
+# Planted structure per base (the near-dup classes a LAION-style image
+# dedup must catch, and the controls it must not):
+#   - a BRIGHTNESS twin: +10 luma everywhere (values kept in [12, 243])
+#     -> every comparison unchanged -> hamming 0, but different bytes —
+#     the pair an exact md5 dedup misses and phash catches;
+#   - a TWEAK twin: k pattern cells' comparisons deliberately flipped
+#     -> hamming EXACTLY k (k in {2, 5}, both <= HAM_MAX);
+#   - independent patterns as negatives (expected hamming ~32);
+#   - one corrupt payload (error row, O23 containment).
+
+PHASH_W, PHASH_H = 9, 8
+PHASH_MARGIN = 48
+PHASH_SCALE = 4
+
+
+def _phash_pattern(rng: np.random.Generator) -> np.ndarray:
+    """9x8 luma grid with adjacent-column differences >= PHASH_MARGIN,
+    values in [12, 243] (headroom for the +10 brightness twin)."""
+    pat = np.zeros((PHASH_H, PHASH_W), dtype=np.int64)
+    for y in range(PHASH_H):
+        v = int(rng.integers(12, 244))
+        pat[y, 0] = v
+        for x in range(1, PHASH_W):
+            lo, hi = 12, 243
+            up = rng.integers(0, 2) == 1
+            if up and v + PHASH_MARGIN <= hi:
+                v = int(rng.integers(v + PHASH_MARGIN, hi + 1))
+            elif v - PHASH_MARGIN >= lo:
+                v = int(rng.integers(lo, v - PHASH_MARGIN + 1))
+            else:
+                v = int(rng.integers(v + PHASH_MARGIN, hi + 1))
+            pat[y, x] = v
+    return pat
+
+
+def _pattern_image(pat: np.ndarray) -> bytes:
+    gray = np.kron(pat, np.ones((PHASH_SCALE, PHASH_SCALE), dtype=np.int64))
+    img = np.stack([gray, gray, gray], axis=2).astype(np.uint8)
+    return encode_ppm(img)
+
+
+def _flip_cells(pat: np.ndarray, rng: np.random.Generator, k: int) -> np.ndarray:
+    """Flip EXACTLY k of the 8x8 left>right comparisons. Only the edge
+    cells participate in a single comparison (cell 0 in comparison 0,
+    cell 8 in comparison 7) — moving one to the other side of its
+    neighbour (margin kept) flips that one bit and no other. Interior
+    cells sit in two comparisons, so a swap there perturbs 1-3 bits."""
+    out = pat.copy()
+    flipped = 0
+    flip_margin = 8  # far above float-luma epsilon; wide range headroom
+    cands = [(y, x) for y in range(PHASH_H) for x in (0, PHASH_W - 1)]
+    for i in rng.permutation(len(cands)):
+        if flipped == k:
+            break
+        y, x = cands[i]
+        nb = 1 if x == 0 else PHASH_W - 2
+        n = out[y, nb]
+        new = n + flip_margin if out[y, x] < n else n - flip_margin
+        if 12 <= new <= 243:
+            out[y, x] = new
+            flipped += 1
+    if flipped != k:
+        raise AssertionError(f"could only flip {flipped} of {k}")
+    return out
+
+
+def generate_phash_media(seed: int = 9, n_base: int = 24) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "url", "kind", "payload", "meta")}
+    mid = 0
+
+    def add(payload: bytes) -> None:
+        nonlocal mid
+        rows["media_id"].append(mid)
+        rows["url"].append(f"https://media.example/phash/{mid:06d}")
+        rows["kind"].append("image")
+        rows["payload"].append(payload)
+        rows["meta"].append({"declared_codec": "ppm"})
+        mid += 1
+
+    for i in range(n_base):
+        pat = _phash_pattern(rng)
+        add(_pattern_image(pat))
+        if i % 3 == 0:  # brightness twin: hamming 0, different bytes
+            add(_pattern_image(pat + 10))
+        elif i % 3 == 1:  # tweak twin: hamming exactly 2 or 5
+            k = 2 if i % 2 == 1 else 5
+            add(_pattern_image(_flip_cells(pat, rng, k)))
+        # i % 3 == 2 -> singleton (negative)
+    add(b"P6\n16 16\n255\n\x00")  # corrupt: error row
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def write_phash_media_parquet(
+    out_path: str | pathlib.Path, seed: int = 9
+) -> int:
+    out_path = pathlib.Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    tbl = generate_phash_media(seed)
+    pq.write_table(tbl, out_path, compression="zstd")
+    return tbl.num_rows

@@ -682,6 +682,50 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              "error")
 
 
+_PHASH_FIXTURE = REPO_ROOT / "fixtures" / "media_phash_micro.parquet"
+
+
+def media_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: 64-bit perceptual hash (dHash — gradient signs of the
+    9x8 thumbnail's luma) per image inside the Arrow-batch stage, with
+    per-row error containment (O23). The hash is brightness-shift
+    invariant: the fixture's +10-luma twins land at hamming 0 while an
+    exact byte/md5 dedup misses them."""
+    from pdf_extractor_spark.operators.multimodal import image_phash
+
+    return image_phash(spark.read.parquet(str(_PHASH_FIXTURE)))
+
+
+def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal near-dup dedup (the LAION-style image pass): LSH band
+    join over 8 byte-slices of the dHash -> candidate pairs -> exact
+    bit_count verify at hamming <= 7. Pigeonhole gives recall 1.0 at
+    that radius, and the oracle is a BRUTE-FORCE hamming scan over the
+    independently recomputed expected hashes — so the gate checks hash
+    parity AND band recall AND verify precision in one comparison.
+    Candidates are band-bucket-local: at 10^9 images nothing all-pairs,
+    the 8-byte hash is the only thing that ever shuffles."""
+    from pdf_extractor_spark.operators.multimodal import (
+        image_phash,
+        phash_pairs_of,
+    )
+
+    return phash_pairs_of(image_phash(spark.read.parquet(str(_PHASH_FIXTURE))))
+
+
+def _phash_pairs_sql() -> str:
+    from pdf_extractor_spark.operators.multimodal import HAM_MAX
+
+    exp = REPO_ROOT / "fixtures" / "golden" / "expected" / "media_phash.parquet"
+    return f"""
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM '{exp}' a JOIN '{exp}' b ON a.media_id < b.media_id
+WHERE a.error IS NULL AND b.error IS NULL
+  AND bit_count(xor(a.phash, b.phash)) <= {HAM_MAX}
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     # --- reference operators, relationally mapped (SURVEY.md §2) ---
     "o7_conf_filter": QuerySpec(
@@ -1399,6 +1443,24 @@ CATALOG: dict[str, QuerySpec] = {
             "media_frame_sample", "media_id, n_frames, n_sampled, error"
         ),
         "video container demux + frame sampling (Arrow-batch UDF)"),
+    "media_phash": QuerySpec(
+        media_phash,
+        _expected_sql("media_phash", "media_id, phash, error"),
+        "64-bit perceptual hash (dHash) per image — gradient signs of "
+        "the 9x8 thumbnail's Rec.601 luma, brightness-shift invariant, "
+        "Arrow-batch decode with per-row error containment; hashes "
+        "compared against an independent pure-numpy recompute"),
+    "media_phash_pairs": QuerySpec(
+        media_phash_pairs,
+        _phash_pairs_sql(),
+        "image near-dup dedup (the LAION-style pass): LSH band join "
+        "over 8 byte-slices of the dHash + exact bit_count verify at "
+        "hamming <= 7 (pigeonhole recall 1.0); oracle = brute-force "
+        "hamming over the independently recomputed hashes, so hash "
+        "parity, band recall, and verify precision gate together; "
+        "catches the planted brightness twins (hamming 0) and "
+        "k-bit-tweak twins (exactly 2/5) and nothing else (nearest "
+        "negative pair: 14 bits)"),
     # --- the extraction engine itself (oracle = expected fixtures from
     #     the pure-Python ref_extractor; byte-level goldens additionally
     #     gate the full text in tests/test_golden_bytes.py) ---

@@ -368,6 +368,49 @@ def expected_media_image_resize() -> pa.Table:
     )
 
 
+def expected_media_phash() -> pa.Table:
+    """Independent dHash recompute: decode via the library decoder, but
+    the resize / luma / gradient-sign / bit-packing pipeline is inlined
+    here (NOT a call to operators.multimodal.dhash64), so a bug in
+    either side fails the gate."""
+    from pdf_extractor_spark.operators.multimodal import decode_image
+
+    tbl = pq.read_table(REPO / "fixtures" / "media_phash_micro.parquet")
+    rows = []
+    for m in tbl.to_pylist():
+        row = {"media_id": m["media_id"], "phash": None, "error": None}
+        try:
+            img = decode_image(m["payload"])
+            h, w, _ = img.shape
+            rs = (np.arange(8) * h // 8).clip(0, h - 1)
+            cs = (np.arange(9) * w // 9).clip(0, w - 1)
+            small = img[rs[:, None], cs[None, :], :].astype(np.float64)
+            luma = (
+                0.299 * small[:, :, 0]
+                + 0.587 * small[:, :, 1]
+                + 0.114 * small[:, :, 2]
+            )
+            v = 0
+            for y in range(8):
+                for x in range(8):
+                    if luma[y, x] > luma[y, x + 1]:
+                        v |= 1 << (8 * y + x)
+            row["phash"] = v - (1 << 64) if v >= 1 << 63 else v
+        except Exception as e:  # noqa: BLE001 — mirrors O23 containment
+            row["error"] = f"{type(e).__name__}: {e}"
+        rows.append(row)
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("phash", pa.int64()),
+                ("error", pa.string()),
+            ]
+        ),
+    )
+
+
 BUILDERS = {
     "extract_pages": expected_extract_pages,
     "extract_first_block": expected_extract_first_block,
@@ -379,6 +422,7 @@ BUILDERS = {
     "text_compress_ratio": expected_text_compress_ratio,
     "warc_cdx_index": expected_warc_cdx_index,
     "media_image_resize": expected_media_image_resize,
+    "media_phash": expected_media_phash,
 }
 
 

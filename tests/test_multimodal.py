@@ -128,3 +128,119 @@ def test_sample_frames(spark, media_df):
         assert len(r.sampled) == (r.n_frames + 3) // 4
         first = mm.decode_ppm(bytes(r.sampled[0]))
         assert first.shape == (24, 32, 3)
+
+
+# --- perceptual hash (dHash) + banded near-dup join -------------------------
+
+
+def _phash_fixture_path():
+    import pathlib
+
+    return (
+        pathlib.Path(mm.__file__).resolve().parent.parent.parent
+        / "fixtures"
+        / "media_phash_micro.parquet"
+    )
+
+
+def test_phash_fixture_matches_generator_spec():
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.corpus.media import generate_phash_media
+
+    committed = pq.read_table(_phash_fixture_path())
+    assert committed.equals(generate_phash_media())
+
+
+def test_dhash_brightness_invariant_and_bit_exact():
+    """A +10 luma shift never moves a comparison; a single flipped edge
+    comparison moves exactly one bit."""
+    rng = np.random.default_rng(3)
+    from pdf_extractor_spark.corpus.media import (
+        _flip_cells,
+        _pattern_image,
+        _phash_pattern,
+    )
+
+    pat = _phash_pattern(rng)
+    base = mm.dhash64(mm.decode_ppm(_pattern_image(pat)))
+    bright = mm.dhash64(mm.decode_ppm(_pattern_image(pat + 10)))
+    assert base == bright
+    for k in (1, 2, 5, 7):
+        tweak = mm.dhash64(
+            mm.decode_ppm(_pattern_image(_flip_cells(pat, rng, k)))
+        )
+        assert bin((base ^ tweak) & (2**64 - 1)).count("1") == k
+
+
+def test_phash_pairs_planted_structure(spark):
+    """The banded join recovers EXACTLY the brute-force hamming<=7 pair
+    set: the 8 brightness twins at hamming 0 (different payload bytes —
+    the pair an exact md5 dedup misses), 4 tweak twins at exactly 2 and
+    4 at exactly 5; nearest negative pair is 17 bits away."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    media = spark.read.parquet(str(_phash_fixture_path()))
+    ph = mm.image_phash(media)
+    rows = {r["media_id"]: r["phash"] for r in ph.collect()
+            if r["error"] is None}
+    brute = {}
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((rows[a] ^ rows[b]) & (2**64 - 1)).count("1")
+            if h <= mm.HAM_MAX:
+                brute[(a, b)] = h
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_pairs_of(ph).collect()
+    }
+    assert got == brute
+    from collections import Counter
+
+    assert Counter(got.values()) == {0: 8, 2: 4, 5: 4}
+
+    # brightness twins: hamming 0 but different bytes (md5 differs)
+    payloads = {
+        m["media_id"]: m["payload"]
+        for m in pq.read_table(_phash_fixture_path()).to_pylist()
+    }
+    for (a, b), h in got.items():
+        if h == 0:
+            assert (
+                hashlib.md5(payloads[a]).digest()
+                != hashlib.md5(payloads[b]).digest()
+            )
+
+
+def test_phash_pairs_radius_guard_and_edge(spark):
+    """ham_max >= PHASH_BANDS loses the pigeonhole guarantee -> raises;
+    a crafted pair at hamming exactly HAM_MAX is found, at HAM_MAX+1 is
+    not."""
+    with pytest.raises(ValueError):
+        mm.phash_pairs_of(None, ham_max=mm.PHASH_BANDS)
+
+    # 7 bits spread across 7 bands (band 7 shared) vs 8 bits in 8 bands
+    seven = sum(1 << (8 * b) for b in range(7))
+    eight = sum(1 << (8 * b) for b in range(8))
+    df = spark.createDataFrame(
+        [(0, 0, None), (1, seven, None), (2, eight, None)],
+        "media_id LONG, phash LONG, error STRING",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in mm.phash_pairs_of(df).collect()}
+    assert got == {(0, 1): 7, (1, 2): 1}  # (0,2) at hamming 8: excluded
+
+
+def test_phash_plan_payload_never_shuffles(spark):
+    """Only (ids, 8-byte hash, band) ever reach an Exchange — the
+    binary payload stays inside the Arrow-batch scan stage."""
+    from pdf_extractor_spark.queries import CATALOG
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["media_phash_pairs"].fn(spark, "unused"))
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "payload" not in head, head
