@@ -180,6 +180,7 @@ HEADLINE = [
     "web_bpe_tokens",
     "web_bpe_encode",
     "web_split_leakage",
+    "web_split_by_cluster",
     "web_decontaminate_fuzzy",
     "web_decontaminate_semantic",
     "embedding_pq_topk",

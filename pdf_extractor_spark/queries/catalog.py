@@ -1356,6 +1356,16 @@ CATALOG: dict[str, QuerySpec] = {
         "docs on this corpus; the containment form flags exactly the "
         "4 planted near-dup-of-benchmark pairs); bench gram table + "
         "sizes broadcast, integer cross-multiplied threshold"),
+    "web_split_by_cluster": QuerySpec(
+        webtext.web_split_by_cluster,
+        webtext._split_by_cluster_sql(),
+        "the leakage-FREE train/val split (the fix for what "
+        "web_split_leakage reports, per Lee et al. 2022): md5 "
+        "per-mille split assigned to the verified near-dup CLUSTER id "
+        "instead of the doc id, so every verified near-dup pair "
+        "co-splits by construction (zero leakage, test-pinned); costs "
+        "one projection on top of the near-dup pass a pipeline runs "
+        "anyway"),
     "web_decontaminate_semantic": QuerySpec(
         webtext.web_decontaminate_semantic,
         webtext._decontaminate_semantic_sql(),

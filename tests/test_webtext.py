@@ -2375,3 +2375,55 @@ def test_embed_param_builders_are_identity_at_family_dims():
     assert ts._embed_bs_s(ts.EMBED_DIMS) == ts._EMBED_BS_S
     assert ts._embed_bs_d(ts.EMBED_DIMS) == ts._EMBED_BS_D
     assert ts._text_embed_sql() == ts.TEXT_EMBED_HASH_SQL
+
+
+# --- leakage-free split (split by near-dup cluster) ---
+
+
+def test_split_by_cluster_zero_leakage_and_rate(spark):
+    """Every verified threshold-Jaccard near-dup pair co-splits (the
+    leakage web_split_leakage reports is zero by construction here);
+    the split is consistent within every cluster; the val rate stays
+    near the per-mille target; and singleton docs keep exactly the
+    plain doc-level assignment (the two splits only differ where
+    near-dup structure exists)."""
+    from pdf_extractor_spark.queries.webtext import (
+        _split_expr,
+        dedup_jaccard_prefix_web,
+        web_split_by_cluster,
+    )
+
+    rows = web_split_by_cluster(spark, SF).collect()
+    split = {r["doc_id"]: r["split"] for r in rows}
+    cluster = {r["doc_id"]: r["cluster_id"] for r in rows}
+    assert len(rows) == FIX_N
+
+    # zero leakage across every VERIFIED near-dup pair
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_jaccard_prefix_web(spark, SF).collect()
+    ]
+    assert len(pairs) > 0
+    for a, b in pairs:
+        assert cluster[a] == cluster[b], (a, b)
+        assert split[a] == split[b], (a, b)
+
+    # cluster-consistency + rate
+    by_cluster = defaultdict(set)
+    for d, c in cluster.items():
+        by_cluster[c].add(split[d])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    val_frac = sum(1 for s in split.values() if s == "val") / len(split)
+    assert 0.05 < val_frac < 0.18
+
+    # singletons: cluster_id == doc_id -> same expression as the
+    # doc-level split; the cluster split only MOVES near-dup members
+    doc_level = {
+        r["doc_id"]: r["s"]
+        for r in spark.read.parquet(str(WEBTEXT_FIXTURE))
+        .select("doc_id", F.expr(_split_expr("doc_id")).alias("s"))
+        .collect()
+    }
+    for d, c in cluster.items():
+        if c == d:
+            assert split[d] == doc_level[d]
