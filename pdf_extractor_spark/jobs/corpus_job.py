@@ -69,7 +69,13 @@ pipeline actually runs downstream of extraction, as ONE resumable job:
                                  CONTAINMENT pass — drop survivors
                                  holding >= N/1000 of any eval doc's
                                  3-grams, catching paraphrased copies
-                                 exact n-grams miss)
+                                 exact n-grams miss;
+                                 --semantic-decontam-pm N adds the
+                                 EMBEDDING-COSINE pass — drop survivors
+                                 whose hashed-token embedding reaches
+                                 cosine >= N/1000 vs any eval doc,
+                                 catching rephrasings with little
+                                 lexical overlap left)
       → stratified sampling     (queries/corpus_select.sample_stratified_of:
                                  hash-threshold budget per (lang, band))
       → gzip JSONL shards       (the training-data delivery format;
@@ -177,6 +183,7 @@ def build_corpus(
     partitions: list[str] | None = None,
     benchmark: str | None = None,
     fuzzy_decontam_pm: int | None = None,
+    semantic_decontam_pm: int | None = None,
     mix_shards: int | None = None,
     contam_ngram: int | None = None,
     line_dedup: bool = False,
@@ -734,6 +741,37 @@ def build_corpus(
                 ).localCheckpoint(eager=True)
                 n_decontaminated = survivors.count()
 
+            # optional SEMANTIC (embedding-cosine) pass — the ladder's
+            # third rung: drop survivors whose 64-dim hashed-token
+            # embedding points the same way as any eval doc's
+            # (cosine >= semantic_decontam_pm/1000, the exact integer
+            # comparison — no float in the filter). Catches rephrased
+            # eval items with little lexical overlap left for the
+            # n-gram rungs. Same operator the catalog oracle-checks as
+            # web_decontaminate_semantic; bench vectors broadcast.
+            if semantic_decontam_pm:
+                from pdf_extractor_spark.queries.contamination import (
+                    semantic_contamination_of,
+                )
+
+                sem = semantic_contamination_of(
+                    survivors.select("doc_id", "text"),
+                    bench_docs.select(
+                        F.expr(
+                            "CAST(conv(substr(md5(text), 1, 15), "
+                            "16, 10) AS BIGINT)"
+                        ).alias("doc_id"),
+                        "text",
+                    ),
+                    pm=semantic_decontam_pm,
+                )
+                survivors = survivors.join(
+                    sem.select("doc_id").distinct(),
+                    on="doc_id",
+                    how="left_anti",
+                ).localCheckpoint(eager=True)
+                n_decontaminated = survivors.count()
+
         # sampling: either the flat per-(lang, quality-band) stratified
         # budget, or — with --mix-budget N — per-SOURCE (url host) doc
         # budgets derived from the exact-integer token waterfill
@@ -1039,6 +1077,13 @@ def main(argv: list[str] | None = None) -> None:
         "paraphrased copies exact n-grams miss; boilerplate-immune)",
     )
     ap.add_argument(
+        "--semantic-decontam-pm", type=int, default=None,
+        help="with --benchmark: ALSO drop survivors whose 64-dim "
+        "hashed-token embedding reaches cosine >= N/1000 vs any eval "
+        "doc (exact integer threshold — catches rephrasings with "
+        "little lexical overlap left for the n-gram rungs)",
+    )
+    ap.add_argument(
         "--intradoc", action="store_true",
         help="strip WITHIN-document repeated segments (scraper stutter) "
         "after gating, before the cross-document passes",
@@ -1168,6 +1213,7 @@ def main(argv: list[str] | None = None) -> None:
         args.min_chars, args.shards, args.partitions,
         benchmark=args.benchmark, mix_shards=args.mix_shards,
         fuzzy_decontam_pm=args.fuzzy_decontam_pm,
+        semantic_decontam_pm=args.semantic_decontam_pm,
         contam_ngram=args.contam_ngram, line_dedup=args.line_dedup,
         intradoc=args.intradoc, line_mode=args.line_mode,
         substring_cut=args.substring_cut,

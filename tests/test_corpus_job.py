@@ -1081,3 +1081,46 @@ def test_corpus_job_fuzzy_decontam(spark, tmp_path):
     assert {r["url"] for r in _read_jsonl(out3)} == {
         r["url"] for r in _read_jsonl(out2)
     }
+
+
+def test_corpus_job_semantic_decontam(spark, tmp_path):
+    """--semantic-decontam-pm catches a token-REORDERED copy of an eval
+    doc that BOTH n-gram rungs provably miss: reversing the token order
+    destroys every intact 8-gram and (almost) every 3-gram
+    (containment ~0 -> the exact and fuzzy passes keep the victim),
+    while the hashed embedding is a bag of tokens — order-invariant —
+    so the cosine is exactly 1.0 and the semantic pass drops it."""
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=17, n_rows=150, n_days=3)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    out0 = str(tmp_path / "plain")
+    build_corpus(spark, wh, out0, budget=10)
+    rows0 = _read_jsonl(out0)
+    victim = next(r for r in rows0 if len(r["text"].split(" ")) >= 24)
+
+    bench = tmp_path / "bench.jsonl"
+    bench.write_text(
+        json.dumps({"text": " ".join(reversed(victim["text"].split(" ")))})
+        + "\n"
+    )
+
+    # exact + fuzzy rungs: the reversed bench doc flags nothing
+    out1 = str(tmp_path / "ngram_only")
+    s1 = build_corpus(
+        spark, wh, out1, budget=10,
+        benchmark=str(bench), fuzzy_decontam_pm=500,
+    )
+    assert victim["url"] in {r["url"] for r in _read_jsonl(out1)}
+
+    # semantic rung: order-invariant embedding -> cosine 1.0 -> dropped
+    out2 = str(tmp_path / "semantic")
+    s2 = build_corpus(
+        spark, wh, out2, budget=10,
+        benchmark=str(bench), fuzzy_decontam_pm=500,
+        semantic_decontam_pm=900,
+    )
+    assert victim["url"] not in {r["url"] for r in _read_jsonl(out2)}
+    assert s2["rows_decontaminated"] < s1["rows_decontaminated"]
