@@ -726,6 +726,64 @@ WHERE a.error IS NULL AND b.error IS NULL
 """
 
 
+def media_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete image-dedup verb chain (hash -> pairs -> clusters
+    -> keep-one): connected components over the banded hamming pairs
+    via alternating-star, keep = the minimum media_id per cluster —
+    exactly one survivor per near-dup image cluster, the same
+    keep-discipline as the text pipeline (near_dup_labels_of).
+    Undecodable rows carry no hash and are excluded (their O23 error
+    rows stay visible in media_phash)."""
+    from pdf_extractor_spark.operators.multimodal import (
+        image_phash,
+        phash_pairs_of,
+    )
+    from pdf_extractor_spark.queries.dedup import _alternating_star_cc
+
+    ph = image_phash(
+        spark.read.parquet(str(_PHASH_FIXTURE))
+    ).localCheckpoint(eager=True)
+    pairs = phash_pairs_of(ph).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    ids = ph.filter(F.col("error").isNull()).select(
+        F.col("media_id").alias("doc_id")
+    )
+    labels = _alternating_star_cc(pairs, ids)
+    return labels.select(
+        F.col("doc_id").alias("media_id"),
+        "cluster_id",
+        F.expr("CAST(doc_id = cluster_id AS BIGINT)").alias("keep"),
+    )
+
+
+def _phash_clusters_sql() -> str:
+    exp = REPO_ROOT / "fixtures" / "golden" / "expected" / "media_phash.parquet"
+    return f"""
+WITH RECURSIVE
+pairs AS ({_phash_pairs_sql()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT d.media_id,
+       CAST(least(d.media_id,
+                  coalesce(min(r.dst), d.media_id)) AS BIGINT)
+         AS cluster_id,
+       CAST(d.media_id = least(d.media_id,
+                               coalesce(min(r.dst), d.media_id))
+            AS BIGINT) AS keep
+FROM (SELECT media_id FROM '{exp}' WHERE error IS NULL) d
+LEFT JOIN reach r ON r.src = d.media_id
+GROUP BY d.media_id
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     # --- reference operators, relationally mapped (SURVEY.md §2) ---
     "o7_conf_filter": QuerySpec(
@@ -1471,6 +1529,14 @@ CATALOG: dict[str, QuerySpec] = {
         "catches the planted brightness twins (hamming 0) and "
         "k-bit-tweak twins (exactly 2/5) and nothing else (nearest "
         "negative pair: 14 bits)"),
+    "media_phash_clusters": QuerySpec(
+        media_phash_clusters,
+        _phash_clusters_sql(),
+        "the complete image-dedup chain (hash -> banded pairs -> "
+        "alternating-star components -> keep-one): exactly one "
+        "survivor per near-dup image cluster, same keep-discipline as "
+        "the text pipeline; oracle = recursive reachability over the "
+        "brute-force hamming pairs"),
     # --- the extraction engine itself (oracle = expected fixtures from
     #     the pure-Python ref_extractor; byte-level goldens additionally
     #     gate the full text in tests/test_golden_bytes.py) ---

@@ -244,3 +244,33 @@ def test_phash_plan_payload_never_shuffles(spark):
     for frag in plan.split("Exchange")[1:]:
         head = frag.split("\n", 1)[0]
         assert "payload" not in head, head
+
+
+def test_phash_clusters_keep_one_per_cluster(spark):
+    """Exactly one keeper per cluster (the minimum media_id); the kept
+    set contains NO hamming<=HAM_MAX pair; twins join their base's
+    cluster; singletons keep themselves."""
+    from collections import Counter
+
+    from pdf_extractor_spark.queries import CATALOG
+
+    rows = CATALOG["media_phash_clusters"].fn(spark, "unused").collect()
+    assert len(rows) == 40  # 41 fixture rows minus the corrupt payload
+    by_cluster = Counter(r["cluster_id"] for r in rows)
+    keepers = [r for r in rows if r["keep"] == 1]
+    assert len(keepers) == len(by_cluster)
+    assert all(r["media_id"] == r["cluster_id"] for r in keepers)
+
+    # kept set is pair-free under the banded join
+    media = spark.read.parquet(str(_phash_fixture_path()))
+    ph = mm.image_phash(media)
+    kept_ids = {r["media_id"] for r in keepers}
+    pairs = [
+        (r["id_a"], r["id_b"]) for r in mm.phash_pairs_of(ph).collect()
+    ]
+    assert pairs and not [
+        p for p in pairs if p[0] in kept_ids and p[1] in kept_ids
+    ]
+    # every pair co-clusters
+    cl = {r["media_id"]: r["cluster_id"] for r in rows}
+    assert all(cl[a] == cl[b] for a, b in pairs)
