@@ -378,15 +378,31 @@ def image_phash(media: DataFrame) -> DataFrame:
     )
 
 
+PHASH_BUCKET_CAP = 1024  # drop band buckets above this occupancy
+
+
 def phash_pairs_of(ph: DataFrame, ham_max: int = HAM_MAX) -> DataFrame:
     """id_a, id_b, hamming — every image pair within ``ham_max`` bits,
     found via the band join (never all-pairs) and verified by exact
     bit_count on the candidate set. Requires ham_max < PHASH_BANDS for
-    the pigeonhole recall guarantee."""
+    the pigeonhole recall guarantee.
+
+    Scale honesty (multi-index hashing, Norouzi et al. 2012): the band
+    key space is PHASH_BANDS x 2^(64/PHASH_BANDS) = 8 x 256 keys, so
+    expected bucket occupancy grows as N/256 per band — hot buckets are
+    STRUCTURAL for a 64-bit hash once N approaches ~10^5 x cap, not a
+    data accident. PHASH_BUCKET_CAP bounds the join fan-out exactly
+    like the text LSH_BUCKET_CAP (buckets above the cap are dropped,
+    with the same documented recall trade; the fixture never reaches
+    it, test-pinned). Past that corpus size the production knobs are a
+    LONGER hash with wider bands (e.g. 256-bit pHash -> 8 x 32-bit
+    bands, key space 2^32 per band) or a smaller radius — the cap makes
+    the engine degrade loudly-boundedly instead of quadratically."""
     if ham_max >= PHASH_BANDS:
         raise ValueError(
             f"ham_max={ham_max} needs > {PHASH_BANDS} bands for recall"
         )
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     good = ph.filter(F.col("error").isNull()).select("media_id", "phash")
@@ -407,6 +423,12 @@ def phash_pairs_of(ph: DataFrame, ham_max: int = HAM_MAX) -> DataFrame:
                 ]
             )
         ).alias("band"),
+    )
+    bw = Window.partitionBy("band")
+    bands = (
+        bands.withColumn("bucket_n", F.count("*").over(bw))
+        .filter(F.col("bucket_n") <= PHASH_BUCKET_CAP)
+        .drop("bucket_n")
     )
     left = bands.select(
         F.col("media_id").alias("id_a"),

@@ -39,6 +39,10 @@ ENTRIES = [
     "web_bpe_encode",
     "embedding_pq_topk",
     "embedding_ivfpq_topk",
+    "web_decontaminate_semantic",
+    "web_split_by_cluster",
+    "media_phash_pairs",
+    "media_phash_clusters",
     "corpus_budget_alloc",
     "corpus_drift_chi2",
     "text_tfidf_topk",

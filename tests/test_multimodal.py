@@ -274,3 +274,48 @@ def test_phash_clusters_keep_one_per_cluster(spark):
     # every pair co-clusters
     cl = {r["media_id"]: r["cluster_id"] for r in rows}
     assert all(cl[a] == cl[b] for a, b in pairs)
+
+
+def test_phash_bucket_cap_never_binds_on_fixture_and_bounds_blowup(spark):
+    """The cap is headroom on the fixture (max band-bucket occupancy
+    far below PHASH_BUCKET_CAP, so the brute-force oracle equality in
+    the tests above is the UNCAPPED semantics); on an
+    identical-image flood the cap drops the hot buckets loudly-
+    boundedly instead of going quadratic."""
+    media = spark.read.parquet(str(_phash_fixture_path()))
+    ph = mm.image_phash(media)
+    from pyspark.sql import functions as F
+
+    occ = (
+        ph.filter(F.col("error").isNull())
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"),
+                            F.expr(
+                                f"CAST(shiftrightunsigned(phash, {8 * b})"
+                                " & 255 AS INT)"
+                            ).alias("v"),
+                        )
+                        for b in range(mm.PHASH_BANDS)
+                    ]
+                )
+            ).alias("band")
+        )
+        .groupBy("band")
+        .count()
+        .agg(F.max("count"))
+        .first()[0]
+    )
+    assert occ <= 16 < mm.PHASH_BUCKET_CAP
+
+    # flood: one hash repeated past the cap -> zero pairs (dropped hot
+    # buckets), not C(n,2) candidates
+    n = mm.PHASH_BUCKET_CAP + 8
+    flood = spark.createDataFrame(
+        [(i, 12345, None) for i in range(n)],
+        "media_id LONG, phash LONG, error STRING",
+    )
+    assert mm.phash_pairs_of(flood).count() == 0
