@@ -220,3 +220,171 @@ def write_phash_media_parquet(
     tbl = generate_phash_media(seed)
     pq.write_table(tbl, out_path, compression="zstd")
     return tbl.num_rows
+
+
+# ---------------------------------------------------------------------------
+# Audio-fingerprint dedup fixture: WAVs with PLANTED near-duplicates —
+# the audio analog of the phash fixture above.
+#
+# Each base signal is a 65-window amplitude "pattern" (adjacent windows
+# differ by >= AUDIOFP_MARGIN pattern units) rendered as alternating
+# +A/-A PCM16 samples, AUDIOFP_WIN samples per window — so every
+# window's mean energy is EXACTLY (a * AUDIOFP_AMP / 32768)^2 (all
+# values exact in float64: int16 / 2^15 is exact, squares < 2^53, means
+# over 64 identical values exact) and the energy-dHash of the encoded
+# WAV equals the comparison vector of the pattern by construction.
+#
+# Planted structure per base (the near-dup classes an audio dedup must
+# catch, and the controls it must not):
+#   - a GAIN twin: every sample halved (amp scale 64 -> 32, exact in
+#     int16) -> every energy scales by exactly 1/4 -> every comparison
+#     unchanged -> hamming 0, but different bytes — the pair an exact
+#     md5 dedup misses;
+#   - a STEREO-UPMIX twin: the identical signal duplicated into two
+#     channels -> the mono mix is bit-identical -> hamming 0, with a
+#     different header AND different payload length;
+#   - a TWEAK twin: exactly k window-energy comparisons deliberately
+#     flipped -> hamming EXACTLY k (k in {2, 5}, both <= the band-join
+#     radius);
+#   - independent patterns as negatives (expected hamming ~32);
+#   - two error rows (O23): an empty payload (decode failure) and a
+#     valid-but-too-short WAV (fingerprint precondition failure).
+
+AUDIOFP_WINDOWS = 65
+AUDIOFP_WIN = 64  # PCM samples per window
+AUDIOFP_MARGIN = 6  # min adjacent amplitude gap, pattern units
+AUDIOFP_AMP = 64  # pattern unit -> PCM16 amplitude (gain twin uses 32)
+AUDIOFP_RATE = 8000
+
+
+def _audiofp_pattern(rng: np.random.Generator) -> np.ndarray:
+    """65 window amplitudes in [12, 243] with adjacent differences
+    >= AUDIOFP_MARGIN (energy is monotone in amplitude, so the energy
+    comparison vector is the amplitude comparison vector)."""
+    pat = np.zeros(AUDIOFP_WINDOWS, dtype=np.int64)
+    v = int(rng.integers(12, 244))
+    pat[0] = v
+    for i in range(1, AUDIOFP_WINDOWS):
+        lo, hi = 12, 243
+        up = rng.integers(0, 2) == 1
+        if up and v + AUDIOFP_MARGIN <= hi:
+            v = int(rng.integers(v + AUDIOFP_MARGIN, hi + 1))
+        elif v - AUDIOFP_MARGIN >= lo:
+            v = int(rng.integers(lo, v - AUDIOFP_MARGIN + 1))
+        else:
+            v = int(rng.integers(v + AUDIOFP_MARGIN, hi + 1))
+        pat[i] = v
+    return pat
+
+
+def _flip_audio_comparisons(
+    pat: np.ndarray, rng: np.random.Generator, k: int
+) -> np.ndarray:
+    """Flip EXACTLY k of the 64 adjacent-window comparisons by moving
+    one endpoint window of each chosen comparison to the other side of
+    its counterpart while PRESERVING that window's other comparison
+    (when one exists) — the 1-D analog of the image _flip_cells."""
+    out = pat.copy()
+    m = 8  # safety margin for the moved value
+    flipped: set[int] = set()
+    for ci in rng.permutation(AUDIOFP_WINDOWS - 1):
+        if len(flipped) == k:
+            break
+        ci = int(ci)
+        if ci in flipped:
+            continue
+        done = False
+        for j in (ci, ci + 1):  # the window we try to move
+            other = out[ci + 1] if j == ci else out[ci]
+            # flip constraint: new value crosses `other`
+            if out[j] > other:
+                f_lo, f_hi = 12, int(other) - m
+            else:
+                f_lo, f_hi = int(other) + m, 243
+            # preserve constraint: stay on the same side of j's OTHER
+            # neighbour (j+1 if j is the right endpoint, j-1 if left)
+            nb = j + 1 if j == ci + 1 else j - 1
+            if 0 <= nb < AUDIOFP_WINDOWS:
+                nv = int(out[nb])
+                if out[j] > nv:
+                    f_lo = max(f_lo, nv + m)
+                else:
+                    f_hi = min(f_hi, nv - m)
+            if f_lo <= f_hi:
+                out[j] = int(rng.integers(f_lo, f_hi + 1))
+                flipped.add(ci)
+                done = True
+                break
+        if done:
+            continue
+    if len(flipped) != k:
+        raise AssertionError(f"could only flip {len(flipped)} of {k}")
+    return out
+
+
+def _pattern_wav(pat: np.ndarray, amp_scale: int = AUDIOFP_AMP, ch: int = 1) -> bytes:
+    """Render the amplitude pattern as PCM16 WAV: AUDIOFP_WIN samples
+    per window alternating +a/-a (window mean energy exactly a^2)."""
+    amps = np.repeat(pat * amp_scale, AUDIOFP_WIN).astype(np.int64)
+    signs = np.tile(
+        np.array([1, -1], dtype=np.int64), amps.shape[0] // 2 + 1
+    )[: amps.shape[0]]
+    pcm = (amps * signs).astype("<i2")
+    if ch == 2:
+        pcm = np.column_stack([pcm, pcm]).reshape(-1)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(ch)
+        wf.setsampwidth(2)
+        wf.setframerate(AUDIOFP_RATE)
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def generate_audiofp_media(seed: int = 11, n_base: int = 24) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "url", "kind", "payload", "meta")}
+    mid = 0
+
+    def add(payload: bytes) -> None:
+        nonlocal mid
+        rows["media_id"].append(mid)
+        rows["url"].append(f"https://media.example/audiofp/{mid:06d}")
+        rows["kind"].append("audio")
+        rows["payload"].append(payload)
+        rows["meta"].append({"declared_codec": "wav"})
+        mid += 1
+
+    for i in range(n_base):
+        pat = _audiofp_pattern(rng)
+        add(_pattern_wav(pat))
+        if i % 4 == 0:  # gain twin: hamming 0, different bytes
+            add(_pattern_wav(pat, amp_scale=AUDIOFP_AMP // 2))
+        elif i % 4 == 1:  # stereo-upmix twin: hamming 0, longer payload
+            add(_pattern_wav(pat, ch=2))
+        elif i % 4 == 2:  # tweak twin: hamming exactly 2 or 5
+            # i % 4 == 2 makes i always even — alternate on i // 4 so
+            # both radii actually get planted (3 twins each)
+            k = 2 if (i // 4) % 2 == 0 else 5
+            add(_pattern_wav(_flip_audio_comparisons(pat, rng, k)))
+        # i % 4 == 3 -> singleton (negative)
+    add(b"")  # decode failure -> error row
+    # valid WAV, 30 samples < AUDIOFP_WINDOWS -> precondition error row
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(AUDIOFP_RATE)
+        wf.writeframes((np.arange(30, dtype="<i2") * 100).tobytes())
+    add(buf.getvalue())
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def write_audiofp_media_parquet(
+    out_path: str | pathlib.Path, seed: int = 11
+) -> int:
+    out_path = pathlib.Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    tbl = generate_audiofp_media(seed)
+    pq.write_table(tbl, out_path, compression="zstd")
+    return tbl.num_rows

@@ -452,3 +452,59 @@ def phash_pairs_of(ph: DataFrame, ham_max: int = HAM_MAX) -> DataFrame:
         .filter(F.col("hamming") <= ham_max)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# --- audio fingerprint (energy dHash) + the same banded near-dup join -------
+#
+# The audio analog of the image pass: a 64-bit fingerprint from the
+# SIGNS of adjacent window-energy deltas over the mono mix (Haitsma &
+# Kalker 2002's sub-fingerprint idea reduced to its sign-of-energy-
+# delta core). Sign-of-delta makes it GAIN-invariant (scaling every
+# sample by g scales every window energy by g^2, leaving all
+# comparisons unchanged) and the mono mix makes it channel-layout-
+# invariant — the two re-encode classes an exact md5 dedup misses.
+# Pairing reuses phash_pairs_of verbatim: fingerprints are 8 bytes per
+# clip regardless of duration, so the band join, the pigeonhole recall
+# bound, and the bucket cap all carry over unchanged.
+
+AUDIOFP_WINDOWS = 65
+
+AUDIOFP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("afp", T.LongType()),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def audiofp64(samples: np.ndarray) -> int:
+    """Signed-int64 energy dHash: bit i set iff the mono mix's mean
+    energy strictly decreases from window i to i+1, over 65 contiguous
+    equal-count windows (integer boundaries i*n//65)."""
+    mono = samples.astype(np.float64).mean(axis=1)
+    n = mono.shape[0]
+    if n < AUDIOFP_WINDOWS:
+        raise ValueError(f"audio too short for fingerprint: {n} samples")
+    sq = np.square(mono)
+    bounds = [(i * n) // AUDIOFP_WINDOWS for i in range(AUDIOFP_WINDOWS + 1)]
+    e = [float(np.mean(sq[bounds[i] : bounds[i + 1]])) for i in range(AUDIOFP_WINDOWS)]
+    v = 0
+    for i in range(AUDIOFP_WINDOWS - 1):
+        if e[i] > e[i + 1]:
+            v |= 1 << i
+    return v - (1 << 64) if v >= 1 << 63 else v
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """Decode + fingerprint every audio clip (media_id, afp, error)."""
+    import pyarrow as pa
+
+    def per_row(payload: bytes):
+        samples, _rate = decode_wav(payload)
+        return (audiofp64(samples),)
+
+    fn = _media_map(per_row, ["afp"], [pa.int64()])
+    return media.select("media_id", "payload").mapInArrow(
+        fn, schema=AUDIOFP_SCHEMA
+    )

@@ -784,6 +784,114 @@ GROUP BY d.media_id
 """
 
 
+_AUDIOFP_FIXTURE = REPO_ROOT / "fixtures" / "media_audiofp_micro.parquet"
+
+
+def media_audiofp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: 64-bit audio fingerprint (sign-of-energy-delta over
+    65 windows of the mono mix — the Haitsma-Kalker sub-fingerprint
+    core) per clip inside the Arrow-batch stage, with per-row error
+    containment (O23). Gain- and channel-layout-invariant: the
+    fixture's half-gain and stereo-upmix twins land at hamming 0 while
+    an exact byte/md5 dedup misses both."""
+    from pdf_extractor_spark.operators.multimodal import audio_fingerprint
+
+    return audio_fingerprint(spark.read.parquet(str(_AUDIOFP_FIXTURE)))
+
+
+def media_audiofp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup dedup: the SAME banded-hamming machinery as the
+    image pass (fingerprints are 8 bytes per clip regardless of
+    duration, so phash_pairs_of applies verbatim — band join, pigeonhole
+    recall bound, bucket cap and all); oracle = brute-force hamming over
+    the independently recomputed fingerprints."""
+    from pdf_extractor_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_pairs_of,
+    )
+
+    afp = audio_fingerprint(spark.read.parquet(str(_AUDIOFP_FIXTURE)))
+    return phash_pairs_of(afp.withColumnRenamed("afp", "phash"))
+
+
+def _audiofp_pairs_sql() -> str:
+    from pdf_extractor_spark.operators.multimodal import HAM_MAX
+
+    exp = (
+        REPO_ROOT / "fixtures" / "golden" / "expected"
+        / "media_audiofp.parquet"
+    )
+    return f"""
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+FROM '{exp}' a JOIN '{exp}' b ON a.media_id < b.media_id
+WHERE a.error IS NULL AND b.error IS NULL
+  AND bit_count(xor(a.afp, b.afp)) <= {HAM_MAX}
+"""
+
+
+def media_audiofp_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete audio-dedup verb chain (fingerprint -> banded pairs
+    -> alternating-star components -> keep-one): exactly one survivor
+    per near-dup clip cluster, the same keep-discipline as the image
+    and text pipelines. Undecodable/too-short rows carry no fingerprint
+    and are excluded (their O23 error rows stay visible in
+    media_audiofp)."""
+    from pdf_extractor_spark.operators.multimodal import (
+        audio_fingerprint,
+        phash_pairs_of,
+    )
+    from pdf_extractor_spark.queries.dedup import _alternating_star_cc
+
+    afp = (
+        audio_fingerprint(spark.read.parquet(str(_AUDIOFP_FIXTURE)))
+        .withColumnRenamed("afp", "phash")
+        .localCheckpoint(eager=True)
+    )
+    pairs = phash_pairs_of(afp).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    ids = afp.filter(F.col("error").isNull()).select(
+        F.col("media_id").alias("doc_id")
+    )
+    labels = _alternating_star_cc(pairs, ids)
+    return labels.select(
+        F.col("doc_id").alias("media_id"),
+        "cluster_id",
+        F.expr("CAST(doc_id = cluster_id AS BIGINT)").alias("keep"),
+    )
+
+
+def _audiofp_clusters_sql() -> str:
+    exp = (
+        REPO_ROOT / "fixtures" / "golden" / "expected"
+        / "media_audiofp.parquet"
+    )
+    return f"""
+WITH RECURSIVE
+pairs AS ({_audiofp_pairs_sql()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT d.media_id,
+       CAST(least(d.media_id,
+                  coalesce(min(r.dst), d.media_id)) AS BIGINT)
+         AS cluster_id,
+       CAST(d.media_id = least(d.media_id,
+                               coalesce(min(r.dst), d.media_id))
+            AS BIGINT) AS keep
+FROM (SELECT media_id FROM '{exp}' WHERE error IS NULL) d
+LEFT JOIN reach r ON r.src = d.media_id
+GROUP BY d.media_id
+"""
+
+
 CATALOG: dict[str, QuerySpec] = {
     # --- reference operators, relationally mapped (SURVEY.md §2) ---
     "o7_conf_filter": QuerySpec(
@@ -1537,6 +1645,32 @@ CATALOG: dict[str, QuerySpec] = {
         "survivor per near-dup image cluster, same keep-discipline as "
         "the text pipeline; oracle = recursive reachability over the "
         "brute-force hamming pairs"),
+    "media_audiofp": QuerySpec(
+        media_audiofp,
+        _expected_sql("media_audiofp", "media_id, afp, error"),
+        "64-bit audio fingerprint per clip — sign of adjacent "
+        "window-energy deltas over the mono mix (Haitsma-Kalker "
+        "sub-fingerprint core), gain- and channel-layout-invariant, "
+        "Arrow-batch decode with per-row error containment; "
+        "fingerprints compared against an independent pure-numpy "
+        "recompute"),
+    "media_audiofp_pairs": QuerySpec(
+        media_audiofp_pairs,
+        _audiofp_pairs_sql(),
+        "audio near-dup dedup via the SAME banded-hamming join as the "
+        "image pass (8-byte fingerprints -> band join + exact "
+        "bit_count verify at hamming <= 7, pigeonhole recall 1.0); "
+        "catches the planted half-gain and stereo-upmix twins "
+        "(hamming 0, different bytes AND different lengths — invisible "
+        "to md5 dedup) and the k-bit tweak twins (exactly 2/5) and "
+        "nothing else (nearest negative pair: 19 bits)"),
+    "media_audiofp_clusters": QuerySpec(
+        media_audiofp_clusters,
+        _audiofp_clusters_sql(),
+        "the complete audio-dedup chain (fingerprint -> banded pairs "
+        "-> alternating-star components -> keep-one): exactly one "
+        "survivor per near-dup clip cluster; oracle = recursive "
+        "reachability over the brute-force hamming pairs"),
     # --- the extraction engine itself (oracle = expected fixtures from
     #     the pure-Python ref_extractor; byte-level goldens additionally
     #     gate the full text in tests/test_golden_bytes.py) ---

@@ -411,6 +411,51 @@ def expected_media_phash() -> pa.Table:
     )
 
 
+def expected_media_audiofp() -> pa.Table:
+    """Independent audio-fingerprint recompute: decode via the library
+    WAV decoder, but the mono-mix / windowed-energy / sign-of-delta /
+    bit-packing pipeline is inlined here (NOT a call to
+    operators.multimodal.audiofp64), so a bug in either side fails the
+    gate."""
+    from pdf_extractor_spark.operators.multimodal import decode_wav
+
+    tbl = pq.read_table(REPO / "fixtures" / "media_audiofp_micro.parquet")
+    rows = []
+    for m in tbl.to_pylist():
+        row = {"media_id": m["media_id"], "afp": None, "error": None}
+        try:
+            samples, _rate = decode_wav(m["payload"])
+            mono = samples.astype(np.float64).mean(axis=1)
+            n = mono.shape[0]
+            if n < 65:
+                raise ValueError(
+                    f"audio too short for fingerprint: {n} samples"
+                )
+            sq = mono * mono
+            e = []
+            for i in range(65):
+                lo, hi = (i * n) // 65, ((i + 1) * n) // 65
+                e.append(float(np.mean(sq[lo:hi])))
+            v = 0
+            for i in range(64):
+                if e[i] > e[i + 1]:
+                    v |= 1 << i
+            row["afp"] = v - (1 << 64) if v >= 1 << 63 else v
+        except Exception as e:  # noqa: BLE001 — mirrors O23 containment
+            row["error"] = f"{type(e).__name__}: {e}"
+        rows.append(row)
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("afp", pa.int64()),
+                ("error", pa.string()),
+            ]
+        ),
+    )
+
+
 BUILDERS = {
     "extract_pages": expected_extract_pages,
     "extract_first_block": expected_extract_first_block,
@@ -423,6 +468,7 @@ BUILDERS = {
     "warc_cdx_index": expected_warc_cdx_index,
     "media_image_resize": expected_media_image_resize,
     "media_phash": expected_media_phash,
+    "media_audiofp": expected_media_audiofp,
 }
 
 

@@ -43,6 +43,8 @@ ENTRIES = [
     "web_split_by_cluster",
     "media_phash_pairs",
     "media_phash_clusters",
+    "media_audiofp_pairs",
+    "media_audiofp_clusters",
     "corpus_budget_alloc",
     "corpus_drift_chi2",
     "text_tfidf_topk",

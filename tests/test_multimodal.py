@@ -319,3 +319,152 @@ def test_phash_bucket_cap_never_binds_on_fixture_and_bounds_blowup(spark):
         "media_id LONG, phash LONG, error STRING",
     )
     assert mm.phash_pairs_of(flood).count() == 0
+
+
+# --- audio fingerprint (energy dHash) + banded near-dup join ----------------
+
+
+def _audiofp_fixture_path():
+    import pathlib
+
+    return (
+        pathlib.Path(mm.__file__).resolve().parent.parent.parent
+        / "fixtures"
+        / "media_audiofp_micro.parquet"
+    )
+
+
+def test_audiofp_fixture_matches_generator_spec():
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.corpus.media import generate_audiofp_media
+
+    committed = pq.read_table(_audiofp_fixture_path())
+    assert committed.equals(generate_audiofp_media())
+
+
+def test_audiofp_gain_stereo_invariant_and_bit_exact():
+    """Halving every sample never moves an energy comparison (gain
+    invariance); a stereo upmix of the same signal mono-mixes back
+    bit-identically (layout invariance); flipping exactly k window
+    comparisons moves exactly k bits."""
+    rng = np.random.default_rng(5)
+    from pdf_extractor_spark.corpus.media import (
+        AUDIOFP_AMP,
+        _audiofp_pattern,
+        _flip_audio_comparisons,
+        _pattern_wav,
+    )
+
+    def fp(payload):
+        samples, _ = mm.decode_wav(payload)
+        return mm.audiofp64(samples)
+
+    pat = _audiofp_pattern(rng)
+    base = fp(_pattern_wav(pat))
+    assert base == fp(_pattern_wav(pat, amp_scale=AUDIOFP_AMP // 2))
+    assert base == fp(_pattern_wav(pat, ch=2))
+    for k in (1, 2, 5, 7):
+        tweak = fp(_pattern_wav(_flip_audio_comparisons(pat, rng, k)))
+        assert bin((base ^ tweak) & (2**64 - 1)).count("1") == k
+
+
+def test_audiofp_pairs_planted_structure(spark):
+    """The banded join recovers EXACTLY the brute-force hamming<=7 pair
+    set: 12 hamming-0 twins (6 half-gain — different bytes; 6 stereo
+    upmix — different bytes AND different payload length: both
+    invisible to md5 dedup), 3 tweak twins at exactly 2 and 3 at
+    exactly 5; nearest negative pair is 19 bits away."""
+    import hashlib
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    media = spark.read.parquet(str(_audiofp_fixture_path()))
+    afp = mm.audio_fingerprint(media)
+    rows = {r["media_id"]: r["afp"] for r in afp.collect()
+            if r["error"] is None}
+    brute = {}
+    ids = sorted(rows)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((rows[a] ^ rows[b]) & (2**64 - 1)).count("1")
+            if h <= mm.HAM_MAX:
+                brute[(a, b)] = h
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_pairs_of(
+            afp.withColumnRenamed("afp", "phash")
+        ).collect()
+    }
+    assert got == brute
+    assert Counter(got.values()) == {0: 12, 2: 3, 5: 3}
+
+    # hamming-0 twins: md5 always differs; the stereo twins also differ
+    # in payload LENGTH (so even a length pre-filter wouldn't pair them)
+    payloads = {
+        m["media_id"]: m["payload"]
+        for m in pq.read_table(_audiofp_fixture_path()).to_pylist()
+    }
+    lengths_differ = 0
+    for (a, b), h in got.items():
+        if h == 0:
+            assert (
+                hashlib.md5(payloads[a]).digest()
+                != hashlib.md5(payloads[b]).digest()
+            )
+            lengths_differ += len(payloads[a]) != len(payloads[b])
+    assert lengths_differ == 6  # the stereo-upmix twins
+
+
+def test_audiofp_error_rows_contained(spark):
+    """O23: the empty payload and the 30-sample WAV produce error rows
+    (null fingerprint), never a failed task."""
+    media = spark.read.parquet(str(_audiofp_fixture_path()))
+    errs = {
+        r["media_id"]: r["error"]
+        for r in mm.audio_fingerprint(media).collect()
+        if r["error"] is not None
+    }
+    assert set(errs) == {42, 43}
+    assert "EOFError" in errs[42]
+    assert "too short" in errs[43]
+
+
+def test_audiofp_plan_payload_never_shuffles(spark):
+    """Only (ids, 8-byte fingerprint, band) ever reach an Exchange —
+    the PCM payload stays inside the Arrow-batch scan stage."""
+    from pdf_extractor_spark.queries import CATALOG
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["media_audiofp_pairs"].fn(spark, "unused"))
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "payload" not in head, head
+
+
+def test_audiofp_clusters_keep_one_per_cluster(spark):
+    """Exactly one keeper per cluster (the minimum media_id); the kept
+    set contains NO hamming<=HAM_MAX pair; every pair co-clusters."""
+    from collections import Counter
+
+    from pdf_extractor_spark.queries import CATALOG
+
+    rows = CATALOG["media_audiofp_clusters"].fn(spark, "unused").collect()
+    assert len(rows) == 42  # 44 fixture rows minus the two error rows
+    by_cluster = Counter(r["cluster_id"] for r in rows)
+    keepers = [r for r in rows if r["keep"] == 1]
+    assert len(keepers) == len(by_cluster)
+    assert all(r["media_id"] == r["cluster_id"] for r in keepers)
+
+    media = spark.read.parquet(str(_audiofp_fixture_path()))
+    afp = mm.audio_fingerprint(media).withColumnRenamed("afp", "phash")
+    kept_ids = {r["media_id"] for r in keepers}
+    pairs = [
+        (r["id_a"], r["id_b"]) for r in mm.phash_pairs_of(afp).collect()
+    ]
+    assert pairs and not [
+        p for p in pairs if p[0] in kept_ids and p[1] in kept_ids
+    ]
+    cl = {r["media_id"]: r["cluster_id"] for r in rows}
+    assert all(cl[a] == cl[b] for a, b in pairs)
