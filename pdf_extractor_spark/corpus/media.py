@@ -388,3 +388,83 @@ def write_audiofp_media_parquet(
     tbl = generate_audiofp_media(seed)
     pq.write_table(tbl, out_path, compression="zstd")
     return tbl.num_rows
+
+
+# ---------------------------------------------------------------------------
+# Video-fingerprint dedup fixture: RAWV clips with PLANTED near-dups —
+# the video analog of the phash fixture, built from the SAME pattern
+# frames (each frame is a _phash_pattern image, so every sampled
+# frame's dHash equals its pattern's comparison grid by construction).
+#
+# Planted structure per base (the near-dup classes a frame-sampled
+# video dedup must catch, and the controls it must not):
+#   - a BRIGHTNESS twin: +10 luma on every frame -> every sampled
+#     frame at hamming 0, but different bytes;
+#   - a TWEAK twin: ONE sampled frame's dHash flipped by exactly 5
+#     bits -> pair kept with max_hamming 5;
+#   - a TRUNCATED twin: the first VHASH_TRUNC frames only -> the
+#     sampled prefix aligns frame-for-frame at hamming 0 (the
+#     "same video, cut short" re-encode class);
+#   - a POISONED control: ONE sampled frame flipped by 9 bits
+#     (> the band-join radius) -> the other frames still band-collide,
+#     but the all-overlapping-frames verify must REJECT the pair;
+#   - a single-frame clip + its brightness twin: hamming 0 on the one
+#     frame, but below the minimum-overlap bar -> must NOT pair;
+#   - independent clips as negatives; one corrupt payload (O23).
+
+VHASH_FRAMES = 8  # frames per base clip
+VHASH_TRUNC = 6  # truncated-twin frame count
+
+
+def _pattern_video(pats: list[np.ndarray], bright: int = 0) -> bytes:
+    from pdf_extractor_spark.operators.multimodal import decode_ppm
+
+    frames = [decode_ppm(_pattern_image(p + bright)) for p in pats]
+    return encode_rawv(frames)
+
+
+def generate_vhash_media(seed: int = 13, n_base: int = 12) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "url", "kind", "payload", "meta")}
+    mid = 0
+
+    def add(payload: bytes) -> None:
+        nonlocal mid
+        rows["media_id"].append(mid)
+        rows["url"].append(f"https://media.example/vhash/{mid:06d}")
+        rows["kind"].append("video")
+        rows["payload"].append(payload)
+        rows["meta"].append({"declared_codec": "rawv"})
+        mid += 1
+
+    for i in range(n_base):
+        pats = [_phash_pattern(rng) for _ in range(VHASH_FRAMES)]
+        add(_pattern_video(pats))
+        if i % 4 == 0:  # brightness twin: all frames hamming 0
+            add(_pattern_video(pats, bright=10))
+        elif i % 4 == 1:  # tweak twin: sampled frame 2 at hamming 5
+            tw = list(pats)
+            tw[2] = _flip_cells(pats[2], rng, 5)
+            add(_pattern_video(tw))
+        elif i % 4 == 2:  # truncated twin: aligned prefix, hamming 0
+            add(_pattern_video(pats[:VHASH_TRUNC]))
+        else:  # poisoned control: one frame past the radius -> NO pair
+            tw = list(pats)
+            tw[0] = _flip_cells(pats[0], rng, 9)
+            add(_pattern_video(tw))
+    # single-frame clip + brightness twin: hamming 0 but overlap 1 -> no pair
+    single = [_phash_pattern(rng)]
+    add(_pattern_video(single))
+    add(_pattern_video(single, bright=10))
+    add(b"RAWVxxxx")  # corrupt: error row
+    return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def write_vhash_media_parquet(
+    out_path: str | pathlib.Path, seed: int = 13
+) -> int:
+    out_path = pathlib.Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    tbl = generate_vhash_media(seed)
+    pq.write_table(tbl, out_path, compression="zstd")
+    return tbl.num_rows

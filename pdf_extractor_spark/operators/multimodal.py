@@ -508,3 +508,140 @@ def audio_fingerprint(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInArrow(
         fn, schema=AUDIOFP_SCHEMA
     )
+
+
+# --- video fingerprint (frame-sampled dHash) + aligned near-dup verify ------
+#
+# The frame-sampled video near-dup pass: dHash every k-th frame (at
+# scale you never hash every frame of a 10^9-clip corpus — sampling is
+# the volume knob, exactly like the text substring stride), then find
+# clip pairs through the SAME 8-byte band machinery as images, keyed by
+# (sample ordinal, band, value) so candidates stay frame-bucket-local.
+# Verify is the strict aligned rule: a pair survives iff EVERY
+# overlapping sampled frame is within HAM_MAX bits and the overlap has
+# at least VHASH_MIN_OVERLAP frames. Pigeonhole recall 1.0 carries
+# over: a true pair's every frame shares >= 1 band, so its clip pair is
+# always a candidate. Truncated re-encodes (same video cut short) align
+# on the sampled prefix; temporal-offset copies (leading frames cut)
+# would need offset enumeration or shot-boundary anchors — out of scope
+# here, documented limitation.
+
+VHASH_EVERY_K = 2
+VHASH_MIN_OVERLAP = 2
+
+VHASH_CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_sampled", T.IntegerType()),
+        T.StructField("fhashes", T.ArrayType(T.LongType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+
+def video_frame_hashes(media: DataFrame, every_k: int = VHASH_EVERY_K) -> DataFrame:
+    """Demux RAWV, dHash every k-th frame: (media_id, n_sampled,
+    fhashes ARRAY<LONG>, error) — 8 bytes per sampled frame leave the
+    Arrow stage, never the frames themselves."""
+    import pyarrow as pa
+
+    def per_row(payload: bytes):
+        frames = decode_rawv(payload)[::every_k]
+        hashes = [dhash64(decode_ppm(f)) for f in frames]
+        return len(hashes), hashes
+
+    fn = _media_map(
+        per_row,
+        ["n_sampled", "fhashes"],
+        [pa.int32(), pa.list_(pa.int64())],
+    )
+    return media.select("media_id", "payload").mapInArrow(
+        fn, schema=VHASH_CLIP_SCHEMA
+    )
+
+
+def vhash_pairs_of(
+    vh: DataFrame,
+    ham_max: int = HAM_MAX,
+    min_overlap: int = VHASH_MIN_OVERLAP,
+) -> DataFrame:
+    """id_a, id_b, n_frames_cmp, max_hamming — every clip pair whose
+    sampled frames ALL align within ``ham_max`` bits over an overlap of
+    at least ``min_overlap`` frames. ``vh`` is the EXPLODED frame-hash
+    table (media_id, frame_ord, fhash). Candidates come from the banded
+    join keyed by (frame_ord, band, value) — bucket-local, never
+    all-pairs — then ONE aligned equi-join re-reads the overlap to
+    verify every frame (a frame past the radius may share no band, so
+    the reject decision needs the full overlap, not just colliding
+    frames). The per-key bucket cap bounds fan-out exactly like the
+    image pass."""
+    if ham_max >= PHASH_BANDS:
+        raise ValueError(
+            f"ham_max={ham_max} needs > {PHASH_BANDS} bands for recall"
+        )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bands = vh.select(
+        "media_id",
+        "frame_ord",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(
+                            f"CAST(shiftrightunsigned(fhash, {8 * b}) "
+                            "& 255 AS INT)"
+                        ).alias("v"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    bw = Window.partitionBy("frame_ord", "band")
+    bands = (
+        bands.withColumn("bucket_n", F.count("*").over(bw))
+        .filter(F.col("bucket_n") <= PHASH_BUCKET_CAP)
+        .drop("bucket_n")
+    )
+    cand = (
+        bands.select(F.col("media_id").alias("id_a"), "frame_ord", "band")
+        .join(
+            bands.select(
+                F.col("media_id").alias("id_b"), "frame_ord", "band"
+            ),
+            on=["frame_ord", "band"],
+            how="inner",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = vh.select(
+        F.col("media_id").alias("id_a"),
+        "frame_ord",
+        F.col("fhash").alias("fh_a"),
+    )
+    b = vh.select(
+        F.col("media_id").alias("id_b"),
+        "frame_ord",
+        F.col("fhash").alias("fh_b"),
+    )
+    return (
+        cand.join(a, on="id_a", how="inner")
+        .join(b, on=["id_b", "frame_ord"], how="inner")
+        .withColumn(
+            "hamming", F.expr("CAST(bit_count(fh_a ^ fh_b) AS BIGINT)")
+        )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count("*").cast("long").alias("n_frames_cmp"),
+            F.max("hamming").alias("max_hamming"),
+        )
+        .filter(
+            (F.col("max_hamming") <= ham_max)
+            & (F.col("n_frames_cmp") >= min_overlap)
+        )
+    )

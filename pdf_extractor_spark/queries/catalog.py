@@ -784,6 +784,80 @@ GROUP BY d.media_id
 """
 
 
+_VHASH_FIXTURE = REPO_ROOT / "fixtures" / "media_vhash_micro.parquet"
+
+
+def _vhash_exploded(spark: SparkSession) -> DataFrame:
+    """Frame-hash table (media_id, frame_ord, fhash, error) — RAWV
+    demux + every-k-th-frame dHash in the Arrow stage (8 bytes per
+    sampled frame leave it, never the frames), exploded relationally."""
+    from pdf_extractor_spark.operators.multimodal import video_frame_hashes
+
+    vh = video_frame_hashes(spark.read.parquet(str(_VHASH_FIXTURE)))
+    return vh.select(
+        "media_id",
+        F.posexplode_outer("fhashes").alias("frame_ord", "fhash"),
+        "error",
+    ).select(
+        "media_id",
+        F.col("frame_ord").cast("long").alias("frame_ord"),
+        "fhash",
+        "error",
+    )
+
+
+def media_vhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: frame-sampled video fingerprint — dHash of every
+    k-th frame (sampling is the volume knob: at 10^9 clips you never
+    hash every frame), one row per sampled frame, per-clip error
+    containment (O23)."""
+    return _vhash_exploded(spark)
+
+
+def media_vhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup dedup: banded candidate join keyed by (sample
+    ordinal, band, value) + the strict aligned verify — a pair survives
+    iff EVERY overlapping sampled frame is within HAM_MAX bits over >= 2
+    frames. Catches the planted all-frames brightness twins, the
+    one-frame 5-bit tweak twins, and the truncated re-encodes (aligned
+    prefix); rejects the poisoned control (one frame at 9 bits) and the
+    single-frame overlap. Oracle = brute-force aligned hamming over the
+    independently recomputed frame hashes."""
+    from pdf_extractor_spark.operators.multimodal import vhash_pairs_of
+
+    vh = _vhash_exploded(spark).filter(F.col("error").isNull()).select(
+        "media_id", "frame_ord", "fhash"
+    )
+    return vhash_pairs_of(vh)
+
+
+def _vhash_pairs_sql() -> str:
+    from pdf_extractor_spark.operators.multimodal import (
+        HAM_MAX,
+        VHASH_MIN_OVERLAP,
+    )
+
+    exp = (
+        REPO_ROOT / "fixtures" / "golden" / "expected"
+        / "media_vhash.parquet"
+    )
+    return f"""
+WITH fh AS (
+  SELECT media_id, frame_ord, fhash FROM '{exp}' WHERE error IS NULL
+),
+j AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         bit_count(xor(a.fhash, b.fhash)) AS h
+  FROM fh a JOIN fh b
+    ON a.media_id < b.media_id AND a.frame_ord = b.frame_ord
+)
+SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_frames_cmp,
+       CAST(max(h) AS BIGINT) AS max_hamming
+FROM j GROUP BY id_a, id_b
+HAVING max(h) <= {HAM_MAX} AND count(*) >= {VHASH_MIN_OVERLAP}
+"""
+
+
 _AUDIOFP_FIXTURE = REPO_ROOT / "fixtures" / "media_audiofp_micro.parquet"
 
 
@@ -1671,6 +1745,26 @@ CATALOG: dict[str, QuerySpec] = {
         "-> alternating-star components -> keep-one): exactly one "
         "survivor per near-dup clip cluster; oracle = recursive "
         "reachability over the brute-force hamming pairs"),
+    "media_vhash": QuerySpec(
+        media_vhash,
+        _expected_sql(
+            "media_vhash", "media_id, frame_ord, fhash, error"
+        ),
+        "frame-sampled video fingerprint: dHash of every k-th frame "
+        "(8 bytes per sampled frame leave the Arrow stage, never the "
+        "frames), one row per sampled frame, per-clip O23 error "
+        "containment; hashes compared against an independent "
+        "pure-numpy recompute"),
+    "media_vhash_pairs": QuerySpec(
+        media_vhash_pairs,
+        _vhash_pairs_sql(),
+        "video near-dup dedup: banded candidates keyed by (sample "
+        "ordinal, band, value) + strict aligned verify (EVERY "
+        "overlapping sampled frame within hamming 7 over >= 2 frames); "
+        "catches brightness twins, one-frame 5-bit tweaks, and "
+        "truncated re-encodes; rejects the 9-bit poisoned control and "
+        "the single-frame overlap; oracle = brute-force aligned "
+        "hamming over independently recomputed frame hashes"),
     # --- the extraction engine itself (oracle = expected fixtures from
     #     the pure-Python ref_extractor; byte-level goldens additionally
     #     gate the full text in tests/test_golden_bytes.py) ---

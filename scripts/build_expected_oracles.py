@@ -456,6 +456,68 @@ def expected_media_audiofp() -> pa.Table:
     )
 
 
+def expected_media_vhash() -> pa.Table:
+    """Independent frame-hash recompute: decode via the library RAWV
+    demuxer + PPM decoder, but the sample / resize / luma / gradient /
+    bit-packing pipeline is inlined here (NOT a call to dhash64), one
+    row per SAMPLED frame (every VHASH_EVERY_K-th)."""
+    from pdf_extractor_spark.operators.multimodal import (
+        VHASH_EVERY_K,
+        decode_ppm,
+        decode_rawv,
+    )
+
+    tbl = pq.read_table(REPO / "fixtures" / "media_vhash_micro.parquet")
+    rows = []
+    for m in tbl.to_pylist():
+        try:
+            frames = decode_rawv(m["payload"])[::VHASH_EVERY_K]
+            for ordn, fpayload in enumerate(frames):
+                img = decode_ppm(fpayload)
+                h, w, _ = img.shape
+                rs = (np.arange(8) * h // 8).clip(0, h - 1)
+                cs = (np.arange(9) * w // 9).clip(0, w - 1)
+                small = img[rs[:, None], cs[None, :], :].astype(np.float64)
+                luma = (
+                    0.299 * small[:, :, 0]
+                    + 0.587 * small[:, :, 1]
+                    + 0.114 * small[:, :, 2]
+                )
+                v = 0
+                for y in range(8):
+                    for x in range(8):
+                        if luma[y, x] > luma[y, x + 1]:
+                            v |= 1 << (8 * y + x)
+                rows.append(
+                    {
+                        "media_id": m["media_id"],
+                        "frame_ord": ordn,
+                        "fhash": v - (1 << 64) if v >= 1 << 63 else v,
+                        "error": None,
+                    }
+                )
+        except Exception as e:  # noqa: BLE001 — mirrors O23 containment
+            rows.append(
+                {
+                    "media_id": m["media_id"],
+                    "frame_ord": None,
+                    "fhash": None,
+                    "error": f"{type(e).__name__}: {e}",
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("media_id", pa.int64()),
+                ("frame_ord", pa.int64()),
+                ("fhash", pa.int64()),
+                ("error", pa.string()),
+            ]
+        ),
+    )
+
+
 BUILDERS = {
     "extract_pages": expected_extract_pages,
     "extract_first_block": expected_extract_first_block,
@@ -469,6 +531,7 @@ BUILDERS = {
     "media_image_resize": expected_media_image_resize,
     "media_phash": expected_media_phash,
     "media_audiofp": expected_media_audiofp,
+    "media_vhash": expected_media_vhash,
 }
 
 

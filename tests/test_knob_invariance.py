@@ -45,6 +45,7 @@ ENTRIES = [
     "media_phash_clusters",
     "media_audiofp_pairs",
     "media_audiofp_clusters",
+    "media_vhash_pairs",
     "corpus_budget_alloc",
     "corpus_drift_chi2",
     "text_tfidf_topk",

@@ -468,3 +468,140 @@ def test_audiofp_clusters_keep_one_per_cluster(spark):
     ]
     cl = {r["media_id"]: r["cluster_id"] for r in rows}
     assert all(cl[a] == cl[b] for a, b in pairs)
+
+
+# --- video fingerprint (frame-sampled dHash) + aligned near-dup verify ------
+
+
+def _vhash_fixture_path():
+    import pathlib
+
+    return (
+        pathlib.Path(mm.__file__).resolve().parent.parent.parent
+        / "fixtures"
+        / "media_vhash_micro.parquet"
+    )
+
+
+def test_vhash_fixture_matches_generator_spec():
+    import pyarrow.parquet as pq
+
+    from pdf_extractor_spark.corpus.media import generate_vhash_media
+
+    committed = pq.read_table(_vhash_fixture_path())
+    assert committed.equals(generate_vhash_media())
+
+
+def test_vhash_pairs_planted_structure(spark):
+    """The banded-candidate + aligned-verify chain recovers EXACTLY the
+    brute-force aligned pair set: 3 brightness twins (4 frames, max 0),
+    3 one-frame tweak twins (4 frames, max 5), 3 truncated twins
+    (3-frame prefix, max 0) — and REJECTS the 3 poisoned controls (one
+    frame at 9 bits, even though their other frames band-collide at
+    hamming 0) and the single-frame overlap pair."""
+    from collections import Counter
+
+    from pdf_extractor_spark.queries import CATALOG
+    from pdf_extractor_spark.queries.catalog import _vhash_exploded
+
+    vh = {
+        (r["media_id"], r["frame_ord"]): r["fhash"]
+        for r in _vhash_exploded(spark).collect()
+        if r["error"] is None
+    }
+    by_clip = {}
+    for (mid, ordn), fh in vh.items():
+        by_clip.setdefault(mid, {})[ordn] = fh
+    brute = {}
+    ids = sorted(by_clip)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            common = sorted(set(by_clip[a]) & set(by_clip[b]))
+            if len(common) < mm.VHASH_MIN_OVERLAP:
+                continue
+            hs = [
+                bin((by_clip[a][o] ^ by_clip[b][o]) & (2**64 - 1)).count("1")
+                for o in common
+            ]
+            if max(hs) <= mm.HAM_MAX:
+                brute[(a, b)] = (len(common), max(hs))
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_frames_cmp"], r["max_hamming"])
+        for r in CATALOG["media_vhash_pairs"].fn(spark, "unused").collect()
+    }
+    assert got == brute
+    assert Counter(got.values()) == {(4, 0): 3, (4, 5): 3, (3, 0): 3}
+
+    # the poisoned controls exist in the fixture (one frame at 9 bits,
+    # all others at 0) and are correctly absent from the pair set
+    poisoned = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            common = sorted(set(by_clip[a]) & set(by_clip[b]))
+            if len(common) < 2 or (a, b) in brute:
+                continue
+            hs = [
+                bin((by_clip[a][o] ^ by_clip[b][o]) & (2**64 - 1)).count("1")
+                for o in common
+            ]
+            if sum(h == 0 for h in hs) == len(hs) - 1 and max(hs) == 9:
+                poisoned += 1
+    assert poisoned == 3
+
+
+def test_vhash_error_row_contained(spark):
+    """O23: the corrupt RAWV payload yields one (null, null, error) row,
+    never a failed task."""
+    from pdf_extractor_spark.queries.catalog import _vhash_exploded
+
+    errs = [
+        r
+        for r in _vhash_exploded(spark).collect()
+        if r["error"] is not None
+    ]
+    assert len(errs) == 1
+    assert errs[0]["media_id"] == 26
+    assert errs[0]["frame_ord"] is None and errs[0]["fhash"] is None
+
+
+def test_vhash_plan_payload_never_shuffles(spark):
+    """Only (ids, sample ordinal, 8-byte frame hash, band) ever reach
+    an Exchange — the video payload and frames stay inside the
+    Arrow-batch scan stage."""
+    from pdf_extractor_spark.queries import CATALOG
+    from tests.test_plans import plan_of
+
+    plan = plan_of(CATALOG["media_vhash_pairs"].fn(spark, "unused"))
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "payload" not in head and "fhashes" not in head, head
+
+
+def test_vhash_pairs_radius_guard_and_min_overlap(spark):
+    """ham_max >= PHASH_BANDS loses the pigeonhole guarantee -> raises;
+    a two-clip overlap at exactly HAM_MAX on one frame passes, at
+    HAM_MAX+1 fails; overlap below VHASH_MIN_OVERLAP is dropped."""
+    with pytest.raises(ValueError):
+        mm.vhash_pairs_of(None, ham_max=mm.PHASH_BANDS)
+
+    seven = sum(1 << (8 * b) for b in range(7))
+    eight = sum(1 << (8 * b) for b in range(8))
+    rows = [
+        # clips 0/1: two frames, one identical + one at hamming 7 -> pair
+        (0, 0, 0), (0, 1, 0), (1, 0, 0), (1, 1, seven),
+        # clip 2: one frame at hamming 8 from clip 0's frame 1 -> no pair
+        (2, 0, 0), (2, 1, eight),
+        # clips 3/4: single-frame identical -> below min overlap
+        (3, 0, 12345), (4, 0, 12345),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id LONG, frame_ord LONG, fhash LONG"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_frames_cmp"], r["max_hamming"])
+        for r in mm.vhash_pairs_of(df).collect()
+    }
+    # (0,1): frame 1 at exactly HAM_MAX -> kept; (1,2): seven^eight is
+    # ONE bit -> kept; (0,2): frame 1 at HAM_MAX+1 -> rejected;
+    # (3,4): identical but single-frame overlap -> rejected
+    assert got == {(0, 1): (2, 7), (1, 2): (2, 1)}
