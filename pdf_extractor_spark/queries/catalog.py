@@ -1341,6 +1341,15 @@ CATALOG: dict[str, QuerySpec] = {
         cs.corpus_select, cs.CORPUS_SELECT_SQL,
         "training-set selection: quality gate + lang gate + fingerprint "
         "dedup in one pass (the capstone composite)"),
+    "corpus_sample_priority": QuerySpec(
+        cs.corpus_sample_priority, cs.CORPUS_SAMPLE_PRIORITY_SQL,
+        "weighted priority sampling (Duffield-Lund-Thorup 2007): top-K "
+        "by the integer-floored priority (n_tokens * 2^32) DIV "
+        "md5-uniform — inclusion increases with token weight, no libm, "
+        "deterministic tie-breaks; includes DLT's threshold estimator "
+        "est_tokens = max(w, tau) whose sample sum estimates "
+        "the corpus token total; global top-K compiles to "
+        "TakeOrderedAndProject (per-task heaps), never a corpus sort"),
     "corpus_sample_stratified": QuerySpec(
         cs.corpus_sample_stratified, cs.CORPUS_SAMPLE_SQL,
         "stratified training-mix sampling: deterministic hash-threshold "

@@ -1044,3 +1044,106 @@ SELECT n_shared, chi2, n_new_tokens,
        new_mass * 1000 // big_b AS new_mass_pm
 FROM chi, new_t, tot
 """
+
+
+# --------------------------------------------------------------------------
+# Weighted priority sampling (Duffield, Lund & Thorup 2007): draw K
+# documents with inclusion probability increasing in token weight, plus
+# the DLT estimator that makes the sample usable for unbiased subset-
+# sum estimates (est_tokens sums ~ the corpus total) — the sampler a
+# pipeline runs to build a weight-faithful audit slice of a 10^12-doc
+# corpus without a full pass over anything but (doc_id, weight).
+#
+# Exactness discipline: the classical priority q_i = w_i / u_i (u_i
+# uniform) is replaced by its INTEGER floor p_i = (w_i * 2^32) DIV u_i
+# with u_i = md5-derived 32-bit uniform + 1, tie-broken by (u_i,
+# doc_id) — fully deterministic, no libm, identical arithmetic in both
+# engines (a deliberate deterministic discretization of DLT: floor can
+# tie distinct rationals, the tie-break resolves them identically).
+# Zero-weight docs get priority 0 and are never drawn ahead of any
+# weighted doc. The estimator is est_i = max(w_i, floor(tau)) with tau
+# = the (K+1)-th priority / 2^32 — DLT's threshold estimator under the
+# same floor.
+#
+# Physical shape at 100 TB: the scan projects (doc_id, n_tokens) only;
+# the global top-(K+1) compiles to TakeOrderedAndProject (per-task
+# K-heaps, K+1 rows to one reducer — plan-asserted), never a corpus
+# sort; the threshold is a one-row broadcast.
+
+PRIORITY_K = 100
+
+
+def corpus_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_priority_of(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
+
+
+def sample_priority_of(docs: DataFrame, k: int = PRIORITY_K) -> DataFrame:
+    feat = (
+        docs.select(
+            "doc_id",
+            F.expr(f"CAST(size({TOKS_S}) AS BIGINT)").alias("n_tokens"),
+        )
+        .withColumn("u", F.expr(_H32) + F.lit(1).cast("long"))
+        .withColumn(
+            "priority", F.expr("(n_tokens * 4294967296) DIV u")
+        )
+    )
+    order = [F.desc("priority"), F.asc("u"), F.asc("doc_id")]
+    topk1 = feat.orderBy(*order).limit(k + 1)
+    w = Window.orderBy(*order)
+    ranked = topk1.withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    )
+    thr = ranked.agg(
+        F.max(
+            F.when(F.col("sample_rank") == k + 1, F.col("priority"))
+        ).alias("thr")
+    )
+    return (
+        ranked.filter(F.col("sample_rank") <= k)
+        .crossJoin(F.broadcast(thr))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "priority",
+            "sample_rank",
+            F.expr(
+                "CAST(greatest(n_tokens, coalesce(thr, 0)) AS BIGINT)"
+            ).alias("est_tokens"),
+        )
+    )
+
+
+CORPUS_SAMPLE_PRIORITY_SQL = f"""
+WITH feat AS (
+  SELECT doc_id,
+         CAST(len({TOKS_D}) AS BIGINT) AS n_tokens,
+         {_H32_D} + 1 AS u
+  FROM documents
+),
+pri AS (
+  SELECT doc_id, n_tokens, u,
+         (n_tokens * 4294967296) // u AS priority
+  FROM feat
+),
+ranked AS (
+  SELECT doc_id, n_tokens, u, priority,
+         CAST(row_number() OVER (
+           ORDER BY priority DESC, u, doc_id
+         ) AS BIGINT) AS sample_rank
+  FROM pri
+  ORDER BY priority DESC, u, doc_id
+  LIMIT {PRIORITY_K + 1}
+),
+thr AS (
+  SELECT max(CASE WHEN sample_rank = {PRIORITY_K + 1} THEN priority END)
+           AS thr
+  FROM ranked
+)
+SELECT doc_id, n_tokens, priority, sample_rank,
+       CAST(greatest(n_tokens, coalesce(thr, 0)) AS BIGINT)
+         AS est_tokens
+FROM ranked, thr WHERE sample_rank <= {PRIORITY_K}
+"""

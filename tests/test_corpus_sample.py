@@ -111,3 +111,103 @@ def test_mix_weights_semantics(spark):
     for r in rows:
         expect = math.sqrt(r["n_tokens"]) / tot_w
         assert abs(r["p_sample"] - expect) < 1e-4, (r, expect)
+
+
+# --- DLT priority sampling (corpus_sample_priority) -------------------------
+
+
+def test_priority_sample_crafted_matches_python(spark):
+    """Hand-computable micro case: with u_i = md5-derived uniform + 1
+    and p_i = (w_i * 2^32) DIV u_i, the top-K by (p DESC, u, doc_id)
+    and the threshold estimator est = max(w, p_{K+1}) match a pure-
+    Python recompute exactly (including the zero-weight exclusion)."""
+    import hashlib
+
+    from pdf_extractor_spark.queries.corpus_select import (
+        sample_priority_of,
+    )
+
+    def u_of(doc_id: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()[:8]
+        return int(h, 16) + 1
+
+    ws = {1: 10, 2: 1000, 3: 10, 4: 500, 5: 0}
+    ps = {d: (w * 4294967296) // u_of(d) for d, w in ws.items()}
+    order = sorted(ws, key=lambda d: (-ps[d], u_of(d), d))
+    k = 3
+    thr = ps[order[k]]
+    expected = {
+        d: (ws[d], ps[d], i + 1, max(ws[d], thr))
+        for i, d in enumerate(order[:k])
+    }
+    assert ps[5] == 0  # zero-weight doc can never outrank weighted docs
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(["tok"] * w)) for d, w in ws.items()],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["priority"],
+            r["sample_rank"],
+            r["est_tokens"],
+        )
+        for r in sample_priority_of(docs, k=k).collect()
+    }
+    assert got == expected
+
+
+def test_priority_sample_props(spark):
+    """Properties on the real corpus: exactly K rows, ranks 1..K,
+    weight bias (sampled mean exceeds corpus mean), DLT estimator sum
+    within single-draw variance of the corpus token total (measured
+    1.15 at sf0.01; rel std ~1/sqrt(K-1) = 10%), and a corpus smaller
+    than K is taken whole with est == w exactly."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.queries.corpus_select import (
+        PRIORITY_K,
+        TOKS_S,
+        corpus_sample_priority,
+        sample_priority_of,
+    )
+
+    s = corpus_sample_priority(spark, SF)
+    rows = s.collect()
+    assert len(rows) == PRIORITY_K
+    assert sorted(r["sample_rank"] for r in rows) == list(
+        range(1, PRIORITY_K + 1)
+    )
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tot, mean = (
+        docs.select(F.expr(f"CAST(size({TOKS_S}) AS BIGINT)").alias("n"))
+        .agg(F.sum("n"), F.avg("n"))
+        .first()
+    )
+    samp_mean = sum(r["n_tokens"] for r in rows) / len(rows)
+    assert samp_mean > mean  # heavier docs overrepresented
+    est_sum = sum(r["est_tokens"] for r in rows)
+    assert 0.7 * tot < est_sum < 1.4 * tot
+
+    # corpus <= K: taken whole, est degrades to the exact weights
+    small = docs.limit(20)
+    out = sample_priority_of(small, k=PRIORITY_K).collect()
+    assert len(out) == 20
+    assert all(r["est_tokens"] == r["n_tokens"] for r in out)
+
+
+def test_priority_sample_plan_topk_not_sort(spark):
+    """The global top-(K+1) compiles to TakeOrderedAndProject (per-task
+    K-heaps), never a full corpus Sort."""
+    from pdf_extractor_spark.queries.corpus_select import (
+        corpus_sample_priority,
+    )
+
+    plan = (
+        corpus_sample_priority(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan

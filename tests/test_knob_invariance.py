@@ -51,6 +51,7 @@ ENTRIES = [
     "text_tfidf_topk",
     "corpus_pack_sequences",
     "corpus_sample_stratified",
+    "corpus_sample_priority",
     "corpus_shuffle_shards",
 ]
 
