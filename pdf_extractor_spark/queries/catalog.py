@@ -784,6 +784,94 @@ GROUP BY d.media_id
 """
 
 
+_FIGPAGES_FIXTURE = REPO_ROOT / "fixtures" / "figpages_micro.parquet"
+
+
+def extract_image_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAION-style (image URL, caption) miner over HTML: one row
+    per <img src> with caption priority figcaption > alt > NULL
+    (spec in ref_extractor/images.py — figcaption before OR after its
+    img, first-figcaption-wins, innermost figure, EOF flush, O23
+    containment), via the same mapInArrow shape as the outlink stage;
+    oracle = the pure-Python collector over the committed fixture."""
+    from pdf_extractor_spark.operators.images import images_stage
+
+    return images_stage(spark.read.parquet(str(_FIGPAGES_FIXTURE)))
+
+
+# caption-quality rules (the LAION filter pass), shared Spark/DuckDB:
+# basename = filename up to the first dot; junk = caption equal to the
+# separator-normalized basename; keep = captioned, not junk, >= 2
+# tokens and >= 5 chars
+_IMGQ_NTOK_S = (
+    "CAST(CASE WHEN caption IS NULL THEN 0 "
+    "ELSE size(split(caption, ' ')) END AS BIGINT)"
+)
+_IMGQ_NTOK_D = (
+    "CAST(CASE WHEN caption IS NULL THEN 0 "
+    "ELSE len(string_split(caption, ' ')) END AS BIGINT)"
+)
+_IMGQ_BASE_S = "split_part(element_at(split(src, '/'), -1), '.', 1)"
+_IMGQ_BASE_D = "split_part(string_split(src, '/')[-1], '.', 1)"
+
+
+def _imgq_junk(base: str) -> str:
+    norm = "replace(replace(lower({x}), '-', ' '), '_', ' ')"
+    return (
+        "CAST(CASE WHEN caption IS NOT NULL AND "
+        + norm.format(x="caption")
+        + " = "
+        + norm.format(x=base)
+        + " THEN 1 ELSE 0 END AS BIGINT)"
+    )
+
+
+def image_caption_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The caption filter a LAION-style pipeline runs after mining:
+    token/char minimums and the filename-junk rule (alt text that just
+    restates the image filename carries no supervision signal). Pure
+    projection over the mined pairs — no shuffle, no UDF."""
+    pairs = extract_image_pairs(spark, sf_dir)
+    return pairs.select(
+        "url",
+        "seq",
+        "src",
+        "caption",
+        "caption_src",
+        F.expr(_IMGQ_NTOK_S).alias("n_caption_toks"),
+        F.expr(_imgq_junk(_IMGQ_BASE_S)).alias("junk_filename"),
+    ).withColumn(
+        "keep",
+        F.expr(
+            "CAST(caption IS NOT NULL AND junk_filename = 0 "
+            "AND n_caption_toks >= 2 AND char_length(caption) >= 5 "
+            "AS BIGINT)"
+        ),
+    )
+
+
+def _image_caption_quality_sql() -> str:
+    exp = (
+        REPO_ROOT / "fixtures" / "golden" / "expected"
+        / "extract_image_pairs.parquet"
+    )
+    return f"""
+WITH pairs AS (SELECT * FROM '{exp}'),
+scored AS (
+  SELECT url, seq, src, caption, caption_src,
+         {_IMGQ_NTOK_D} AS n_caption_toks,
+         {_imgq_junk(_IMGQ_BASE_D)} AS junk_filename
+  FROM pairs
+)
+SELECT url, seq, src, caption, caption_src, n_caption_toks,
+       junk_filename,
+       CAST(caption IS NOT NULL AND junk_filename = 0
+            AND n_caption_toks >= 2 AND length(caption) >= 5
+            AS BIGINT) AS keep
+FROM scored
+"""
+
+
 _VHASH_FIXTURE = REPO_ROOT / "fixtures" / "media_vhash_micro.parquet"
 
 
@@ -1754,6 +1842,23 @@ CATALOG: dict[str, QuerySpec] = {
         "-> alternating-star components -> keep-one): exactly one "
         "survivor per near-dup clip cluster; oracle = recursive "
         "reachability over the brute-force hamming pairs"),
+    "extract_image_pairs": QuerySpec(
+        extract_image_pairs,
+        _expected_sql(
+            "extract_image_pairs",
+            "url, seq, src, alt, caption, caption_src",
+        ),
+        "LAION-style (image URL, caption) mining over HTML: one row "
+        "per <img src> with caption priority figcaption > alt > NULL "
+        "(figcaption before/after img, first-wins, innermost figure, "
+        "EOF flush, O23 containment), mapInArrow stage; oracle = the "
+        "pure-Python collector over the committed figure-rich corpus"),
+    "image_caption_quality": QuerySpec(
+        image_caption_quality,
+        _image_caption_quality_sql(),
+        "the caption filter after mining: token/char minimums + the "
+        "filename-junk rule (alt text restating the image filename); "
+        "pure projection, no shuffle, no UDF"),
     "media_vhash": QuerySpec(
         media_vhash,
         _expected_sql(

@@ -518,6 +518,44 @@ def expected_media_vhash() -> pa.Table:
     )
 
 
+def expected_extract_image_pairs() -> pa.Table:
+    """Raw (url, seq, src, alt, caption, caption_src) image-caption
+    pairs of the figure-rich corpus (fixtures/figpages_micro.parquet),
+    computed by the pure-Python collector — the gate value-compares the
+    Spark Arrow-batch stage against a non-Spark execution."""
+    from pdf_extractor_spark.ref_extractor.images import collect_images
+
+    pages = pq.read_table(
+        REPO / "fixtures" / "figpages_micro.parquet"
+    ).to_pylist()
+    rows = []
+    for p in pages:
+        for seq, src, alt, caption, csrc in collect_images(p["html"]):
+            rows.append(
+                {
+                    "url": p["url"],
+                    "seq": seq,
+                    "src": src,
+                    "alt": alt,
+                    "caption": caption,
+                    "caption_src": csrc,
+                }
+            )
+    return pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("url", pa.string()),
+                ("seq", pa.int64()),
+                ("src", pa.string()),
+                ("alt", pa.string()),
+                ("caption", pa.string()),
+                ("caption_src", pa.string()),
+            ]
+        ),
+    )
+
+
 BUILDERS = {
     "extract_pages": expected_extract_pages,
     "extract_first_block": expected_extract_first_block,
@@ -532,6 +570,7 @@ BUILDERS = {
     "media_phash": expected_media_phash,
     "media_audiofp": expected_media_audiofp,
     "media_vhash": expected_media_vhash,
+    "extract_image_pairs": expected_extract_image_pairs,
 }
 
 
