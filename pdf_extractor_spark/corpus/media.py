@@ -414,6 +414,7 @@ def write_audiofp_media_parquet(
 
 VHASH_FRAMES = 8  # frames per base clip
 VHASH_TRUNC = 6  # truncated-twin frame count
+VHASH_LEAD_CUT = 2  # leading-truncated-twin frames dropped (1 sample step)
 
 
 def _pattern_video(pats: list[np.ndarray], bright: int = 0) -> bytes:
@@ -457,6 +458,14 @@ def generate_vhash_media(seed: int = 13, n_base: int = 12) -> pa.Table:
     add(_pattern_video(single))
     add(_pattern_video(single, bright=10))
     add(b"RAWVxxxx")  # corrupt: error row
+    # LEADING-truncated twins (intro cut): first VHASH_LEAD_CUT frames
+    # dropped, so sampled ords shift by VHASH_LEAD_CUT/VHASH_EVERY_K —
+    # INVISIBLE to the aligned pass (ord-equal frames are independent
+    # patterns), found by the offset pass at d = -1
+    for _ in range(3):
+        pats = [_phash_pattern(rng) for _ in range(VHASH_FRAMES)]
+        add(_pattern_video(pats))
+        add(_pattern_video(pats[VHASH_LEAD_CUT:]))
     return pa.table(rows, schema=MEDIA_SCHEMA)
 
 

@@ -645,3 +645,132 @@ def vhash_pairs_of(
             & (F.col("n_frames_cmp") >= min_overlap)
         )
     )
+
+
+VHASH_MAX_OFFSET = 2
+
+
+def vhash_pairs_offset_of(
+    vh: DataFrame,
+    ham_max: int = HAM_MAX,
+    min_overlap: int = VHASH_MIN_OVERLAP,
+    max_offset: int = VHASH_MAX_OFFSET,
+) -> DataFrame:
+    """id_a, id_b, offset, n_frames_cmp, max_hamming — the
+    TEMPORAL-OFFSET upgrade of vhash_pairs_of: clips whose sampled
+    frames align within ``ham_max`` bits at SOME shift d in
+    [-max_offset, max_offset] (b.frame_ord = a.frame_ord + d), the
+    re-encode class where leading frames were cut (intros, trims) that
+    strict ord-equality misses. Per pair the BEST valid offset wins
+    (largest overlap, then smallest |d|, then d — deterministic).
+
+    Candidates: band join on (band, value) with the |ord_a - ord_b| <=
+    max_offset window — recall 1.0 within the window by the same
+    pigeonhole (every frame of a true pair shares >= 1 band with its
+    shifted counterpart). The band key no longer carries frame_ord, so
+    bucket occupancy grows by ~frames-per-clip vs the aligned pass —
+    the cap bounds it identically; at production scale run the aligned
+    pass first and this pass on its residue."""
+    if ham_max >= PHASH_BANDS:
+        raise ValueError(
+            f"ham_max={ham_max} needs > {PHASH_BANDS} bands for recall"
+        )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    bands = vh.select(
+        "media_id",
+        "frame_ord",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.expr(
+                            f"CAST(shiftrightunsigned(fhash, {8 * b}) "
+                            "& 255 AS INT)"
+                        ).alias("v"),
+                    )
+                    for b in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    bw = Window.partitionBy("band")
+    bands = (
+        bands.withColumn("bucket_n", F.count("*").over(bw))
+        .filter(F.col("bucket_n") <= PHASH_BUCKET_CAP)
+        .drop("bucket_n")
+    )
+    cand = (
+        bands.select(
+            F.col("media_id").alias("id_a"),
+            F.col("frame_ord").alias("ord_a"),
+            "band",
+        )
+        .join(
+            bands.select(
+                F.col("media_id").alias("id_b"),
+                F.col("frame_ord").alias("ord_b"),
+                "band",
+            ),
+            on="band",
+            how="inner",
+        )
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.abs(F.col("ord_a") - F.col("ord_b"))
+                <= F.lit(max_offset)
+            )
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    offs = cand.withColumn(
+        "d", F.explode(F.sequence(F.lit(-max_offset), F.lit(max_offset)))
+    )
+    a = vh.select(
+        F.col("media_id").alias("id_a"),
+        F.col("frame_ord").alias("ord_a"),
+        F.col("fhash").alias("fh_a"),
+    )
+    b = vh.select(
+        F.col("media_id").alias("id_b"),
+        F.col("frame_ord").alias("ord_b"),
+        F.col("fhash").alias("fh_b"),
+    )
+    # string-key joins ONLY: cand shares lineage with vh (bands is a
+    # projection of it), so DataFrame-attribute join conditions would
+    # hit Spark's self-join ambiguous-resolution trap
+    per_off = (
+        offs.join(a, on="id_a", how="inner")
+        .withColumn("ord_b", F.col("ord_a") + F.col("d"))
+        .join(b, on=["id_b", "ord_b"], how="inner")
+        .withColumn(
+            "hamming", F.expr("CAST(bit_count(fh_a ^ fh_b) AS BIGINT)")
+        )
+        .groupBy("id_a", "id_b", "d")
+        .agg(
+            F.count("*").cast("long").alias("n_frames_cmp"),
+            F.max("hamming").alias("max_hamming"),
+        )
+        .filter(
+            (F.col("max_hamming") <= ham_max)
+            & (F.col("n_frames_cmp") >= min_overlap)
+        )
+    )
+    best = Window.partitionBy("id_a", "id_b").orderBy(
+        F.desc("n_frames_cmp"), F.abs("d"), "d"
+    )
+    return (
+        per_off.withColumn("rn", F.row_number().over(best))
+        .filter(F.col("rn") == 1)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("d").cast("long").alias("offset"),
+            "n_frames_cmp",
+            "max_hamming",
+        )
+    )

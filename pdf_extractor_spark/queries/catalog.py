@@ -946,6 +946,68 @@ HAVING max(h) <= {HAM_MAX} AND count(*) >= {VHASH_MIN_OVERLAP}
 """
 
 
+def media_vhash_pairs_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temporal-offset upgrade of media_vhash_pairs: clips whose
+    sampled frames align within HAM_MAX bits at SOME shift d in
+    [-2, 2] — catches the planted LEADING-truncated twins (intro cut,
+    d = -1) that strict ord-equality misses, while reproducing every
+    aligned pair at d = 0. Best valid offset per pair (largest overlap,
+    then smallest |d|, then d). Oracle = brute-force per-offset aligned
+    hamming over the independently recomputed frame hashes."""
+    from pdf_extractor_spark.operators.multimodal import (
+        vhash_pairs_offset_of,
+    )
+
+    vh = _vhash_exploded(spark).filter(F.col("error").isNull()).select(
+        "media_id", "frame_ord", "fhash"
+    )
+    return vhash_pairs_offset_of(vh)
+
+
+def _vhash_pairs_offset_sql() -> str:
+    from pdf_extractor_spark.operators.multimodal import (
+        HAM_MAX,
+        VHASH_MAX_OFFSET,
+        VHASH_MIN_OVERLAP,
+    )
+
+    exp = (
+        REPO_ROOT / "fixtures" / "golden" / "expected"
+        / "media_vhash.parquet"
+    )
+    return f"""
+WITH fh AS (
+  SELECT media_id, frame_ord, fhash FROM '{exp}' WHERE error IS NULL
+),
+offs AS (
+  SELECT unnest(range(-{VHASH_MAX_OFFSET}, {VHASH_MAX_OFFSET} + 1)) AS d
+),
+j AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b, o.d,
+         CAST(count(*) AS BIGINT) AS n_frames_cmp,
+         CAST(max(bit_count(xor(a.fhash, b.fhash))) AS BIGINT)
+           AS max_hamming
+  FROM fh a CROSS JOIN offs o
+       JOIN fh b ON a.media_id < b.media_id
+               AND b.frame_ord = a.frame_ord + o.d
+  GROUP BY 1, 2, 3
+),
+valid AS (
+  SELECT * FROM j
+  WHERE max_hamming <= {HAM_MAX} AND n_frames_cmp >= {VHASH_MIN_OVERLAP}
+),
+best AS (
+  SELECT id_a, id_b, CAST(d AS BIGINT) AS "offset", n_frames_cmp,
+         max_hamming,
+         row_number() OVER (PARTITION BY id_a, id_b
+                            ORDER BY n_frames_cmp DESC, abs(d), d) AS rn
+  FROM valid
+)
+SELECT id_a, id_b, "offset", n_frames_cmp, max_hamming
+FROM best WHERE rn = 1
+"""
+
+
 _AUDIOFP_FIXTURE = REPO_ROOT / "fixtures" / "media_audiofp_micro.parquet"
 
 
@@ -1878,6 +1940,16 @@ CATALOG: dict[str, QuerySpec] = {
         "catches brightness twins, one-frame 5-bit tweaks, and "
         "truncated re-encodes; rejects the 9-bit poisoned control and "
         "the single-frame overlap; oracle = brute-force aligned "
+        "hamming over independently recomputed frame hashes"),
+    "media_vhash_pairs_offset": QuerySpec(
+        media_vhash_pairs_offset,
+        _vhash_pairs_offset_sql(),
+        "temporal-offset video near-dup: best shift d in [-2, 2] per "
+        "clip pair (largest overlap, smallest |d|) — catches the "
+        "planted leading-truncated twins (intro cut, d = -1) that "
+        "strict alignment misses while reproducing every aligned pair "
+        "at d = 0; candidates stay band-bucket-local with the "
+        "|ord_a - ord_b| <= 2 window; oracle = brute-force per-offset "
         "hamming over independently recomputed frame hashes"),
     # --- the extraction engine itself (oracle = expected fixtures from
     #     the pure-Python ref_extractor; byte-level goldens additionally

@@ -46,6 +46,7 @@ ENTRIES = [
     "media_audiofp_pairs",
     "media_audiofp_clusters",
     "media_vhash_pairs",
+    "media_vhash_pairs_offset",
     "corpus_budget_alloc",
     "corpus_drift_chi2",
     "text_tfidf_topk",

@@ -605,3 +605,75 @@ def test_vhash_pairs_radius_guard_and_min_overlap(spark):
     # ONE bit -> kept; (0,2): frame 1 at HAM_MAX+1 -> rejected;
     # (3,4): identical but single-frame overlap -> rejected
     assert got == {(0, 1): (2, 7), (1, 2): (2, 1)}
+
+
+def test_vhash_offset_pairs_superset_and_lead_twins(spark):
+    """The offset pass reproduces EVERY aligned pair at offset 0 (same
+    overlap and max hamming) and additionally finds exactly the 3
+    planted leading-truncated twins at offset -1 (3-frame overlap,
+    hamming 0) — the intro-cut class the aligned pass provably misses
+    (their ord-equal frames are independent patterns)."""
+    from pdf_extractor_spark.queries import CATALOG
+
+    aligned = {
+        (r["id_a"], r["id_b"]): (r["n_frames_cmp"], r["max_hamming"])
+        for r in CATALOG["media_vhash_pairs"].fn(spark, "unused").collect()
+    }
+    off = {
+        (r["id_a"], r["id_b"]): (
+            r["offset"],
+            r["n_frames_cmp"],
+            r["max_hamming"],
+        )
+        for r in CATALOG["media_vhash_pairs_offset"].fn(spark, "unused")
+        .collect()
+    }
+    assert len(aligned) == 9 and len(off) == 12
+    for pair, (n, mx) in aligned.items():
+        assert off[pair] == (0, n, mx)
+    extra = {p: v for p, v in off.items() if p not in aligned}
+    assert len(extra) == 3
+    assert all(v == (-1, 3, 0) for v in extra.values())
+    # the extra pairs are exactly the planted (base, base+1) lead twins
+    assert all(b == a + 1 for a, b in extra)
+
+
+def test_vhash_offset_crafted_shift_recovery(spark):
+    """Crafted clips: a leading-cut twin is found at d=-1, an aligned
+    copy at d=0, and the twin-vs-copy pair at d=+1 — all with the
+    correct overlap; an unrelated clip pairs with nothing."""
+    import random
+
+    rng = random.Random(5)
+    H = []
+    while len(H) < 5:
+        c = rng.getrandbits(63)
+        if all(bin(c ^ x).count("1") > 12 for x in H):
+            H.append(c)
+    rows = [(0, i, H[i]) for i in range(4)]
+    rows += [(1, i, H[i + 1]) for i in range(3)]  # leading cut
+    rows += [(2, i, H[i]) for i in range(4)]  # aligned copy
+    rows += [(3, i, H[4]) for i in range(4)]  # unrelated
+    df = spark.createDataFrame(
+        rows, "media_id LONG, frame_ord LONG, fhash LONG"
+    )
+    got = sorted(tuple(r) for r in mm.vhash_pairs_offset_of(df).collect())
+    assert got == [
+        (0, 1, -1, 3, 0),
+        (0, 2, 0, 4, 0),
+        (1, 2, 1, 3, 0),
+    ]
+
+
+def test_vhash_offset_plan_payload_never_shuffles(spark):
+    """Same discipline as the aligned pass: only ids, ordinals, 8-byte
+    hashes and band keys ever reach an Exchange."""
+    from pdf_extractor_spark.queries import CATALOG
+    from tests.test_plans import plan_of
+
+    plan = plan_of(
+        CATALOG["media_vhash_pairs_offset"].fn(spark, "unused")
+    )
+    for frag in plan.split("Exchange")[1:]:
+        head = frag.split("\n", 1)[0]
+        assert "payload" not in head and "fhashes" not in head, head
