@@ -872,6 +872,84 @@ FROM scored
 """
 
 
+def image_pairs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LAION chain's next verb: dedup the quality-kept pairs by
+    CANONICAL image URL (the same hot image is embedded site-wide under
+    tracking-param / mixed-case-host variants; downloading it once is
+    the point). Composes the urlnorm canon expression over src, one
+    keeper per canon key = min (url, seq). Shuffles only (url, seq,
+    src_canon) — captions rejoin nothing."""
+    from pdf_extractor_spark.queries.urlnorm import (
+        _CANON_S,
+        _HOST0,
+        _REST,
+        _SCHEME,
+    )
+
+    kept = image_caption_quality(spark, sf_dir).filter(
+        F.col("keep") == 1
+    )
+    canon = kept.select(
+        "url",
+        "seq",
+        F.expr(_SCHEME.replace("url", "src")).alias("scheme"),
+        F.expr(_HOST0.replace("url", "src")).alias("host0"),
+        F.expr(_REST.replace("url", "src")).alias("rest"),
+        F.col("src").alias("url_src"),
+    ).select(
+        "url",
+        "seq",
+        F.expr(
+            _CANON_S.replace("WHEN scheme = '' THEN url ",
+                             "WHEN scheme = '' THEN url_src ")
+        ).alias("src_canon"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src_canon")
+    wr = Window.partitionBy("src_canon").orderBy("url", "seq")
+    return canon.select(
+        "url",
+        "seq",
+        "src_canon",
+        F.count("*").over(w).cast("long").alias("n_copies"),
+        (F.row_number().over(wr) == 1).cast("long").alias("keep"),
+    )
+
+
+def _image_pairs_dedup_sql() -> str:
+    from pdf_extractor_spark.queries.urlnorm import (
+        _CANON_D,
+        _HOST0,
+        _REST,
+        _SCHEME,
+    )
+
+    return f"""
+WITH quality AS ({_image_caption_quality_sql()}),
+kept AS (SELECT * FROM quality WHERE keep = 1),
+parts AS (
+  SELECT url, seq, src AS url_src,
+         {_SCHEME.replace("url", "src")} AS scheme,
+         {_HOST0.replace("url", "src")} AS host0,
+         {_REST.replace("url", "src")} AS rest
+  FROM kept
+),
+canon AS (
+  SELECT url, seq,
+         {_CANON_D.replace("WHEN scheme = '' THEN url ",
+                           "WHEN scheme = '' THEN url_src ")} AS src_canon
+  FROM parts
+)
+SELECT url, seq, src_canon,
+       CAST(count(*) OVER (PARTITION BY src_canon) AS BIGINT)
+         AS n_copies,
+       CAST(row_number() OVER (PARTITION BY src_canon ORDER BY url, seq)
+            = 1 AS BIGINT) AS keep
+FROM canon
+"""
+
+
 _VHASH_FIXTURE = REPO_ROOT / "fixtures" / "media_vhash_micro.parquet"
 
 
@@ -1921,6 +1999,15 @@ CATALOG: dict[str, QuerySpec] = {
         "the caption filter after mining: token/char minimums + the "
         "filename-junk rule (alt text restating the image filename); "
         "pure projection, no shuffle, no UDF"),
+    "image_pairs_dedup": QuerySpec(
+        image_pairs_dedup,
+        _image_pairs_dedup_sql(),
+        "dedup the quality-kept pairs by CANONICAL image URL "
+        "(urlnorm's canon expression over src: tracking params "
+        "stripped, host lowercased) — one keeper per canon key; the "
+        "planted site-wide embeds (raw / utm / mixed-case-host "
+        "variants of one image) collapse 3 -> 1; shuffles only "
+        "(url, seq, src_canon)"),
     "media_vhash": QuerySpec(
         media_vhash,
         _expected_sql(

@@ -102,6 +102,28 @@ def build_rows(seed: int) -> list[dict]:
                 f"{body}</body></html>"
             ).encode()
             rows.append({"url": url, "html": html})
+    # planted DUPLICATE image srcs for the dedup-by-canonical-URL step:
+    # the same image appears on three pages under url variants that
+    # canonicalize to one key (raw / utm-tracking param / mixed-case
+    # host) — the LAION crawl reality where one hot image is embedded
+    # site-wide
+    for di in range(5):
+        base = f"img{di}.example/shared_{rng.choice(WORDS)}_{di}.jpg"
+        variants = [
+            f"https://{base}",
+            f"https://{base}?utm_source=feed{di}",
+            f"https://{base.upper()[: len(f'img{di}.example')]}"
+            f"{base[len(f'img{di}.example'):]}",
+        ]
+        for vi, src in enumerate(variants):
+            url = f"https://h{di:02d}.example/embed/{vi}"
+            html = (
+                "<html><body>"
+                f"<p>{_cap(rng)}</p>"
+                f'<img src="{src}" alt="{_cap(rng)}">'
+                "</body></html>"
+            ).encode()
+            rows.append({"url": url, "html": html})
     # O23 rows: a PDF payload (zero pairs) and a truncated page whose
     # figure never closes (flushed at EOF)
     rows.append(

@@ -110,7 +110,7 @@ def test_spark_stage_matches_pure_python(spark):
     assert got == sorted(want)
     dist = Counter(x[5] for x in got)
     assert set(dist) == {"figcaption", "alt", None}
-    assert len(got) == 170
+    assert len(got) == 185
 
 
 def test_caption_quality_rules(spark):
@@ -124,7 +124,7 @@ def test_caption_quality_rules(spark):
         for r in CATALOG["image_caption_quality"].fn(spark, "unused")
         .collect()
     }
-    assert len(rows) == 170
+    assert len(rows) == 185
     kept = [r for r in rows.values() if r["keep"] == 1]
     assert kept
     for r in kept:
@@ -156,3 +156,37 @@ def test_caption_quality_plan_no_shuffle(spark):
 
     plan = plan_of(CATALOG["image_caption_quality"].fn(spark, "unused"))
     assert "Exchange" not in plan
+
+
+def test_image_pairs_dedup_collapses_planted_variants(spark):
+    """The 5 planted site-wide embeds (raw / utm-param / mixed-case-
+    host variants of one image on three pages) each collapse to ONE
+    canonical key with exactly one keeper; every other kept pair is
+    its own singleton group; the kept set has no duplicate canon
+    keys."""
+    from collections import Counter
+
+    from pdf_extractor_spark.queries import CATALOG
+
+    rows = CATALOG["image_pairs_dedup"].fn(spark, "unused").collect()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["src_canon"], []).append(r)
+    trios = {
+        c: g for c, g in by_canon.items() if "/shared_" in c
+    }
+    assert len(trios) == 5
+    for c, g in trios.items():
+        assert c == c.lower() and "utm_" not in c
+        assert len(g) == 3
+        assert all(r["n_copies"] == 3 for r in g)
+        keepers = [r for r in g if r["keep"] == 1]
+        assert len(keepers) == 1
+        assert min((r["url"], r["seq"]) for r in g) == (
+            keepers[0]["url"],
+            keepers[0]["seq"],
+        )
+    sizes = Counter(len(g) for g in by_canon.values())
+    assert sizes[3] >= 5  # the planted trios
+    kept = [r for r in rows if r["keep"] == 1]
+    assert len(kept) == len(by_canon)

@@ -47,6 +47,7 @@ ENTRIES = [
     "media_audiofp_clusters",
     "media_vhash_pairs",
     "media_vhash_pairs_offset",
+    "image_pairs_dedup",
     "corpus_budget_alloc",
     "corpus_drift_chi2",
     "text_tfidf_topk",
