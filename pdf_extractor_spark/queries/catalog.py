@@ -1086,6 +1086,97 @@ FROM best WHERE rn = 1
 """
 
 
+def media_vhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete video-dedup verb chain over the OFFSET pairs
+    (aligned pairs are their d = 0 subset, so the leading-truncated
+    twins co-cluster with their bases): alternating-star components,
+    keep = minimum media_id per cluster — same keep-discipline as the
+    image, audio and text pipelines."""
+    from pdf_extractor_spark.queries.dedup import _alternating_star_cc
+
+    vh = _vhash_exploded(spark).localCheckpoint(eager=True)
+    good = vh.filter(F.col("error").isNull()).select(
+        "media_id", "frame_ord", "fhash"
+    )
+    from pdf_extractor_spark.operators.multimodal import (
+        vhash_pairs_offset_of,
+    )
+
+    pairs = vhash_pairs_offset_of(good).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    ids = good.select(F.col("media_id").alias("doc_id")).distinct()
+    labels = _alternating_star_cc(pairs, ids)
+    return labels.select(
+        F.col("doc_id").alias("media_id"),
+        "cluster_id",
+        F.expr("CAST(doc_id = cluster_id AS BIGINT)").alias("keep"),
+    )
+
+
+def _vhash_clusters_sql() -> str:
+    exp = (
+        REPO_ROOT / "fixtures" / "golden" / "expected"
+        / "media_vhash.parquet"
+    )
+    return f"""
+WITH RECURSIVE
+pairs AS ({_vhash_pairs_offset_sql()}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+)
+SELECT d.media_id,
+       CAST(least(d.media_id,
+                  coalesce(min(r.dst), d.media_id)) AS BIGINT)
+         AS cluster_id,
+       CAST(d.media_id = least(d.media_id,
+                               coalesce(min(r.dst), d.media_id))
+            AS BIGINT) AS keep
+FROM (SELECT DISTINCT media_id FROM '{exp}' WHERE error IS NULL) d
+LEFT JOIN reach r ON r.src = d.media_id
+GROUP BY d.media_id
+"""
+
+
+def media_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-modality capstone: ONE keep/drop manifest over all
+    three media dedup chains (image dHash, audio energy-fingerprint,
+    video frame-sampled dHash with temporal offset) — the table a
+    multimodal training-data pipeline actually ships to the downloader.
+    Same verb chain per modality (fingerprint -> banded pairs ->
+    components -> keep-one), tagged and unioned; media_id spaces are
+    per-modality."""
+    img = media_phash_clusters(spark, sf_dir).select(
+        F.lit("image").alias("modality"), "media_id", "cluster_id",
+        "keep",
+    )
+    aud = media_audiofp_clusters(spark, sf_dir).select(
+        F.lit("audio").alias("modality"), "media_id", "cluster_id",
+        "keep",
+    )
+    vid = media_vhash_clusters(spark, sf_dir).select(
+        F.lit("video").alias("modality"), "media_id", "cluster_id",
+        "keep",
+    )
+    return img.unionByName(aud).unionByName(vid)
+
+
+def _media_dedup_manifest_sql() -> str:
+    return f"""
+SELECT 'image' AS modality, * FROM ({_phash_clusters_sql()})
+UNION ALL
+SELECT 'audio' AS modality, * FROM ({_audiofp_clusters_sql()})
+UNION ALL
+SELECT 'video' AS modality, * FROM ({_vhash_clusters_sql()})
+"""
+
+
 _AUDIOFP_FIXTURE = REPO_ROOT / "fixtures" / "media_audiofp_micro.parquet"
 
 
@@ -2038,6 +2129,22 @@ CATALOG: dict[str, QuerySpec] = {
         "at d = 0; candidates stay band-bucket-local with the "
         "|ord_a - ord_b| <= 2 window; oracle = brute-force per-offset "
         "hamming over independently recomputed frame hashes"),
+    "media_vhash_clusters": QuerySpec(
+        media_vhash_clusters,
+        _vhash_clusters_sql(),
+        "the complete video-dedup chain over the OFFSET pairs "
+        "(leading-truncated twins co-cluster with their bases): "
+        "alternating-star components, keep = min media_id per "
+        "cluster; oracle = recursive reachability over the "
+        "brute-force per-offset pairs"),
+    "media_dedup_manifest": QuerySpec(
+        media_dedup_manifest,
+        _media_dedup_manifest_sql(),
+        "the cross-modality capstone: one keep/drop manifest over all "
+        "three media dedup chains (image dHash, audio "
+        "energy-fingerprint, video frame-sampled dHash with temporal "
+        "offset), tagged and unioned — the table a multimodal "
+        "pipeline ships to the downloader"),
     # --- the extraction engine itself (oracle = expected fixtures from
     #     the pure-Python ref_extractor; byte-level goldens additionally
     #     gate the full text in tests/test_golden_bytes.py) ---

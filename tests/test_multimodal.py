@@ -677,3 +677,51 @@ def test_vhash_offset_plan_payload_never_shuffles(spark):
     for frag in plan.split("Exchange")[1:]:
         head = frag.split("\n", 1)[0]
         assert "payload" not in head and "fhashes" not in head, head
+
+
+def test_vhash_clusters_offset_edges_and_keep_one(spark):
+    """Clusters are built over the OFFSET pairs, so the three
+    leading-truncated twins co-cluster with their bases (the aligned
+    pass alone would leave them singletons); exactly one keeper per
+    cluster; the kept set contains no offset pair."""
+    from collections import Counter
+
+    from pdf_extractor_spark.queries import CATALOG
+
+    rows = CATALOG["media_vhash_clusters"].fn(spark, "unused").collect()
+    assert len(rows) == 32  # 33 fixture rows minus the corrupt payload
+    cl = {r["media_id"]: r["cluster_id"] for r in rows}
+    off_pairs = [
+        (r["id_a"], r["id_b"])
+        for r in CATALOG["media_vhash_pairs_offset"].fn(spark, "unused")
+        .collect()
+    ]
+    assert all(cl[a] == cl[b] for a, b in off_pairs)
+    # the three lead twins (appended after the corrupt row, ids 27..32
+    # as base,twin pairs) share their base's cluster
+    for base in (27, 29, 31):
+        assert cl[base + 1] == cl[base]
+    keepers = [r for r in rows if r["keep"] == 1]
+    by_cluster = Counter(r["cluster_id"] for r in rows)
+    assert len(keepers) == len(by_cluster)
+    kept_ids = {r["media_id"] for r in keepers}
+    assert not [
+        p for p in off_pairs if p[0] in kept_ids and p[1] in kept_ids
+    ]
+
+
+def test_media_dedup_manifest_unions_all_modalities(spark):
+    """The capstone manifest is exactly the union of the three cluster
+    tables (40 image + 42 audio + 32 video rows), with one keeper per
+    (modality, cluster)."""
+    from collections import Counter
+
+    from pdf_extractor_spark.queries import CATALOG
+
+    rows = CATALOG["media_dedup_manifest"].fn(spark, "unused").collect()
+    per_mod = Counter(r["modality"] for r in rows)
+    assert per_mod == {"image": 40, "audio": 42, "video": 32}
+    clusters = Counter((r["modality"], r["cluster_id"]) for r in rows)
+    keepers = [r for r in rows if r["keep"] == 1]
+    assert len(keepers) == len(clusters)
+    assert all(r["media_id"] == r["cluster_id"] for r in keepers)
