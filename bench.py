@@ -191,6 +191,7 @@ HEADLINE = [
     "o11_struct_extract",
     "corpus_select",
     "corpus_sample_stratified",
+    "corpus_sample_priority",
     "text_repetition",
     "text_rarity",
     "text_tfidf_topk",
@@ -211,6 +212,13 @@ HEADLINE = [
     "web_url_filter",
     "web_host_cap",
     "web_dedup_near_keep",
+    # media near-dup chains (fixture-scale inputs; the timing tracks the
+    # band-join + cluster plan shape, not corpus volume)
+    "media_phash_pairs",
+    "media_audiofp_pairs",
+    "media_vhash_pairs",
+    "media_dedup_manifest",
+    "image_pairs_dedup",
 ]
 
 

@@ -81,6 +81,20 @@ def main(argv: list[str] | None = None) -> None:
              "multi-partition commit (amortizes job+commit latency over "
              "many small partitions; a killed chunk re-runs whole)")
     ap.add_argument(
+        "--optimize-sort", default=None, metavar="COL[,COL...]",
+        help="after extraction, rewrite the extracted table's data files "
+             "sort-clustered on the given column(s) (IceTable.compact "
+             "sort_by — the Iceberg rewrite_data_files strategy=sort "
+             "analog) so the per-file min/max bounds skip files under "
+             "selective predicates on those columns; each invocation "
+             "rewrites the live file set (a maintenance op, typically "
+             "run once after a backfill)")
+    ap.add_argument(
+        "--optimize-files", type=int, default=4,
+        help="target data files per partition for --optimize-sort "
+             "(default 4; more files → narrower per-file key ranges → "
+             "better skipping, at more open-file overhead)")
+    ap.add_argument(
         "--url-filter", action="store_true",
         help="apply the stage-zero URL gate (host blocklist, length, "
              "digit-host fraction, crawler-trap path depth — "
@@ -127,6 +141,15 @@ def main(argv: list[str] | None = None) -> None:
     }
     if args.url_filter:
         out["url_rejected"] = result.url_rejected
+    if args.optimize_sort:
+        cols = [c for c in args.optimize_sort.split(",") if c]
+        extracted = IceTable(pathlib.Path(args.warehouse) / "extracted")
+        out["optimize_snapshot_id"] = extracted.compact(
+            spark,
+            min_files=1,
+            sort_by=cols,
+            files_per_partition=args.optimize_files,
+        )
     print(json.dumps(out))
     spark.stop()
 

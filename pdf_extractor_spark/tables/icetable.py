@@ -578,6 +578,8 @@ class IceTable:
         spark: SparkSession,
         partitions: list[str] | None = None,
         min_files: int = 2,
+        sort_by: list[str] | None = None,
+        files_per_partition: int = 1,
     ) -> int:
         """Rewrite each selected partition's accumulated small files into
         ~one file per partition (Iceberg ``rewrite_data_files`` analog).
@@ -585,15 +587,37 @@ class IceTable:
         dozens of tiny parquet files per partition; at 100× scale the
         scan's task count and open-file overhead degrade with them.
 
+        ``sort_by`` upgrades the rewrite to Iceberg's
+        ``rewrite_data_files(strategy => 'sort')``: rows are
+        range-partitioned and sorted on (partition_col, *sort_by) into
+        ``files_per_partition`` files per table partition, so each data
+        file covers a NARROW slice of the sort key and the per-file
+        min/max bounds this table already records (``stats_cols``)
+        become genuinely selective — ``read(where=)`` on the sort column
+        skips most files instead of none. Append-order files each span
+        the whole key range (every file's [min, max] covers every
+        probe), which is why stats alone don't skip until the data is
+        clustered; this is the write-side half of the file-skipping
+        feature. A range task may straddle two table partitions (the
+        partitioned writer splits it back), so per-partition file counts
+        are approximate — an optimization, never a semantics change.
+
         The rewrite commits through the SAME atomic-rename snapshot path
         as every other write: readers see either the old file set or the
         new one, never a mix, and prior snapshots still time-travel
         because old data files are left in place (reclaim them with
         ``expire_snapshots``). Partitions with fewer than ``min_files``
-        files are skipped (no needless rewrite). Returns the new snapshot
-        id, or the current one if nothing needed compaction."""
+        files are skipped (no needless rewrite; pass ``min_files=1`` to
+        re-cluster already-compacted partitions). Returns the new
+        snapshot id, or the current one if nothing needed compaction."""
         from pyspark.sql import functions as F
 
+        if files_per_partition < 1:
+            raise ValueError("files_per_partition must be >= 1")
+        if files_per_partition > 1 and not sort_by:
+            # a range partitioner on the partition value alone keeps
+            # equal keys together — it cannot split one partition's rows
+            raise ValueError("files_per_partition > 1 requires sort_by")
         snap = self.current_snapshot()
         if snap is None:
             return -1
@@ -606,9 +630,22 @@ class IceTable:
         if not todo:
             return snap["snapshot_id"]
         df = self.read(spark, partitions=todo)
-        # one shuffle keyed on the partition column → each task holds
-        # whole partitions → ~one output file per partition value
-        compacted = df.repartition(F.col(self.partition_col))
+        if sort_by:
+            keys = [F.col(self.partition_col)] + [
+                F.col(c) for c in sort_by
+            ]
+            n = max(len(todo) * files_per_partition, 1)
+            # one range shuffle on (partition, sort key) → each task
+            # holds a contiguous key slice; sortWithinPartitions orders
+            # rows inside the file so parquet row-group stats (and any
+            # downstream merge scan) benefit too
+            compacted = df.repartitionByRange(n, *keys).sortWithinPartitions(
+                *keys
+            )
+        else:
+            # one shuffle keyed on the partition column → each task holds
+            # whole partitions → ~one output file per partition value
+            compacted = df.repartition(F.col(self.partition_col))
         added = self._stage_write(compacted)
         # optimistic-concurrency guard: the rewrite is slow and based on
         # the snapshot read at entry — if another writer committed in the

@@ -162,3 +162,78 @@ def test_compact_refreshes_stats_and_time_travel_unchanged(
         r["url"] for r in t.read_snapshot(spark, pre).collect()
     )
     assert old == pre_rows
+
+
+def test_sort_compact_clusters_files_for_skipping(
+    spark, tmp_path, ts_micros_conf
+):
+    """compact(sort_by=) is the write-side half of file skipping: after
+    append-order writes every file spans the whole url range (bounds
+    exclude nothing); the sort-clustered rewrite gives each file a
+    narrow url slice, so the SAME stats machinery now skips most files
+    under a selective range predicate — with identical query answers."""
+    from pyspark.sql import functions as F
+
+    t = IceTable(tmp_path / "t")
+    df = _mkdf(spark, 0, 400)
+    # 4 appends INTERLEAVED by the url's units digit (string position 18)
+    # → each file covers ~the whole url range
+    for cls in ("048", "159", "26", "37"):
+        t.append(
+            df.filter(F.col("url").substr(18, 1).isin(list(cls)))
+            .repartition(1)
+        )
+    assert len(t.files()) == 4
+    where = [("url", ">=", "https://site-00300.example/page")]
+    assert len(t.files(where=where)) == 4  # unclustered: nothing skips
+
+    pre = t.snapshot_id()
+    pre_rows = sorted(r["url"] for r in t.read(spark).collect())
+    t.compact(spark, sort_by=["url"], files_per_partition=4)
+
+    live = t.files()
+    assert 3 <= len(live) <= 5  # ~files_per_partition (range split approx)
+    pruned = t.files(where=where)
+    assert 0 < len(pruned) < len(live)  # clustered: tail file(s) only
+    got = t.read(spark, where=where)
+    assert got.count() == 100
+    assert sorted(r["url"] for r in t.read(spark).collect()) == pre_rows
+    # time travel to the pre-rewrite snapshot is untouched
+    assert (
+        sorted(r["url"] for r in t.read_snapshot(spark, pre).collect())
+        == pre_rows
+    )
+
+
+def test_sort_compact_multi_partition_respects_partitions(
+    spark, tmp_path, ts_micros_conf
+):
+    from pyspark.sql import functions as F
+
+    t = IceTable(tmp_path / "t")
+    base = _mkdf(spark, 0, 200)
+    for pdate in ("2025-06-01", "2025-06-02"):
+        d = base.withColumn("partition_date", F.lit(pdate))
+        for cls in ("02468", "13579"):  # even / odd units digit
+            t.append(
+                d.filter(F.col("url").substr(18, 1).isin(list(cls)))
+                .repartition(1)
+            )
+    assert len(t.files()) == 4
+    t.compact(spark, sort_by=["url"], files_per_partition=2)
+    got = t.read(spark)
+    assert got.count() == 400
+    # rows stay in their table partitions after the range rewrite
+    per_part = {
+        r["partition_date"]: r["n"]
+        for r in got.groupBy(F.col("partition_date").cast("string").alias(
+            "partition_date")).agg(F.count("*").alias("n")).collect()
+    }
+    assert per_part == {"2025-06-01": 200, "2025-06-02": 200}
+
+
+def test_files_per_partition_requires_sort_by(spark, tmp_path):
+    t = IceTable(tmp_path / "t")
+    t.append(_mkdf(spark, 0, 10).repartition(1))
+    with pytest.raises(ValueError, match="requires sort_by"):
+        t.compact(spark, files_per_partition=2)

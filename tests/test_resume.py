@@ -329,3 +329,34 @@ def test_url_filter_gate(spark, corpus, tmp_path):
     # resume: no-op — no chunk re-runs, so no re-counting either
     r2 = run_extract(spark, tbl, wh1, salt=False, url_filter=True)
     assert r2.processed == [] and r2.url_rejected == 0
+
+
+def test_sort_clustered_optimize_after_extract(spark, pages_tbl, tmp_path):
+    """The --optimize-sort maintenance step on a REAL extracted
+    warehouse: compact(sort_by=['url']) re-clusters each partition's
+    files so the url bounds the table already records (stats_cols
+    default) skip files under a selective predicate, with the row set
+    unchanged and resume still a no-op."""
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages_tbl, wh, salt=False)
+    ext = IceTable(f"{wh}/extracted")
+    pre_rows = sorted(
+        r["url"] for r in ext.read(spark).select("url").collect()
+    )
+    probe = pre_rows[len(pre_rows) * 9 // 10]  # a url near the top
+
+    ext.compact(spark, min_files=1, sort_by=["url"], files_per_partition=3)
+    live = ext.files()
+    pruned = ext.files(where=[("url", ">=", probe)])
+    assert 0 < len(pruned) < len(live)  # clustered bounds skip files
+    got = ext.read(spark, where=[("url", ">=", probe)])
+    assert sorted(r["url"] for r in got.collect()) == [
+        u for u in pre_rows if u >= probe
+    ]
+    assert (
+        sorted(r["url"] for r in ext.read(spark).select("url").collect())
+        == pre_rows
+    )
+    # extraction resume is unaffected by the maintenance rewrite
+    r2 = run_extract(spark, pages_tbl, wh, salt=False)
+    assert r2.processed == [] and len(r2.skipped) == N_DAYS
