@@ -95,6 +95,14 @@ def main(argv: list[str] | None = None) -> None:
              "(default 4; more files → narrower per-file key ranges → "
              "better skipping, at more open-file overhead)")
     ap.add_argument(
+        "--gc-orphans", type=float, default=None, metavar="AGE_S",
+        help="after extraction, reclaim data files no snapshot "
+             "references (aborted-commit leftovers) older than AGE_S "
+             "seconds from the extracted table "
+             "(IceTable.remove_orphan_files — Iceberg "
+             "remove_orphan_files analog; pair with expire_snapshots-"
+             "style retention in a scheduled maintenance run)")
+    ap.add_argument(
         "--url-filter", action="store_true",
         help="apply the stage-zero URL gate (host blocklist, length, "
              "digit-host fraction, crawler-trap path depth — "
@@ -149,6 +157,11 @@ def main(argv: list[str] | None = None) -> None:
             min_files=1,
             sort_by=cols,
             files_per_partition=args.optimize_files,
+        )
+    if args.gc_orphans is not None:
+        extracted = IceTable(pathlib.Path(args.warehouse) / "extracted")
+        out["gc_orphans"] = extracted.remove_orphan_files(
+            older_than_s=args.gc_orphans
         )
     print(json.dumps(out))
     spark.stop()

@@ -652,8 +652,8 @@ class IceTable:
         # meantime (e.g. a live streaming append), committing our stale
         # partition map would DROP its files. Compaction is an
         # optimization, so on conflict we abort (the staged files stay on
-        # disk unreferenced — an Iceberg-style orphan-file sweep with an
-        # age threshold would reclaim them) instead of losing data. The
+        # disk unreferenced — remove_orphan_files reclaims them once
+        # past its age threshold) instead of losing data. The
         # re-check and the commit run under the table's process-level
         # commit lock, so an in-process append (e.g. the streaming
         # query's foreachBatch thread) can't land BETWEEN the check and
@@ -714,6 +714,57 @@ class IceTable:
             "snapshots": len(drop),
             "manifests": len(dead_manifests),
             "data_files": len(dead_data),
+        }
+
+    def remove_orphan_files(
+        self, older_than_s: float = 259200.0
+    ) -> dict[str, int]:
+        """Reclaim files referenced by NO snapshot (Iceberg
+        ``remove_orphan_files`` analog). Orphans arise from the
+        documented abort paths: a ``compact()`` that lost its
+        optimistic-concurrency race after staging (its moved files
+        stay under ``data/`` unreferenced), or a writer killed between
+        ``_stage_write`` and commit (a leftover ``.staging-*`` dir).
+        ``expire_snapshots`` cannot reclaim either — it only walks
+        files some snapshot references.
+
+        The age threshold (default 3 days — Iceberg's own default)
+        protects in-flight writers: staged files carry their write-time
+        mtime (``os.rename`` preserves it), so anything younger than
+        the threshold is left alone; a writer that stages and then
+        waits LONGER than the threshold before committing races the
+        sweep — the same caveat Iceberg documents. Runs under the
+        table's commit lock so an in-process commit cannot land between
+        the reference scan and the deletes. Only ``data/`` and
+        ``.staging-*`` are touched, never ``metadata/``."""
+        now = time.time()
+        removed_data = removed_staging = kept_young = 0
+        with self.commit_lock:
+            referenced: set[str] = set()
+            for p in sorted(self.meta_dir.glob("snap-*.json")):
+                with open(p, encoding="utf-8") as f:
+                    s = json.load(f)
+                for ref in s["partitions"].values():
+                    referenced.update(self._manifest_files(ref))
+            for f in self.data_dir.glob("**/*.parquet"):
+                rel = str(f.relative_to(self.root))
+                if rel in referenced:
+                    continue
+                if now - f.stat().st_mtime < older_than_s:
+                    kept_young += 1
+                    continue
+                f.unlink()
+                removed_data += 1
+            for d in self.root.glob(".staging-*"):
+                if now - d.stat().st_mtime < older_than_s:
+                    kept_young += 1
+                    continue
+                shutil.rmtree(d, ignore_errors=True)
+                removed_staging += 1
+        return {
+            "data_files": removed_data,
+            "staging_dirs": removed_staging,
+            "kept_young": kept_young,
         }
 
     # -- time travel -------------------------------------------------------------

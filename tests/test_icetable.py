@@ -138,3 +138,46 @@ def test_commit_metadata_is_o_changed_partitions(spark, tbl):
     assert after["2025-06-16"] != before["2025-06-16"]
     # and the reused refs are real manifest files, not inline lists
     assert isinstance(after["2025-06-14"], str)
+
+
+def test_remove_orphan_files(spark, tbl):
+    """Orphan GC: files staged-and-moved by an aborted commit (the
+    compact() lost-race path) are reclaimed once past the age
+    threshold; referenced files and young orphans are never touched;
+    every snapshot still reads identically afterward."""
+    tbl.append(_df(spark, [(1, "a", "2025-06-14"), (2, "b", "2025-06-15")]))
+    tbl.append(_df(spark, [(3, "c", "2025-06-14")]))
+    pre = sorted(
+        (r.id, r.v) for r in tbl.read(spark).collect()
+    )
+
+    # the abort path: staged files land under data/ with no commit
+    orphaned = tbl._stage_write(_df(spark, [(99, "zz", "2025-06-14")]))
+    orphan_rels = [r for fs in orphaned.values() for r in fs]
+    assert all((tbl.root / r).exists() for r in orphan_rels)
+
+    # young orphans survive a default-threshold sweep
+    stats = tbl.remove_orphan_files()
+    assert stats["data_files"] == 0 and stats["kept_young"] >= 1
+    assert all((tbl.root / r).exists() for r in orphan_rels)
+
+    # an aged sweep reclaims exactly the orphans
+    stats = tbl.remove_orphan_files(older_than_s=0)
+    assert stats["data_files"] == len(orphan_rels)
+    assert not any((tbl.root / r).exists() for r in orphan_rels)
+    # referenced files all survive; both snapshots read unchanged
+    assert sorted((r.id, r.v) for r in tbl.read(spark).collect()) == pre
+    assert tbl.read_snapshot(spark, 0).count() == 2
+
+
+def test_remove_orphan_staging_dir(spark, tbl):
+    """A writer killed BEFORE the staging move leaves a .staging-* dir;
+    the aged sweep removes it, a young one does not."""
+    tbl.append(_df(spark, [(1, "a", "2025-06-14")]))
+    staging = tbl.root / ".staging-deadbeef"
+    (staging / "partition_date=2025-06-14").mkdir(parents=True)
+    assert tbl.remove_orphan_files()["staging_dirs"] == 0
+    assert staging.exists()
+    stats = tbl.remove_orphan_files(older_than_s=0)
+    assert stats["staging_dirs"] == 1 and not staging.exists()
+    assert tbl.read(spark).count() == 1
