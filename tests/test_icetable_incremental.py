@@ -67,3 +67,17 @@ def test_delete_bearing_snapshots_raise(spark, tbl):
     tbl.upsert(spark, _df(spark, tbl2_rows), keys=["id"])     # snap 2
     with pytest.raises(ValueError, match="append-only delta"):
         tbl.read_incremental(spark, 1)
+
+
+def test_sort_rewrite_does_not_double_feed(spark, tbl):
+    """The sort-clustered rewrite commits through the same 'compact'
+    operation, so a CDC consumer skips it exactly like a plain
+    compaction — re-clustering a table never re-feeds old rows."""
+    tbl.append(_df(spark, [(1, "a", "2025-06-14")]))          # snap 0
+    tbl.append(_df(spark, [(2, "b", "2025-06-14")]))          # snap 1
+    tbl.compact(
+        spark, min_files=1, sort_by=["id"], files_per_partition=2
+    )                                                         # snap 2
+    tbl.append(_df(spark, [(3, "c", "2025-06-14")]))          # snap 3
+    assert _ids(tbl.read_incremental(spark, 1)) == [3]
+    assert _ids(tbl.read_incremental(spark, 0)) == [2, 3]
