@@ -373,6 +373,23 @@ class IceTable:
             for k, v in (prev or {}).items()
             if k not in self._CORE_SNAPSHOT_KEYS
         }
+        # Schema evolution (Iceberg add-column analog): once any commit's
+        # column-name set differs from its parent's, the snapshot carries
+        # schema_evolved=True (a non-core key, so it propagates to every
+        # later snapshot) and reads merge footers so files written before
+        # the new column appeared surface it as NULL. Name-SET compare:
+        # column reordering alone is not evolution.
+        if not carried.get("schema_evolved"):
+            prev_sj = (prev or {}).get("schema_json")
+            if prev_sj and schema_json:
+                try:
+                    pf = {f["name"] for f in json.loads(prev_sj)["fields"]}
+                    nf = {f["name"] for f in json.loads(schema_json)["fields"]}
+                    evolved = pf != nf
+                except (KeyError, TypeError, ValueError):
+                    evolved = True  # unparseable → be conservative
+                if evolved:
+                    carried["schema_evolved"] = True
         snap = {
             "snapshot_id": new_id,
             "parent_id": prev["snapshot_id"] if prev else None,
@@ -788,6 +805,25 @@ class IceTable:
             )
         return out
 
+    def _read_parquet(
+        self, spark: SparkSession, files: list[str], evolved: bool
+    ) -> DataFrame:
+        """All data-file reads funnel here. On schema-evolved tables the
+        scan merges footers (mergeSchema) so pre-evolution files surface
+        added columns as NULL — Iceberg's add-column read semantics. The
+        footer-merge cost is confined to tables that actually evolved; a
+        production catalog binding would impose the tracked schema
+        instead of merging (documented trade — this shim keeps partition
+        -column dtype inference identical on the unevolved fast path)."""
+        r = spark.read.option("basePath", str(self.data_dir))
+        if evolved:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*files)
+
+    def _schema_evolved(self) -> bool:
+        snap = self.current_snapshot()
+        return bool(snap and snap.get("schema_evolved"))
+
     def read_snapshot(
         self,
         spark: SparkSession,
@@ -810,7 +846,11 @@ class IceTable:
 
             schema = T.StructType.fromJson(json.loads(snap["schema_json"]))
             return spark.createDataFrame([], schema)
-        return spark.read.option("basePath", str(self.data_dir)).parquet(*files)
+        # time travel honors the AS-OF schema: merge only if evolution
+        # had already happened by the target snapshot
+        return self._read_parquet(
+            spark, files, bool(snap.get("schema_evolved"))
+        )
 
     def read_incremental(
         self,
@@ -878,9 +918,7 @@ class IceTable:
 
             schema = T.StructType.fromJson(json.loads(snap["schema_json"]))
             return spark.createDataFrame([], schema)
-        return spark.read.option(
-            "basePath", str(self.data_dir)
-        ).parquet(*files)
+        return self._read_parquet(spark, files, self._schema_evolved())
 
     # -- reads -------------------------------------------------------------------
     def read(
@@ -908,9 +946,7 @@ class IceTable:
                     f"IceTable at {self.root} is empty/unknown"
                 )
         else:
-            df = spark.read.option(
-                "basePath", str(self.data_dir)
-            ).parquet(*files)
+            df = self._read_parquet(spark, files, self._schema_evolved())
         if where:
             from pyspark.sql import functions as F
 
