@@ -689,16 +689,78 @@ class IceTable:
                 parts[p] = added.get(p, [])
             return self._commit(parts, "compact", df.schema.json())
 
+    # -- tags (Iceberg named-ref analog) ---------------------------------------
+    def tags(self) -> dict[str, int]:
+        """name → snapshot_id for every tag (empty dict if none)."""
+        p = self.meta_dir / "TAGS.json"
+        if not p.exists():
+            return {}
+        with open(p, encoding="utf-8") as f:
+            return json.load(f)
+
+    def _write_tags(self, tags: dict[str, int]) -> None:
+        tmp = self.meta_dir / f".TAGS.{uuid.uuid4().hex}"
+        tmp.write_text(json.dumps(tags, indent=1, sort_keys=True))
+        os.rename(tmp, self.meta_dir / "TAGS.json")  # atomic like CURRENT
+
+    def tag(
+        self, name: str, snapshot_id: int | None = None,
+        replace: bool = False,
+    ) -> int:
+        """Pin a named tag to a snapshot (current if omitted) — the
+        Iceberg named-ref used for audit/publish workflows ("the
+        snapshot we trained run X on"). Tagged snapshots are PROTECTED
+        from ``expire_snapshots`` until the tag is deleted, so the tag
+        is a retention lease, not just a bookmark. Re-pointing an
+        existing tag requires ``replace=True`` (accidental re-pin of an
+        audit ref should be loud). Atomic-rename persisted under the
+        commit lock."""
+        with self.commit_lock:
+            if snapshot_id is None:
+                snapshot_id = self.snapshot_id()
+            if not (self.meta_dir / f"snap-{snapshot_id:08d}.json").exists():
+                raise ValueError(f"no snapshot {snapshot_id} to tag")
+            tags = self.tags()
+            if name in tags and tags[name] != snapshot_id and not replace:
+                raise ValueError(
+                    f"tag {name!r} already points at {tags[name]}; "
+                    "pass replace=True to re-point it"
+                )
+            tags[name] = snapshot_id
+            self._write_tags(tags)
+            return snapshot_id
+
+    def delete_tag(self, name: str) -> None:
+        with self.commit_lock:
+            tags = self.tags()
+            tags.pop(name, None)
+            self._write_tags(tags)
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read the table AS OF a tag (Iceberg ``VERSION AS OF 'tag'``)."""
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r} on {self.root}")
+        return self.read_snapshot(spark, tags[name])
+
     def expire_snapshots(self, keep_last: int = 3) -> dict[str, int]:
         """Metadata/data GC (Iceberg ``expire_snapshots`` analog): keep
-        the most recent ``keep_last`` snapshots, delete older snapshot
-        files, then delete manifests and data files referenced ONLY by
-        the expired snapshots. Time travel remains valid for every kept
-        snapshot; the atomic CURRENT pointer is never touched."""
+        the most recent ``keep_last`` snapshots PLUS every tagged
+        snapshot, delete older snapshot files, then delete manifests and
+        data files referenced ONLY by the expired snapshots. Time travel
+        remains valid for every kept snapshot (tags included — a tag is
+        a retention lease); the atomic CURRENT pointer is never
+        touched."""
         snaps = sorted(self.meta_dir.glob("snap-*.json"))
-        if len(snaps) <= keep_last:
+        tagged = {
+            self.meta_dir / f"snap-{sid:08d}.json"
+            for sid in self.tags().values()
+        }
+        keep_set = set(snaps[-keep_last:]) | (tagged & set(snaps))
+        drop = [p for p in snaps if p not in keep_set]
+        if not drop:
             return {"snapshots": 0, "manifests": 0, "data_files": 0}
-        keep, drop = snaps[-keep_last:], snaps[:-keep_last]
+        keep = [p for p in snaps if p in keep_set]
         live_manifests: set[str] = set()
         live_data: set[str] = set()
         for p in keep:

@@ -181,3 +181,38 @@ def test_remove_orphan_staging_dir(spark, tbl):
     stats = tbl.remove_orphan_files(older_than_s=0)
     assert stats["staging_dirs"] == 1 and not staging.exists()
     assert tbl.read(spark).count() == 1
+
+
+def test_tags_pin_and_read(spark, tbl):
+    tbl.append(_df(spark, [(1, "a", "2025-06-14")]))          # snap 0
+    tbl.tag("train-run-1")                                    # pins snap 0
+    tbl.append(_df(spark, [(2, "b", "2025-06-14")]))          # snap 1
+    assert tbl.tags() == {"train-run-1": 0}
+    assert tbl.read_tag(spark, "train-run-1").count() == 1
+    # re-pointing requires replace=True
+    with pytest.raises(ValueError, match="replace=True"):
+        tbl.tag("train-run-1", 1)
+    tbl.tag("train-run-1", 1, replace=True)
+    assert tbl.read_tag(spark, "train-run-1").count() == 2
+    with pytest.raises(KeyError):
+        tbl.read_tag(spark, "nope")
+    with pytest.raises(ValueError, match="no snapshot"):
+        tbl.tag("bad", 99)
+
+
+def test_tagged_snapshot_survives_expiry(spark, tbl):
+    """A tag is a retention lease: expire_snapshots keeps the tagged
+    snapshot (and its files) however old it is; deleting the tag makes
+    the next expiry reclaim it."""
+    tbl.append(_df(spark, [(1, "a", "2025-06-14")]))          # snap 0
+    tbl.tag("audited")
+    for i in range(4):                                        # snaps 1-4
+        tbl.append(_df(spark, [(10 + i, "x", "2025-06-15")]))
+    stats = tbl.expire_snapshots(keep_last=1)
+    assert stats["snapshots"] == 3  # snaps 1-3 go; snap 0 is tagged
+    assert tbl.read_tag(spark, "audited").count() == 1  # files intact
+    assert tbl.read(spark).count() == 5  # current unaffected
+    tbl.delete_tag("audited")
+    stats = tbl.expire_snapshots(keep_last=1)
+    assert stats["snapshots"] == 1  # snap 0 reclaimed now
+    assert not (tbl.meta_dir / "snap-00000000.json").exists()
