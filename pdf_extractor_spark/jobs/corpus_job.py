@@ -202,10 +202,27 @@ def build_corpus(
     dsir_target: str | None = None,
     dsir_keep_pm: int = 500,
     bpe_rounds: int | None = None,
+    warehouse_tag: str | None = None,
 ) -> dict:
     from pyspark.sql import Observation
 
     tbl = IceTable(f"{warehouse}/extracted")
+    # Reproducible builds against a moving warehouse: ``warehouse_tag``
+    # pins the read to a tagged snapshot (IceTable named ref), so a
+    # concurrent extract append between two corpus runs cannot change
+    # what this build reads — the tag also shields that snapshot from
+    # expire_snapshots until released. The snapshot actually read lands
+    # in the funnel either way (lineage).
+    if warehouse_tag is not None:
+        tag_map = tbl.tags()
+        if warehouse_tag not in tag_map:
+            raise ValueError(
+                f"no tag {warehouse_tag!r} on {warehouse}/extracted "
+                f"(have: {sorted(tag_map)})"
+            )
+        read_snapshot_id = tag_map[warehouse_tag]
+    else:
+        read_snapshot_id = tbl.snapshot_id()
     tz_key = "spark.sql.session.timeZone"
     prev_tz = spark.conf.get(tz_key)
     spark.conf.set(tz_key, "UTC")
@@ -218,9 +235,9 @@ def build_corpus(
         # from it for free.
         obs_in = Observation()
         obs_clean = Observation()
-        raw = tbl.read(spark, partitions=partitions).observe(
-            obs_in, F.count(F.lit(1)).alias("n")
-        )
+        raw = tbl.read_snapshot(
+            spark, read_snapshot_id, partitions=partitions
+        ).observe(obs_in, F.count(F.lit(1)).alias("n"))
         # canonicalize to ONE row per url (latest crawl wins, warc_ts
         # then url as the deterministic order): a url extracted in two
         # partitions (re-crawls, incremental appends) would otherwise
@@ -1019,6 +1036,7 @@ def build_corpus(
             }
 
         summary = {
+            "warehouse_snapshot": read_snapshot_id,
             "rows_in": n_in,
             "rows_clean": n_docs,
             "rows_gated": n_gated,
@@ -1202,6 +1220,15 @@ def main(argv: list[str] | None = None) -> None:
         "it (tokenizer training on exactly what shipped) and publish "
         "the merge list + whitespace/BPE token totals in the funnel",
     )
+    ap.add_argument(
+        "--warehouse-tag", default=None, metavar="NAME",
+        help="read the extracted table AS OF this snapshot tag "
+        "(IceTable named ref — pin a build to 'the snapshot run X "
+        "trained on'; a concurrent extract append cannot change what "
+        "this build reads, and the tag shields that snapshot from "
+        "expire_snapshots until released); the snapshot id actually "
+        "read is reported in the funnel either way",
+    )
     ap.add_argument("--partitions", nargs="*", default=None)
     ap.add_argument("--master", default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=32)
@@ -1225,6 +1252,7 @@ def main(argv: list[str] | None = None) -> None:
         host_cap=args.host_cap,
         dsir_target=args.dsir_target, dsir_keep_pm=args.dsir_keep_pm,
         bpe_rounds=args.bpe_report,
+        warehouse_tag=args.warehouse_tag,
     )
     print(json.dumps(summary))
     spark.stop()

@@ -95,6 +95,14 @@ def main(argv: list[str] | None = None) -> None:
              "(default 4; more files → narrower per-file key ranges → "
              "better skipping, at more open-file overhead)")
     ap.add_argument(
+        "--tag-output", default=None, metavar="NAME",
+        help="after extraction (and any --optimize-sort rewrite), pin "
+             "this snapshot tag to the extracted table's current "
+             "snapshot (IceTable named ref; re-pointed on every run — "
+             "the publish step of a write-audit-publish flow). "
+             "Downstream corpus builds read it with "
+             "corpus_job --warehouse-tag NAME")
+    ap.add_argument(
         "--gc-orphans", type=float, default=None, metavar="AGE_S",
         help="after extraction, reclaim data files no snapshot "
              "references (aborted-commit leftovers) older than AGE_S "
@@ -162,6 +170,11 @@ def main(argv: list[str] | None = None) -> None:
         extracted = IceTable(pathlib.Path(args.warehouse) / "extracted")
         out["gc_orphans"] = extracted.remove_orphan_files(
             older_than_s=args.gc_orphans
+        )
+    if args.tag_output:
+        extracted = IceTable(pathlib.Path(args.warehouse) / "extracted")
+        out["tagged_snapshot"] = extracted.tag(
+            args.tag_output, replace=True
         )
     print(json.dumps(out))
     spark.stop()

@@ -1124,3 +1124,48 @@ def test_corpus_job_semantic_decontam(spark, tmp_path):
     )
     assert victim["url"] not in {r["url"] for r in _read_jsonl(out2)}
     assert s2["rows_decontaminated"] < s1["rows_decontaminated"]
+
+
+def test_corpus_job_warehouse_tag_pins_snapshot(spark, tmp_path):
+    """--warehouse-tag makes the corpus build reproducible against a
+    MOVING warehouse: the tagged snapshot is what the build reads even
+    after later extract appends; the untagged build sees the new rows;
+    the funnel reports the snapshot actually read either way."""
+    from pyspark.sql import functions as F
+
+    from pdf_extractor_spark.tables.icetable import IceTable
+
+    corpus = tmp_path / "pages.parquet"
+    write_pages_parquet(corpus, seed=13, n_rows=120, n_days=3)
+    pages = ingest_corpus_to_icetable(spark, corpus, tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    run_extract(spark, pages, wh, salt=False)
+
+    tbl = IceTable(f"{wh}/extracted")
+    tag_snap = tbl.tag("train-v1")
+
+    # the warehouse moves: a later append lands one more extracted row
+    extra = (
+        tbl.read(spark)
+        .orderBy("url")
+        .limit(1)
+        .withColumn("url", F.lit("https://late-arrival.example/x"))
+    )
+    tbl.append(extra)
+
+    s_pinned = build_corpus(
+        spark, wh, str(tmp_path / "c1"), budget=10**6,
+        warehouse_tag="train-v1",
+    )
+    s_live = build_corpus(spark, wh, str(tmp_path / "c2"), budget=10**6)
+    assert s_pinned["warehouse_snapshot"] == tag_snap
+    assert s_live["warehouse_snapshot"] == tbl.snapshot_id()
+    assert s_live["rows_in"] == s_pinned["rows_in"] + 1
+
+    # unknown tag raises loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no tag"):
+        build_corpus(
+            spark, wh, str(tmp_path / "c3"), warehouse_tag="nope"
+        )
