@@ -44,6 +44,29 @@ n = duckdb.sql("SELECT count(*), count(DISTINCT url) FROM '/tmp/vwh/extracted/da
 assert n == (200, 200), n
 print("surface3 OK: rows", n[0])
 EOF
+# maintenance + publish knobs: sort-clustered rewrite, orphan GC, tag
+python -m pdf_extractor_spark.jobs.extract_job \
+  --pages /tmp/vg/pages_micro.parquet --warehouse /tmp/vwh \
+  --optimize-sort url --gc-orphans 259200 --tag-output verified \
+  2>/dev/null | tail -1 \
+  | python -c "import sys, json; d = json.loads(sys.stdin.read()); \
+assert 'optimize_snapshot_id' in d and 'tagged_snapshot' in d \
+  and 'gc_orphans' in d, d; print('surface3 maintenance knobs OK')"
+python - <<'EOF'
+import sys
+sys.path.insert(0, "/root/repo")
+from pdf_extractor_spark.tables.icetable import IceTable
+t = IceTable("/tmp/vwh/extracted")
+import duckdb
+probe = duckdb.sql(
+    "SELECT url FROM '/tmp/vwh/extracted/data/**/*.parquet' "
+    "ORDER BY url LIMIT 1 OFFSET 180"
+).fetchone()[0]
+live, pruned = t.files(), t.files(where=[("url", ">=", probe)])
+assert 0 < len(pruned) < len(live), (len(pruned), len(live))
+assert t.tags().get("verified") == t.snapshot_id()
+print("surface3 sort-cluster skipping OK:", len(live), "->", len(pruned))
+EOF
 
 echo "=== surface 4: driver contract (full sweep, sf0.01) ==="
 python scripts/full_sweep.py /root/testdata/sf0.01 2>/dev/null | tail -2
@@ -66,5 +89,13 @@ b = sorted(duckdb.sql("SELECT url FROM read_json_auto('/tmp/vcorpus2/part-*.json
 assert a == b and len(a) == len(set(a)) and len(a) > 0, (len(a), len(b))
 print("surface6 OK:", len(a), "docs, deterministic re-run identical")
 EOF
+# pinned build: --warehouse-tag reads the tag surface 3 published
+rm -rf /tmp/vcorpus3
+python -m pdf_extractor_spark.jobs.corpus_job \
+  --warehouse /tmp/vwh --out /tmp/vcorpus3 --budget 15 \
+  --warehouse-tag verified 2>/dev/null | tail -1 \
+  | python -c "import sys, json; d = json.loads(sys.stdin.read()); \
+assert d['warehouse_snapshot'] is not None and d['rows_exported'] > 0, d; \
+print('surface6 pinned build OK: snapshot', d['warehouse_snapshot'])"
 
 echo "=== ALL SIX SURFACES GREEN ==="
