@@ -223,6 +223,13 @@ def build_corpus(
         read_snapshot_id = tag_map[warehouse_tag]
     else:
         read_snapshot_id = tbl.snapshot_id()
+        if read_snapshot_id < 0:
+            # keep the clear error the plain read() path used to raise
+            # (read_snapshot(-1) would fail with a cryptic missing
+            # snap--0000001.json instead)
+            raise FileNotFoundError(
+                f"IceTable at {warehouse}/extracted is empty/unknown"
+            )
     tz_key = "spark.sql.session.timeZone"
     prev_tz = spark.conf.get(tz_key)
     spark.conf.set(tz_key, "UTC")

@@ -157,25 +157,24 @@ def main(argv: list[str] | None = None) -> None:
     }
     if args.url_filter:
         out["url_rejected"] = result.url_rejected
-    if args.optimize_sort:
-        cols = [c for c in args.optimize_sort.split(",") if c]
+    if args.optimize_sort or args.gc_orphans is not None or args.tag_output:
         extracted = IceTable(pathlib.Path(args.warehouse) / "extracted")
-        out["optimize_snapshot_id"] = extracted.compact(
-            spark,
-            min_files=1,
-            sort_by=cols,
-            files_per_partition=args.optimize_files,
-        )
-    if args.gc_orphans is not None:
-        extracted = IceTable(pathlib.Path(args.warehouse) / "extracted")
-        out["gc_orphans"] = extracted.remove_orphan_files(
-            older_than_s=args.gc_orphans
-        )
-    if args.tag_output:
-        extracted = IceTable(pathlib.Path(args.warehouse) / "extracted")
-        out["tagged_snapshot"] = extracted.tag(
-            args.tag_output, replace=True
-        )
+        if args.optimize_sort:
+            cols = [c for c in args.optimize_sort.split(",") if c]
+            out["optimize_snapshot_id"] = extracted.compact(
+                spark,
+                min_files=1,
+                sort_by=cols,
+                files_per_partition=args.optimize_files,
+            )
+        if args.gc_orphans is not None:
+            out["gc_orphans"] = extracted.remove_orphan_files(
+                older_than_s=args.gc_orphans
+            )
+        if args.tag_output:
+            out["tagged_snapshot"] = extracted.tag(
+                args.tag_output, replace=True
+            )
     print(json.dumps(out))
     spark.stop()
 

@@ -635,6 +635,25 @@ class IceTable:
             # a range partitioner on the partition value alone keeps
             # equal keys together — it cannot split one partition's rows
             raise ValueError("files_per_partition > 1 requires sort_by")
+        if sort_by:
+            missing = [c for c in sort_by if c not in self.stats_cols]
+            if missing:
+                # still worth doing — parquet ROW-GROUP footer stats on
+                # the sorted column benefit Spark's own pushdown — but
+                # the manifest-level file skipping this method advertises
+                # needs bounds, and bounds are only collected for
+                # stats_cols; be loud instead of silently delivering a
+                # full rewrite with zero manifest skipping
+                import warnings
+
+                warnings.warn(
+                    f"compact(sort_by={sort_by}): {missing} not in "
+                    f"stats_cols={list(self.stats_cols)} — manifest "
+                    "bounds will not be recorded for them, so files() "
+                    "cannot skip on those columns (row-group-level "
+                    "parquet stats still apply)",
+                    stacklevel=2,
+                )
         snap = self.current_snapshot()
         if snap is None:
             return -1
@@ -687,7 +706,19 @@ class IceTable:
             parts: dict = dict(snap["partitions"])
             for p in todo:
                 parts[p] = added.get(p, [])
-            return self._commit(parts, "compact", df.schema.json())
+            # a FULL-table rewrite homogenizes every live file to the
+            # union schema, so the sticky schema_evolved flag (and its
+            # per-read mergeSchema footer cost) can be dropped again —
+            # partial rewrites keep it (untouched partitions may still
+            # hold pre-evolution files)
+            extra = (
+                {"schema_evolved": False}
+                if set(todo) == set(snap["partitions"])
+                else None
+            )
+            return self._commit(
+                parts, "compact", df.schema.json(), extra=extra
+            )
 
     # -- tags (Iceberg named-ref analog) ---------------------------------------
     def tags(self) -> dict[str, int]:
@@ -733,7 +764,9 @@ class IceTable:
     def delete_tag(self, name: str) -> None:
         with self.commit_lock:
             tags = self.tags()
-            tags.pop(name, None)
+            if name not in tags:
+                return  # nothing to release (also: no metadata dir yet)
+            del tags[name]
             self._write_tags(tags)
 
     def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
@@ -750,7 +783,16 @@ class IceTable:
         data files referenced ONLY by the expired snapshots. Time travel
         remains valid for every kept snapshot (tags included — a tag is
         a retention lease); the atomic CURRENT pointer is never
-        touched."""
+        touched. Runs under the commit lock: without it an in-process
+        ``tag()`` racing the expiry could pin a snapshot AFTER the
+        tag-protection set was read but BEFORE the unlink — the lease
+        would point at a deleted snapshot (same in-process concurrency
+        the lock closes for commits; cross-process writers remain out
+        of scope)."""
+        with self.commit_lock:
+            return self._expire_snapshots_locked(keep_last)
+
+    def _expire_snapshots_locked(self, keep_last: int) -> dict[str, int]:
         snaps = sorted(self.meta_dir.glob("snap-*.json"))
         tagged = {
             self.meta_dir / f"snap-{sid:08d}.json"
@@ -868,7 +910,11 @@ class IceTable:
         return out
 
     def _read_parquet(
-        self, spark: SparkSession, files: list[str], evolved: bool
+        self,
+        spark: SparkSession,
+        files: list[str],
+        evolved: bool,
+        schema_json: str | None = None,
     ) -> DataFrame:
         """All data-file reads funnel here. On schema-evolved tables the
         scan merges footers (mergeSchema) so pre-evolution files surface
@@ -876,15 +922,32 @@ class IceTable:
         footer-merge cost is confined to tables that actually evolved; a
         production catalog binding would impose the tracked schema
         instead of merging (documented trade — this shim keeps partition
-        -column dtype inference identical on the unevolved fast path)."""
+        -column dtype inference identical on the unevolved fast path).
+
+        mergeSchema only unions the footers of files actually SCANNED,
+        so a partition-pruned or file-skipped read whose surviving files
+        all predate the evolution would lack the added column entirely;
+        ``schema_json`` (the snapshot's tracked schema) closes that hole
+        — any tracked column absent from the scan is appended as a typed
+        NULL, so the read's column set never depends on which files
+        survived pruning."""
         r = spark.read.option("basePath", str(self.data_dir))
         if evolved:
             r = r.option("mergeSchema", "true")
-        return r.parquet(*files)
+        df = r.parquet(*files)
+        if evolved and schema_json:
+            from pyspark.sql import functions as F
+            from pyspark.sql import types as T
 
-    def _schema_evolved(self) -> bool:
-        snap = self.current_snapshot()
-        return bool(snap and snap.get("schema_evolved"))
+            tracked = T.StructType.fromJson(json.loads(schema_json))
+            have = set(df.columns)
+            for field in tracked.fields:
+                if field.name not in have:
+                    df = df.withColumn(
+                        field.name,
+                        F.lit(None).cast(field.dataType),
+                    )
+        return df
 
     def read_snapshot(
         self,
@@ -911,7 +974,10 @@ class IceTable:
         # time travel honors the AS-OF schema: merge only if evolution
         # had already happened by the target snapshot
         return self._read_parquet(
-            spark, files, bool(snap.get("schema_evolved"))
+            spark,
+            files,
+            bool(snap.get("schema_evolved")),
+            snap.get("schema_json"),
         )
 
     def read_incremental(
@@ -980,7 +1046,13 @@ class IceTable:
 
             schema = T.StructType.fromJson(json.loads(snap["schema_json"]))
             return spark.createDataFrame([], schema)
-        return self._read_parquet(spark, files, self._schema_evolved())
+        cur = self.current_snapshot() or {}
+        return self._read_parquet(
+            spark,
+            files,
+            bool(cur.get("schema_evolved")),
+            cur.get("schema_json"),
+        )
 
     # -- reads -------------------------------------------------------------------
     def read(
@@ -1008,7 +1080,13 @@ class IceTable:
                     f"IceTable at {self.root} is empty/unknown"
                 )
         else:
-            df = self._read_parquet(spark, files, self._schema_evolved())
+            cur = self.current_snapshot() or {}
+            df = self._read_parquet(
+                spark,
+                files,
+                bool(cur.get("schema_evolved")),
+                cur.get("schema_json"),
+            )
         if where:
             from pyspark.sql import functions as F
 

@@ -58,11 +58,15 @@ sys.path.insert(0, "/root/repo")
 from pdf_extractor_spark.tables.icetable import IceTable
 t = IceTable("/tmp/vwh/extracted")
 import duckdb
+live = t.files()
+# probe from the LIVE manifest file list — the raw data/ glob also
+# matches superseded pre-rewrite files kept for time travel, which
+# would double every row and shift the intended percentile
 probe = duckdb.sql(
-    "SELECT url FROM '/tmp/vwh/extracted/data/**/*.parquet' "
-    "ORDER BY url LIMIT 1 OFFSET 180"
+    f"SELECT url FROM read_parquet({live!r}) ORDER BY url "
+    "LIMIT 1 OFFSET 180"
 ).fetchone()[0]
-live, pruned = t.files(), t.files(where=[("url", ">=", probe)])
+pruned = t.files(where=[("url", ">=", probe)])
 assert 0 < len(pruned) < len(live), (len(pruned), len(live))
 assert t.tags().get("verified") == t.snapshot_id()
 print("surface3 sort-cluster skipping OK:", len(live), "->", len(pruned))

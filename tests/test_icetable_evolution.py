@@ -68,8 +68,45 @@ def test_compact_after_evolution_preserves_rows(spark, tbl):
     tbl.compact(spark)
     got = {(r.id, r.w) for r in tbl.read(spark).collect()}
     assert got == {(1, None), (2, 7)}
-    # post-compact files all carry the union schema; flag persists
+    # a FULL-table rewrite homogenized every live file to the union
+    # schema, so the flag (and its per-read mergeSchema cost) clears;
+    # the pre-compact snapshot still time-travels with merging
+    assert tbl.current_snapshot().get("schema_evolved") is False
+    assert {(r.id, r.w) for r in tbl.read(spark).collect()} == got
+    old = tbl.read_snapshot(spark, 1)
+    assert {(r.id, r.w) for r in old.collect()} == got
+
+
+def test_partial_compact_keeps_evolution_flag(spark, tbl):
+    """Only a rewrite covering EVERY partition may clear the flag —
+    an untouched partition can still hold pre-evolution files."""
+    tbl.append(_df2(spark, [(1, "a", "2025-06-14")]))
+    tbl.append(_df3(spark, [(2, "b", 7, "2025-06-14"),
+                            (3, "c", 8, "2025-06-15")]))
+    tbl.append(_df3(spark, [(4, "d", 9, "2025-06-15")]))
+    tbl.compact(spark, partitions=["2025-06-15"])
     assert tbl.current_snapshot().get("schema_evolved") is True
+    vals = {r.id: r.w for r in tbl.read(spark).collect()}
+    assert vals == {1: None, 2: 7, 3: 8, 4: 9}
+
+
+def test_pruned_read_still_surfaces_added_column(spark, tbl):
+    """mergeSchema only unions the footers actually scanned — a
+    partition-pruned read whose surviving files all predate the
+    evolution must STILL carry the added column (as typed NULL), so a
+    downstream select/filter on it never depends on pruning."""
+    tbl.append(_df2(spark, [(1, "a", "2025-06-14")]))
+    tbl.append(_df3(spark, [(2, "b", 7, "2025-06-15")]))  # other part
+    pruned = tbl.read(spark, partitions=["2025-06-14"])
+    assert "w" in pruned.columns
+    rows = pruned.collect()
+    assert [(r.id, r.w) for r in rows] == [(1, None)]
+    assert pruned.schema["w"].dataType.typeName() == "long"
+    # and a where= read that skips down to only pre-evolution files
+    got = tbl.read(spark, where=[("id", "<=", 1)]).filter(
+        F.col("w").isNull()
+    )
+    assert [r.id for r in got.collect()] == [1]
 
 
 def test_reorder_is_not_evolution(spark, tbl):

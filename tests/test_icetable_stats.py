@@ -237,3 +237,14 @@ def test_files_per_partition_requires_sort_by(spark, tmp_path):
     t.append(_mkdf(spark, 0, 10).repartition(1))
     with pytest.raises(ValueError, match="requires sort_by"):
         t.compact(spark, files_per_partition=2)
+
+
+def test_sort_by_without_stats_warns(spark, tmp_path):
+    """compact(sort_by=C) where C has no manifest bounds still rewrites
+    (row-group stats benefit remains) but warns loudly that files()
+    cannot skip on C."""
+    t = IceTable(tmp_path / "t", stats_cols=("url",))
+    t.append(_mkdf(spark, 0, 40).repartition(2))
+    with pytest.warns(UserWarning, match="not in\\s+stats_cols"):
+        t.compact(spark, sort_by=["warc_ts"], files_per_partition=2)
+    assert t.read(spark).count() == 40
