@@ -206,6 +206,15 @@ def build_corpus(
 ) -> dict:
     from pyspark.sql import Observation
 
+    if benchmark is None and (fuzzy_decontam_pm or semantic_decontam_pm):
+        # these passes are benchmark-relative; silently no-opping them
+        # would ship a corpus the operator believes was decontaminated
+        raise ValueError(
+            "--fuzzy-decontam-pm / --semantic-decontam-pm require "
+            "--benchmark (they flag overlap AGAINST the benchmark "
+            "slice; without one there is nothing to decontaminate "
+            "against)"
+        )
     tbl = IceTable(f"{warehouse}/extracted")
     # Reproducible builds against a moving warehouse: ``warehouse_tag``
     # pins the read to a tagged snapshot (IceTable named ref), so a

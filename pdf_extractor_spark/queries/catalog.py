@@ -710,7 +710,13 @@ def media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_pairs_of,
     )
 
-    return phash_pairs_of(image_phash(spark.read.parquet(str(_PHASH_FIXTURE))))
+    # checkpoint: phash_pairs_of references the hash table on both
+    # sides of the verify join + the band explode, and Spark shares no
+    # subplans — without this the image decode UDF stage runs 2-3x
+    ph = image_phash(
+        spark.read.parquet(str(_PHASH_FIXTURE))
+    ).localCheckpoint(eager=True)
+    return phash_pairs_of(ph)
 
 
 def _phash_pairs_sql() -> str:
@@ -872,38 +878,53 @@ FROM scored
 """
 
 
+# Scheme-less (relative) srcs resolve to a PAGE-SCOPED key: the same
+# src string on two different pages may name two different images
+# (relative resolution depends on the page's base path), so keying the
+# bare string would silently merge distinct training images site- and
+# even web-wide. (page url, src) is the conservative choice for a
+# downloader manifest — it can keep a duplicate (same nav logo reached
+# from two pages), it can never DROP a distinct image.
+_SRC_FALLBACK = "concat(url, '#', url_src)"
+
+
+def _src_canon_of(kept: DataFrame) -> DataFrame:
+    """(url, seq, src) → (url, seq, src_canon): the urlnorm canon key
+    over the img src, page-scoped for scheme-less srcs."""
+    from pdf_extractor_spark.queries.urlnorm import (
+        _canon_sql,
+        _TRACK_RE,
+        host0_of,
+        rest_of,
+        scheme_of,
+    )
+
+    canon_s = _canon_sql(
+        "split", "filter", f"p rlike '{_TRACK_RE}'", "array_join",
+        fallback=_SRC_FALLBACK,
+    )
+    return kept.select(
+        "url",
+        "seq",
+        F.expr(scheme_of("src")).alias("scheme"),
+        F.expr(host0_of("src")).alias("host0"),
+        F.expr(rest_of("src")).alias("rest"),
+        F.col("src").alias("url_src"),
+    ).select("url", "seq", F.expr(canon_s).alias("src_canon"))
+
+
 def image_pairs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LAION chain's next verb: dedup the quality-kept pairs by
     CANONICAL image URL (the same hot image is embedded site-wide under
     tracking-param / mixed-case-host variants; downloading it once is
-    the point). Composes the urlnorm canon expression over src, one
-    keeper per canon key = min (url, seq). Shuffles only (url, seq,
-    src_canon) — captions rejoin nothing."""
-    from pdf_extractor_spark.queries.urlnorm import (
-        _CANON_S,
-        _HOST0,
-        _REST,
-        _SCHEME,
-    )
-
+    the point). Composes the urlnorm canon expression over src (its
+    parameterized form — no string surgery), one keeper per canon key =
+    min (url, seq). Shuffles only (url, seq, src_canon) — captions
+    rejoin nothing."""
     kept = image_caption_quality(spark, sf_dir).filter(
         F.col("keep") == 1
     )
-    canon = kept.select(
-        "url",
-        "seq",
-        F.expr(_SCHEME.replace("url", "src")).alias("scheme"),
-        F.expr(_HOST0.replace("url", "src")).alias("host0"),
-        F.expr(_REST.replace("url", "src")).alias("rest"),
-        F.col("src").alias("url_src"),
-    ).select(
-        "url",
-        "seq",
-        F.expr(
-            _CANON_S.replace("WHEN scheme = '' THEN url ",
-                             "WHEN scheme = '' THEN url_src ")
-        ).alias("src_canon"),
-    )
+    canon = _src_canon_of(kept)
     from pyspark.sql import Window
 
     w = Window.partitionBy("src_canon")
@@ -919,26 +940,31 @@ def image_pairs_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _image_pairs_dedup_sql() -> str:
     from pdf_extractor_spark.queries.urlnorm import (
-        _CANON_D,
-        _HOST0,
-        _REST,
-        _SCHEME,
+        _canon_sql,
+        _TRACK_RE,
+        host0_of,
+        rest_of,
+        scheme_of,
     )
 
+    canon_d = _canon_sql(
+        "string_split", "list_filter",
+        f"regexp_matches(p, '{_TRACK_RE}')", "array_to_string",
+        fallback=_SRC_FALLBACK,
+    )
     return f"""
 WITH quality AS ({_image_caption_quality_sql()}),
 kept AS (SELECT * FROM quality WHERE keep = 1),
 parts AS (
   SELECT url, seq, src AS url_src,
-         {_SCHEME.replace("url", "src")} AS scheme,
-         {_HOST0.replace("url", "src")} AS host0,
-         {_REST.replace("url", "src")} AS rest
+         {scheme_of("src")} AS scheme,
+         {host0_of("src")} AS host0,
+         {rest_of("src")} AS rest
   FROM kept
 ),
 canon AS (
   SELECT url, seq,
-         {_CANON_D.replace("WHEN scheme = '' THEN url ",
-                           "WHEN scheme = '' THEN url_src ")} AS src_canon
+         {canon_d} AS src_canon
   FROM parts
 )
 SELECT url, seq, src_canon,
@@ -991,8 +1017,11 @@ def media_vhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently recomputed frame hashes."""
     from pdf_extractor_spark.operators.multimodal import vhash_pairs_of
 
-    vh = _vhash_exploded(spark).filter(F.col("error").isNull()).select(
-        "media_id", "frame_ord", "fhash"
+    vh = (
+        _vhash_exploded(spark)
+        .filter(F.col("error").isNull())
+        .select("media_id", "frame_ord", "fhash")
+        .localCheckpoint(eager=True)  # demux+hash once, not per reference
     )
     return vhash_pairs_of(vh)
 
@@ -1036,8 +1065,11 @@ def media_vhash_pairs_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
         vhash_pairs_offset_of,
     )
 
-    vh = _vhash_exploded(spark).filter(F.col("error").isNull()).select(
-        "media_id", "frame_ord", "fhash"
+    vh = (
+        _vhash_exploded(spark)
+        .filter(F.col("error").isNull())
+        .select("media_id", "frame_ord", "fhash")
+        .localCheckpoint(eager=True)  # demux+hash once, not per reference
     )
     return vhash_pairs_offset_of(vh)
 
@@ -1203,7 +1235,9 @@ def media_audiofp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_pairs_of,
     )
 
-    afp = audio_fingerprint(spark.read.parquet(str(_AUDIOFP_FIXTURE)))
+    afp = audio_fingerprint(
+        spark.read.parquet(str(_AUDIOFP_FIXTURE))
+    ).localCheckpoint(eager=True)  # decode once, not per plan reference
     return phash_pairs_of(afp.withColumnRenamed("afp", "phash"))
 
 

@@ -38,22 +38,50 @@ REPO_ROOT = Path(__file__).resolve().parent.parent.parent
 URL_FIXTURE = REPO_ROOT / "fixtures" / "url_micro.parquet"
 
 _TRACK_RE = "^(utm_[A-Za-z0-9]+|fbclid)="
-_SCHEME = "lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
-_HOST0 = (
-    "lower(regexp_extract(url, "
-    "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
-)
+
+
+# the scheme/host/rest extractors, parameterized over the column (or
+# expression) holding the URL — composed callers (e.g. the image-pair
+# dedup over `src`) use these instead of string-surgery on the rendered
+# url-column forms, which would fail silently and identically on both
+# engines if the template text ever changed
+def scheme_of(col: str) -> str:
+    return f"lower(regexp_extract({col}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+
+
+def host0_of(col: str) -> str:
+    return (
+        f"lower(regexp_extract({col}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))"
+    )
+
+
 # everything after the host, fragment already excluded by the class
-_REST = (
-    "regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)"
-)
+def rest_of(col: str) -> str:
+    return (
+        f"regexp_extract({col}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)"
+    )
 
 
-def _canon_sql(split_fn: str, filter_fn: str, match: str, join_fn: str) -> str:
+_SCHEME = scheme_of("url")
+_HOST0 = host0_of("url")
+_REST = rest_of("url")
+
+
+def _canon_sql(
+    split_fn: str,
+    filter_fn: str,
+    match: str,
+    join_fn: str,
+    fallback: str = "url",
+) -> str:
     """The canonicalization expression over columns (scheme, host0,
     rest), engine-parameterized bottom-up. `match` is the tracking-param
     predicate over the lambda var p ("p rlike '...'" /
-    "regexp_matches(p, '...')")."""
+    "regexp_matches(p, '...')"). ``fallback`` is the SQL expression a
+    scheme-less input resolves to (default: the raw url column passes
+    through unchanged)."""
     host = (
         "CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '') "
         "WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '') "
@@ -78,11 +106,11 @@ def _canon_sql(split_fn: str, filter_fn: str, match: str, join_fn: str) -> str:
         f"THEN regexp_replace({path0}, '/+$', '') ELSE {path0} END)"
     )
     path = f"(CASE WHEN {path1} = '' THEN '/' ELSE {path1} END)"
-    # scheme-less input (no '://' match -> scheme = '') passes through
-    # unchanged: a crawl row that failed URL parsing must not be
+    # scheme-less input (no '://' match -> scheme = '') resolves to
+    # `fallback`: a crawl row that failed URL parsing must not be
     # silently rewritten to '://...' garbage
     return (
-        f"CASE WHEN scheme = '' THEN url ELSE "
+        f"CASE WHEN scheme = '' THEN {fallback} ELSE "
         f"concat(scheme, '://', {host}, {path}, "
         f"CASE WHEN {q} = '' THEN '' ELSE concat('?', {q}) END) END"
     )

@@ -496,6 +496,19 @@ def expected_media_vhash() -> pa.Table:
                         "error": None,
                     }
                 )
+            if not frames:
+                # a VALID zero-frame clip still gets one all-null row —
+                # the operator's posexplode_outer emits exactly that, and
+                # the clip must stay visible in the parity gate (the
+                # error-row discipline, minus the error)
+                rows.append(
+                    {
+                        "media_id": m["media_id"],
+                        "frame_ord": None,
+                        "fhash": None,
+                        "error": None,
+                    }
+                )
         except Exception as e:  # noqa: BLE001 — mirrors O23 containment
             rows.append(
                 {

@@ -1169,3 +1169,19 @@ def test_corpus_job_warehouse_tag_pins_snapshot(spark, tmp_path):
         build_corpus(
             spark, wh, str(tmp_path / "c3"), warehouse_tag="nope"
         )
+
+
+def test_decontam_flags_require_benchmark(spark, tmp_path):
+    """--fuzzy/--semantic-decontam-pm without --benchmark must raise,
+    not silently no-op — a corpus the operator believes was
+    decontaminated must never ship contaminated."""
+    import pytest as _pytest
+
+    for kw in (
+        {"fuzzy_decontam_pm": 500},
+        {"semantic_decontam_pm": 900},
+    ):
+        with _pytest.raises(ValueError, match="require\\s+--benchmark"):
+            build_corpus(
+                spark, str(tmp_path / "wh"), str(tmp_path / "c"), **kw
+            )

@@ -190,3 +190,35 @@ def test_image_pairs_dedup_collapses_planted_variants(spark):
     assert sizes[3] >= 5  # the planted trios
     kept = [r for r in rows if r["keep"] == 1]
     assert len(kept) == len(by_canon)
+
+
+def test_relative_src_is_page_scoped(spark):
+    """A scheme-less (relative) src string on two DIFFERENT pages may
+    name two different images (resolution depends on the page's base
+    path), so the dedup key must be page-scoped — the bare-string key
+    would merge distinct training images across sites. Absolute srcs
+    still collapse across pages; the same relative src repeated on ONE
+    page still collapses."""
+    from pdf_extractor_spark.queries.catalog import _src_canon_of
+
+    kept = spark.createDataFrame(
+        [
+            ("https://a.example/p", 0, "logo.png"),
+            ("https://b.example/q", 0, "logo.png"),   # other site!
+            ("https://a.example/p", 1, "logo.png"),   # same page, again
+            ("https://a.example/p", 2, "https://cdn.example/x.png?utm_a=1"),
+            ("https://b.example/q", 1, "HTTPS://CDN.example/x.png"),
+        ],
+        "url string, seq int, src string",
+    )
+    got = {(r.url, r.seq): r.src_canon for r in _src_canon_of(kept).collect()}
+    # cross-site relative srcs do NOT share a key
+    assert got[("https://a.example/p", 0)] != got[("https://b.example/q", 0)]
+    # same page, same relative src → same key
+    assert got[("https://a.example/p", 0)] == got[("https://a.example/p", 1)]
+    # absolute srcs canonicalize across pages (case + tracking params)
+    assert (
+        got[("https://a.example/p", 2)]
+        == got[("https://b.example/q", 1)]
+        == "https://cdn.example/x.png"
+    )

@@ -725,3 +725,32 @@ def test_media_dedup_manifest_unions_all_modalities(spark):
     keepers = [r for r in rows if r["keep"] == 1]
     assert len(keepers) == len(clusters)
     assert all(r["media_id"] == r["cluster_id"] for r in keepers)
+
+
+def test_zero_frame_clip_stays_visible(spark):
+    """A VALID RAWV container with zero frames (decodes cleanly, yields
+    no sampled frames) must surface as one all-null row — not vanish:
+    posexplode_outer on the operator side, and the expected-oracle
+    builder mirrors the same row, so the parity gate cannot diverge the
+    day such a clip enters the fixture."""
+    from pdf_extractor_spark.operators.multimodal import (
+        decode_rawv,
+        encode_rawv,
+        video_frame_hashes,
+    )
+    from pyspark.sql import functions as F
+
+    payload = encode_rawv([])
+    assert decode_rawv(payload) == []  # round-trips as a valid container
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "media_id long, payload binary"
+    )
+    vh = video_frame_hashes(df).select(
+        "media_id",
+        F.posexplode_outer("fhashes").alias("frame_ord", "fhash"),
+        "error",
+    )
+    rows = vh.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.media_id, r.frame_ord, r.fhash, r.error) == (0, None, None, None)
